@@ -1,0 +1,239 @@
+"""Budgets, priors, and epsilons for the GC-SLAM TPU engine.
+
+The reference keeps these as module-level constants ("constants are
+priors/budgets", ``common/constants.py:55-489``) validated against YAML at node
+start. Here they live in one frozen, hashable dataclass passed as a *static*
+argument to every jitted entry point: changing a budget recompiles, exactly the
+fixed-cost contract the reference enforces at runtime
+(``backend/backend_node.py:548-586``), but by construction.
+
+All default values mirror the reference's published priors/budgets
+(``common/constants.py``) so that behavior is comparable; ``GCConfig.small()``
+is a reduced-budget variant for fast CPU tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# 22D augmented state layout (chart GC-RIGHT-01).
+# [trans(0:3), rot(3:6), vel(6:9), bg(9:12), ba(12:15), dt(15), ex(16:22)]
+# Parity: common/constants.py:113-138.
+# ---------------------------------------------------------------------------
+D_Z = 22
+CHART_ID = "GC-RIGHT-01"
+
+IDX_TRANS = slice(0, 3)
+IDX_ROT = slice(3, 6)
+IDX_VEL = slice(6, 9)
+IDX_BG = slice(9, 12)
+IDX_BA = slice(12, 15)
+IDX_DT = slice(15, 16)
+IDX_EX = slice(16, 22)
+IDX_POSE = slice(0, 6)
+
+# Block structure used by the process-noise IW state: 7 blocks, padded to 6x6.
+# [trans(3), rot(3), vel(3), bg(3), ba(3), dt(1), ex(6)]
+PROCESS_BLOCKS: Tuple[Tuple[int, int], ...] = (
+    (0, 3), (3, 6), (6, 9), (9, 12), (12, 15), (15, 16), (16, 22),
+)
+N_PROCESS_BLOCKS = len(PROCESS_BLOCKS)
+
+GRAVITY_W = (0.0, 0.0, -9.81)  # Z-up world; gravity points down.
+GRAVITY_MAG = 9.81
+
+
+@dataclasses.dataclass(frozen=True)
+class GCConfig:
+    """Compile-time budgets and priors. Hashable; pass as static to jit."""
+
+    # ---- dtypes -----------------------------------------------------------
+    # Belief/info algebra dtype and point-cloud dtype. CPU parity tests use
+    # f64/f64; TPU production uses f32/f32 (f64 is emulated and slow on TPU).
+    dtype: str = "float32"
+
+    # ---- fixed-cost budgets (constants.py:55-75) --------------------------
+    k_hyp: int = 4
+    hyp_weight_floor: float = 0.0025
+    n_points: int = 8192            # LiDAR points per scan after budget resample
+    imu_len: int = 512              # fixed IMU preintegration window length
+
+    # ---- epsilons (constants.py:70-78) ------------------------------------
+    eps_psd: float = 1e-12
+    eps_lift: float = 1e-9
+    eps_mass: float = 1e-12
+    eps_r: float = 1e-6
+    eps_den: float = 1e-12
+    exc_eps: float = 1e-12
+    weight_floor: float = 1e-12
+    nonfinite_sentinel: float = 1e6
+
+    # ---- fusion / trust (constants.py:88-100) ------------------------------
+    alpha_min: float = 1.0
+    alpha_max: float = 1.0
+    kappa_scale: float = 1.0
+    c0_cond: float = 1e6
+    kappa_blend_r0: float = 0.8
+    kappa_blend_tau: float = 0.03
+    c_dt: float = 1.0
+    c_ex: float = 1.0
+    c_frob: float = 1.0
+
+    # ---- anchor drift (constants.py:104-106) -------------------------------
+    anchor_drift_m0: float = 0.5
+    anchor_drift_r0: float = 0.2
+
+    # ---- time warp ----------------------------------------------------------
+    time_warp_sigma_frac: float = 0.1
+
+    # ---- sensor noise priors (constants.py:164-230) -------------------------
+    imu_gyro_noise_density: float = 8.7e-7    # rad^2/s (PSD)
+    imu_accel_noise_density: float = 9.5e-5   # m^2/s^3 (PSD)
+    lidar_sigma_meas: float = 0.01            # m^2 (discrete)
+    imu_accel_scale: float = 1.0              # input already m/s^2 for Kimera/synth
+
+    # ---- process diffusion priors (constants.py:232-249) --------------------
+    q_trans: float = 1e-4
+    q_rot: float = 8.7e-7
+    q_vel: float = 9.5e-5
+    q_bg: float = 1e-8
+    q_ba: float = 1e-6
+    q_dt: float = 1e-6
+    q_ex: float = 1e-8
+
+    # ---- OU damping (constants.py:252-266) ----------------------------------
+    ou_lambda: float = 0.1
+
+    # ---- IW retention (constants.py:267-283) --------------------------------
+    iw_nu_weak_add: float = 0.5
+    iw_rho_trans: float = 0.99
+    iw_rho_rot: float = 0.995
+    iw_rho_vel: float = 0.95
+    iw_rho_bg: float = 0.999
+    iw_rho_ba: float = 0.999
+    iw_rho_dt: float = 0.9999
+    iw_rho_ex: float = 0.9999
+    iw_rho_meas_gyro: float = 0.995
+    iw_rho_meas_accel: float = 0.995
+    iw_rho_meas_lidar: float = 0.99
+
+    # ---- planar robot priors (constants.py:285-320) -------------------------
+    planar_z_ref: float = 0.0
+    planar_z_sigma: float = 0.1
+    planar_vz_sigma: float = 0.01
+    odom_z_variance_prior: float = 1e6
+
+    # ---- odom twist (constants.py:322-335) ----------------------------------
+    odom_twist_vel_sigma: float = 0.1
+    odom_twist_wz_sigma: float = 0.01
+
+    # ---- range weighting (constants.py:258-261) ------------------------------
+    range_weight_sigma: float = 0.25
+    range_weight_min_r: float = 0.5
+    range_weight_max_r: float = 50.0
+
+    # ---- measurement / association budgets (constants.py:339-380) -----------
+    n_feat: int = 512
+    n_surfel: int = 1024
+    k_assoc: int = 8
+    k_sinkhorn: int = 50
+    ot_epsilon: float = 0.1
+    ot_tau: float = 0.5
+    ringbuf_len: int = 5
+
+    # ---- surfel extraction (MA-Hex-3D) ---------------------------------------
+    surfel_cells_1: int = 32
+    surfel_cells_2: int = 32
+    surfel_cells_z: int = 8
+    surfel_max_occupants: int = 32
+
+    # ---- map / atlas (constants.py:382-489) ----------------------------------
+    m_tile: int = 50000              # primitive capacity per tile
+    n_tiles_pool: int = 64           # fixed tile-pool size (device array axis)
+    h_tile: float = 2.0
+    r_active_xy: int = 1
+    r_active_z: int = 0
+    r_stencil_xy: int = 1
+    r_stencil_z: int = 0
+    m_tile_view: int = 1024
+    recency_decay_lambda: float = 0.02
+    recency_min_scale: float = 0.05
+    forgetting_factor: float = 0.995
+    merge_threshold: float = 0.1
+    k_merge_pairs: int = 4
+    merge_max_tile: int = 2048
+    cull_weight_threshold: float = 1e-4
+    kappa_min: float = 1e-3
+    kappa_max: float = 1e4
+    vmf_n_lobes: int = 3
+    fuse_chunk: int = 1024
+    assoc_block: int = 256
+    k_insert: int = 64
+
+    # ------------------------------------------------------------------
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def n_active_tiles(self) -> int:
+        return (2 * self.r_active_z + 1) * _hex_disk_count(self.r_active_xy)
+
+    @property
+    def n_stencil_tiles(self) -> int:
+        return (2 * self.r_stencil_z + 1) * _hex_disk_count(self.r_stencil_xy)
+
+    @property
+    def n_meas(self) -> int:
+        """Total measurement-primitive budget (camera slice + lidar slice)."""
+        return self.n_feat + self.n_surfel
+
+    def replace(self, **kw) -> "GCConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def small(**overrides) -> "GCConfig":
+        """Reduced budgets for fast CPU tests (shape logic identical)."""
+        base = dict(
+            dtype="float64",
+            n_points=256,
+            imu_len=64,
+            n_feat=16,
+            n_surfel=64,
+            k_assoc=4,
+            k_sinkhorn=10,
+            surfel_cells_1=8,
+            surfel_cells_2=8,
+            surfel_cells_z=4,
+            surfel_max_occupants=16,
+            m_tile=256,
+            n_tiles_pool=16,
+            m_tile_view=128,
+            merge_max_tile=256,
+            fuse_chunk=64,
+            assoc_block=32,
+            k_insert=16,
+        )
+        base.update(overrides)
+        return GCConfig(**base)
+
+    @staticmethod
+    def tpu(**overrides) -> "GCConfig":
+        """Production budgets, float32 compute."""
+        base = dict(dtype="float32")
+        base.update(overrides)
+        return GCConfig(**base)
+
+
+def _hex_disk_count(r: int) -> int:
+    """Cells in a radius-r hex disk: 1 + 3r(r+1)."""
+    r = max(int(r), 0)
+    return 1 + 3 * r * (r + 1)
+
+
+DEFAULT_CONFIG = GCConfig()

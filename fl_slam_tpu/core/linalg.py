@@ -1,0 +1,195 @@
+"""Total-function numeric primitives with certificate magnitudes.
+
+Parity targets (reference ``common/primitives.py``): Symmetrize,
+DomainProjectionPSD (eigenvalue floor), SPDCholeskySolveLifted,
+SPDCholeskyInverseLifted, InvMass, Clamp, safe_normalize, softmax.
+
+Every function is total (finite output for any finite input), branch-free, and
+returns the numeric result plus scalar "certificate magnitudes" describing how
+much stabilization was applied — the audit contract of the reference, kept as
+device scalars (never host-synced inside the scan loop).
+
+TPU-specific additions (not in the reference):
+  - ``eigh3x3_smallest``: closed-form smallest eigenpair of symmetric 3x3
+    batches (the reference vmaps ``jnp.linalg.eigh`` over up to 8192 cells,
+    ``operators/lidar_surfel_extraction.py``; a trigonometric closed form keeps
+    this on the VPU with no Schur iteration).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+
+def symmetrize(A):
+    """0.5 (A + A^T); returns (result, asymmetry magnitude)."""
+    S = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    mag = jnp.linalg.norm(A - jnp.swapaxes(A, -1, -2), axis=(-2, -1)) * 0.5
+    return S, mag
+
+
+def project_psd(A, eps: float = 1e-12):
+    """Eigenvalue-floor PSD projection; returns (result, projection magnitude).
+
+    magnitude = total eigenvalue mass clipped (sum of max(eps - lam, 0)).
+    """
+    S = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    lam, Q = jnp.linalg.eigh(S)
+    lam_floored = jnp.maximum(lam, eps)
+    mag = jnp.sum(jnp.maximum(eps - lam, 0.0), axis=-1)
+    out = jnp.einsum("...ij,...j,...kj->...ik", Q, lam_floored, Q)
+    out = 0.5 * (out + jnp.swapaxes(out, -1, -2))
+    return out, mag
+
+
+def spd_solve_lifted(A, b, eps: float = 1e-9):
+    """Solve (A + eps I) x = b by Cholesky; total on PSD A.
+
+    Returns (x, lift magnitude = eps * ||b|| proxy). The lift makes the solve
+    defined for singular PSD A (parity: primitives.py:141).
+    """
+    n = A.shape[-1]
+    A_l = 0.5 * (A + jnp.swapaxes(A, -1, -2)) + eps * jnp.eye(n, dtype=A.dtype)
+    c, low = cho_factor(A_l)
+    x = cho_solve((c, low), b)
+    mag = jnp.asarray(eps, dtype=A.dtype) * jnp.ones(A.shape[:-2], dtype=A.dtype)
+    return x, mag
+
+
+def spd_inverse_lifted(A, eps: float = 1e-9):
+    """(A + eps I)^{-1} by Cholesky; total on PSD A."""
+    n = A.shape[-1]
+    A_l = 0.5 * (A + jnp.swapaxes(A, -1, -2)) + eps * jnp.eye(n, dtype=A.dtype)
+    c, low = cho_factor(A_l)
+    inv = cho_solve((c, low), jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A_l.shape))
+    inv = 0.5 * (inv + jnp.swapaxes(inv, -1, -2))
+    mag = jnp.asarray(eps, dtype=A.dtype) * jnp.ones(A.shape[:-2], dtype=A.dtype)
+    return inv, mag
+
+
+def inv_mass(m, eps: float = 1e-12):
+    """1 / (m + eps) for nonnegative masses (total)."""
+    return 1.0 / (m + eps)
+
+
+def clamp(x, lo, hi):
+    """Clip with magnitude = amount clipped."""
+    y = jnp.clip(x, lo, hi)
+    return y, jnp.abs(x - y)
+
+
+def safe_normalize(v, eps: float = 1e-12):
+    """Normalize last axis; zero vectors map to zero (total). Returns (unit, norm)."""
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    unit = v / jnp.maximum(n, eps)
+    unit = jnp.where(n > eps, unit, jnp.zeros_like(unit))
+    return unit, n[..., 0]
+
+
+def masked_softmax(logits, mask, axis=-1, floor: float = 1e-12):
+    """Softmax over valid entries; invalid entries get zero weight.
+
+    Fully masked rows return all-zeros (not NaN).
+    """
+    neg = jnp.asarray(-1e30, dtype=logits.dtype)
+    z = jnp.where(mask, logits, neg)
+    z = z - jax_stop_max(z, axis)
+    e = jnp.where(mask, jnp.exp(z), 0.0)
+    denom = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(denom, floor)
+
+
+def jax_stop_max(z, axis):
+    m = jnp.max(z, axis=axis, keepdims=True)
+    return jnp.where(jnp.isfinite(m), m, 0.0)
+
+
+def sanitize(x, sentinel: float = 1e6):
+    """Replace non-finite entries with +/- sentinel (reference wrapper-boundary rule)."""
+    return jnp.nan_to_num(x, nan=0.0, posinf=sentinel, neginf=-sentinel)
+
+
+def cond_proxy(A, eps: float = 1e-12):
+    """Cheap conditioning proxy: max/min diagonal ratio (no eigh).
+
+    Used for the conditioning certificate on the hot path; the exact
+    eigenvalue-based condition number is reserved for offline checks.
+    """
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    dmax = jnp.max(d, axis=-1)
+    dmin = jnp.min(d, axis=-1)
+    return (dmax + eps) / (jnp.maximum(dmin, 0.0) + eps)
+
+
+def cond_spectral(A, eps: float = 1e-12):
+    """Exact spectral condition number via eigh (use off the hot path)."""
+    lam = jnp.linalg.eigvalsh(0.5 * (A + jnp.swapaxes(A, -1, -2)))
+    return (jnp.max(lam, axis=-1) + eps) / (jnp.maximum(jnp.min(lam, axis=-1), 0.0) + eps)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form symmetric 3x3 eigen-solver (batched, VPU-friendly).
+# ---------------------------------------------------------------------------
+
+def eigvalsh3x3(A):
+    """Eigenvalues of symmetric (..., 3, 3), ascending, closed form.
+
+    Trigonometric method (Smith 1961): exact for symmetric 3x3, no iteration.
+    """
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-38))
+    # det(B/p) with B = A - qI
+    c00 = b11 * b22 - a12 * a12
+    c01 = a01 * b22 - a12 * a02
+    c02 = a01 * a12 - b11 * a02
+    detB = b00 * c00 - a01 * c01 + a02 * c02
+    r = detB / (2.0 * p * p * p)
+    r = jnp.clip(r, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam2 = q + 2.0 * p * jnp.cos(phi)                         # largest
+    lam0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)    # smallest
+    lam1 = 3.0 * q - lam0 - lam2
+    # Degenerate (p ~ 0): all eigenvalues = q.
+    degen = p2 < 1e-30
+    lam0 = jnp.where(degen, q, lam0)
+    lam1 = jnp.where(degen, q, lam1)
+    lam2 = jnp.where(degen, q, lam2)
+    return jnp.stack([lam0, lam1, lam2], axis=-1)
+
+
+def eigvec3x3(A, lam):
+    """Unit eigenvector of symmetric 3x3 for eigenvalue lam, via cross products.
+
+    Total: for (near-)degenerate eigenvalues returns a valid basis vector of the
+    eigenspace (falls back to the largest-norm cross product, then to e_z).
+    """
+    eye = jnp.eye(3, dtype=A.dtype)
+    M = A - lam[..., None, None] * eye
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.where(
+        (n01 >= n02)[..., None] & (n01 >= n12)[..., None],
+        c01,
+        jnp.where((n02 >= n12)[..., None], c02, c12),
+    )
+    nbest = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    ez = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=A.dtype), best.shape)
+    unit = jnp.where(nbest > 1e-12, best / jnp.maximum(nbest, 1e-30), ez)
+    return unit
+
+
+def eigh3x3_smallest(A):
+    """(smallest eigenvalue, its unit eigenvector) for symmetric (..., 3, 3)."""
+    lam = eigvalsh3x3(A)
+    return lam[..., 0], eigvec3x3(A, lam[..., 0]), lam

@@ -1,0 +1,30 @@
+"""Single JAX initialization point (parity: reference ``common/jax_init.py``).
+
+Everything that touches process-global JAX configuration lives here, imported
+exactly once from ``fl_slam_tpu.__init__``. Unlike the reference (which forces
+``JAX_PLATFORMS=cuda``) we never select a platform: tests pin CPU via
+``JAX_PLATFORMS`` in ``tests/conftest.py`` and production uses whatever TPU
+runtime is present.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+# The reference pipeline is float64 end to end. We enable x64 so the belief
+# algebra (22x22, tiny) can run in f64 for CPU-parity tests; large point-cloud
+# arrays are created with explicit float32 dtype on the hot path regardless.
+jax.config.update("jax_enable_x64", True)
+
+# Never preallocate the whole device memory pool (useful on shared TPU hosts).
+os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+
+
+def backend_name() -> str:
+    return jax.default_backend()
+
+
+def device_count() -> int:
+    return jax.device_count()

@@ -1,0 +1,29 @@
+"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+
+Must set env vars before the first jax import (parity with the reference's
+single-init-point rule, ``common/jax_init.py``).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# This environment pre-seeds jax_platforms with a TPU plugin ("axon,cpu"),
+# which overrides the JAX_PLATFORMS env var — force CPU explicitly before any
+# backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,102 @@
+"""Numeric primitive invariants (parity: reference test_primitives.py +
+test_audit_invariants.py no-gate checks)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fl_slam_tpu.core import linalg
+
+
+def test_project_psd_floors_negative_eigenvalue():
+    A = jnp.diag(jnp.asarray([1.0, 2.0, -1e6]))
+    out, mag = linalg.project_psd(A, eps=1e-12)
+    lam = np.linalg.eigvalsh(np.asarray(out))
+    assert lam.min() >= 1e-13
+    assert float(mag) > 9e5
+
+
+def test_project_psd_identity_on_spd(rng):
+    B = rng.normal(size=(6, 6))
+    A = jnp.asarray(B @ B.T + 6 * np.eye(6))
+    out, mag = linalg.project_psd(A)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(A), rtol=1e-10)
+    assert float(mag) == 0.0
+
+
+def test_spd_solve_lifted_singular():
+    A = jnp.zeros((4, 4), dtype=jnp.float64)
+    b = jnp.ones((4,), dtype=jnp.float64)
+    x, _ = linalg.spd_solve_lifted(A, b, eps=1e-9)
+    assert np.all(np.isfinite(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(x), 1e9, rtol=1e-6)
+
+
+def test_spd_solve_matches_np(rng):
+    B = rng.normal(size=(5, 5))
+    A = jnp.asarray(B @ B.T + 5 * np.eye(5))
+    b = jnp.asarray(rng.normal(size=5))
+    x, _ = linalg.spd_solve_lifted(A, b, eps=0.0)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(np.asarray(A), b),
+                               rtol=1e-9)
+
+
+def test_spd_inverse_lifted(rng):
+    B = rng.normal(size=(5, 5))
+    A = jnp.asarray(B @ B.T + 5 * np.eye(5))
+    inv, _ = linalg.spd_inverse_lifted(A, eps=0.0)
+    np.testing.assert_allclose(np.asarray(inv @ A), np.eye(5), atol=1e-9)
+
+
+def test_masked_softmax_fully_masked():
+    logits = jnp.asarray([1.0, 2.0, 3.0])
+    mask = jnp.asarray([False, False, False])
+    w = linalg.masked_softmax(logits, mask)
+    np.testing.assert_allclose(np.asarray(w), 0.0)
+
+
+def test_masked_softmax_partial():
+    logits = jnp.asarray([1.0, 2.0, -1e5])
+    mask = jnp.asarray([True, True, False])
+    w = np.asarray(linalg.masked_softmax(logits, mask))
+    assert w[2] == 0.0
+    np.testing.assert_allclose(w[:2].sum(), 1.0, rtol=1e-12)
+
+
+def test_safe_normalize_zero():
+    unit, norm = linalg.safe_normalize(jnp.zeros((3,)))
+    np.testing.assert_allclose(np.asarray(unit), 0.0)
+    assert float(norm) == 0.0
+
+
+def test_eigvalsh3x3_matches_lapack(rng):
+    B = rng.normal(size=(512, 3, 3))
+    A = jnp.asarray(B + np.swapaxes(B, -1, -2))
+    lam = np.asarray(linalg.eigvalsh3x3(A))
+    lam_ref = np.linalg.eigvalsh(np.asarray(A))
+    np.testing.assert_allclose(lam, lam_ref, atol=1e-8)
+
+
+def test_eigvec3x3_smallest(rng):
+    B = rng.normal(size=(128, 3, 3))
+    A = jnp.asarray(B @ np.swapaxes(B, -1, -2))
+    lam0, v, _ = linalg.eigh3x3_smallest(A)
+    Av = np.einsum("nij,nj->ni", np.asarray(A), np.asarray(v))
+    lv = np.asarray(lam0)[:, None] * np.asarray(v)
+    np.testing.assert_allclose(Av, lv, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1), 1.0,
+                               atol=1e-10)
+
+
+def test_eig3x3_degenerate_isotropic():
+    A = jnp.broadcast_to(jnp.eye(3) * 2.5, (4, 3, 3))
+    lam = np.asarray(linalg.eigvalsh3x3(A))
+    np.testing.assert_allclose(lam, 2.5, atol=1e-12)
+    _, v, _ = linalg.eigh3x3_smallest(A)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1), 1.0,
+                               atol=1e-10)
+
+
+def test_sanitize():
+    x = jnp.asarray([np.nan, np.inf, -np.inf, 1.5])
+    y = np.asarray(linalg.sanitize(x, sentinel=1e6))
+    np.testing.assert_allclose(y, [0.0, 1e6, -1e6, 1.5])
