@@ -142,10 +142,21 @@ class GCConfig:
     k_assoc: int = 8
     k_sinkhorn: int = 50
     ot_epsilon: float = 0.1
-    ot_tau: float = 0.5
+    ot_tau_a: float = 0.5
+    ot_tau_b: float = 0.5
     ringbuf_len: int = 5
 
+    # ---- power tempering (pipeline.py:118-121) -------------------------------
+    power_beta_min: float = 0.25
+    power_beta_exc_c: float = 50.0
+    power_beta_z_c: float = 1.0
+
+    # ---- ablation knobs (pipeline.py:138-146) --------------------------------
+    imu_gravity_scale: float = 1.0
+    deskew_rotation_only: bool = False
+
     # ---- surfel extraction (MA-Hex-3D) ---------------------------------------
+    surfel_cell_size: float = 0.5
     surfel_cells_1: int = 32
     surfel_cells_2: int = 32
     surfel_cells_z: int = 8

@@ -1,0 +1,40 @@
+"""Hypothesis barycenter projection (parity: ``operators/hypothesis.py``).
+
+The hypothesis bank is a leading vmap axis; this op is already batched dense
+linear algebra — no list handling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fl_slam_tpu.core.linalg import project_psd, spd_solve_lifted
+
+
+def barycenter_projection(L_stack, h_stack, z_lin_stack, weights, *,
+                          weight_floor: float, eps_psd: float, eps_lift: float):
+    """Weight-floored information barycenter + PSD projection.
+
+    Returns (L_out, h_out, z_lin_out, weights_normalized, certs).
+    """
+    w = jnp.maximum(weights, weight_floor)
+    floor_adjust = jnp.sum(jnp.abs(w - weights))
+    w = w / jnp.sum(w)
+
+    L_out, proj = project_psd(jnp.einsum("k,kij->ij", w, L_stack), eps_psd)
+    h_out = jnp.einsum("k,ki->i", w, h_stack)
+    z_lin_out = jnp.einsum("k,ki->i", w, z_lin_stack)
+
+    means = jax.vmap(lambda L, h: spd_solve_lifted(L, h, eps_lift)[0])(
+        L_stack, h_stack)
+    mean_bar = jnp.einsum("k,ki->i", w, means)
+    spread = jnp.sum(w * jnp.sum((means - mean_bar) ** 2, axis=-1))
+
+    certs = {
+        "hyp.floor_adjustment": floor_adjust,
+        "hyp.psd_projection": proj,
+        "hyp.spread_proxy": spread,
+        "hyp.ess": 1.0 / jnp.sum(w * w),
+    }
+    return L_out, h_out, z_lin_out, w, certs

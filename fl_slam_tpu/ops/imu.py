@@ -1,0 +1,322 @@
+"""IMU operators: soft windows, fixed-length preintegration, gravity-direction
+vMF evidence, gyro rotation evidence, velocity/position preintegration factor,
+dependence inflation, and measurement-noise IW sufficient statistics.
+
+Parity targets: ``operators/imu_preintegration.py``, ``operators/imu_evidence.py``,
+``operators/imu_gyro_evidence.py``, ``operators/imu_preintegration_factor.py``,
+``operators/measurement_noise_iw_jax.py``.
+
+TPU-first deltas:
+  - dt_int / dt_imu are masked device reductions (the reference computes them
+    host-side with numpy + data-dependent sorting, ``pipeline.py:262-313``).
+  - everything returns cert dicts of device scalars; nothing syncs.
+
+Input convention: IMU windows arrive as fixed-length (M,) arrays, stamps sorted
+ascending with zero padding at the tail (zero stamp == invalid sample).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fl_slam_tpu.config import IDX_ROT, IDX_TRANS, IDX_VEL
+from fl_slam_tpu.core import se3
+from fl_slam_tpu.core.linalg import project_psd, spd_inverse_lifted
+from fl_slam_tpu.core.vmf import kappa_from_resultant
+from fl_slam_tpu.ops.embed import evidence_from_block
+
+
+def smooth_window_weights(stamps, t_start, t_end, sigma, weight_floor: float = 1e-12):
+    """Soft membership w(t) = sigmoid((t-start)/s) * sigmoid((end-t)/s), floored.
+
+    Parity: imu_preintegration.py:19-43 (no hard window boundaries).
+    """
+    sig = jnp.maximum(sigma, 1e-6)
+    w = jax.nn.sigmoid((stamps - t_start) / sig) * jax.nn.sigmoid((t_end - stamps) / sig)
+    return w * (1.0 - weight_floor) + weight_floor
+
+
+def imu_dt_intervals(stamps):
+    """dt_i = t_{i+1} - t_i with the last forced to 0, clipped nonnegative."""
+    dt = jnp.concatenate([stamps[1:] - stamps[:-1], jnp.zeros_like(stamps[:1])])
+    return jnp.maximum(dt, 0.0)
+
+
+def integration_time(stamps, t_start, t_end):
+    """dt_int = sum of IMU sample intervals within (t_start, t_end), on device.
+
+    Invariants (reference ``pipeline.py:262-313``): 0 <= dt_int <= t_end-t_start.
+    Assumes stamps sorted ascending with zero padding (zero == invalid).
+    """
+    eps = 1e-9
+    valid = stamps > 0.0
+    inwin = (stamps > t_start - eps) & (stamps <= t_end + eps) & valid
+    pair_ok = inwin[:-1] & inwin[1:]
+    dts = jnp.maximum(stamps[1:] - stamps[:-1], 0.0)
+    dt_int = jnp.sum(jnp.where(pair_ok, dts, 0.0))
+    return jnp.clip(dt_int, 0.0, jnp.maximum(t_end - t_start, 0.0))
+
+
+def mean_sample_period(stamps):
+    """(t_last - t_first) / (n_valid - 1) over valid samples, masked; >= 1e-12."""
+    valid = stamps > 0.0
+    n = jnp.sum(valid)
+    big = jnp.asarray(1e30, stamps.dtype)
+    t_first = jnp.min(jnp.where(valid, stamps, big))
+    t_last = jnp.max(jnp.where(valid, stamps, -big))
+    span = jnp.maximum(t_last - t_first, 0.0)
+    denom = jnp.maximum(n - 1.0, 1.0)
+    return jnp.maximum(jnp.where(n >= 2, span / denom, 0.0), 1e-12)
+
+
+def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
+                 accel_bias, gravity_w):
+    """Fixed-length weighted IMU preintegration via ``lax.scan``.
+
+    Returns a dict with delta quantities in the START BODY frame (the two
+    frame-correctness rules of imu_preintegration.py:124-142):
+      delta_pose (6,), delta_R (3,3), delta_p (3,), delta_v (3,),
+      ess, a_body_mean, a_world_nog_mean, a_world_mean, dt_eff_sum.
+    """
+    dt = imu_dt_intervals(stamps)
+    R_start = se3.so3_exp(rotvec_start)
+    zero3 = jnp.zeros((3,), dtype=gyro.dtype)
+
+    def step(carry, inp):
+        R_k, v_k, p_k, s_wdt, s_ab, s_awn, s_aw = carry
+        g_i, a_i, dt_i, w_i = inp
+        dt_eff = w_i * dt_i
+        omega = g_i - gyro_bias
+        R_next = R_k @ se3.so3_exp(omega * dt_eff)
+        a_body = a_i - accel_bias
+        a_world_nog = R_k @ a_body
+        a_world = a_world_nog + gravity_w
+        v_next = v_k + a_world * dt_eff
+        p_next = p_k + v_k * dt_eff + 0.5 * a_world * dt_eff * dt_eff
+        return (
+            R_next, v_next, p_next,
+            s_wdt + dt_eff,
+            s_ab + a_body * dt_eff,
+            s_awn + a_world_nog * dt_eff,
+            s_aw + a_world * dt_eff,
+        ), None
+
+    carry0 = (R_start, zero3, zero3, jnp.zeros((), gyro.dtype), zero3, zero3, zero3)
+    (R_end, v_end, p_end, s_wdt, s_ab, s_awn, s_aw), _ = jax.lax.scan(
+        step, carry0, (gyro, accel, dt, weights)
+    )
+
+    delta_R = R_start.T @ R_end
+    rotvec_delta = se3.so3_log(delta_R)
+    delta_p = R_start.T @ p_end
+    delta_v = R_start.T @ v_end
+    denom = jnp.maximum(s_wdt, 1e-12)
+    return {
+        "delta_pose": jnp.concatenate([delta_p, rotvec_delta]),
+        "delta_R": delta_R,
+        "delta_p": delta_p,
+        "delta_v": delta_v,
+        "ess": jnp.sum(weights),
+        "a_body_mean": s_ab / denom,
+        "a_world_nog_mean": s_awn / denom,
+        "a_world_mean": s_aw / denom,
+        "dt_eff_sum": s_wdt,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Gravity-direction vMF evidence (time-resolved, transport-consistency weighted)
+# ---------------------------------------------------------------------------
+
+def transport_consistency(accel, gyro, dt, eps_mass: float):
+    """|df/dt + omega x f| per sample (central differences; fwd/bwd at ends)."""
+    df = jnp.zeros_like(accel)
+    df = df.at[1:-1].set((accel[2:] - accel[:-2]) / (2.0 * dt + eps_mass))
+    df = df.at[0].set((accel[1] - accel[0]) / (dt + eps_mass))
+    df = df.at[-1].set((accel[-1] - accel[-2]) / (dt + eps_mass))
+    e = df + jnp.cross(gyro, accel)
+    return jnp.linalg.norm(e, axis=-1)
+
+
+def reliability_weights(e_mag, eps_mass: float):
+    """MAD-self-adaptive Gaussian reliability: exp(-e^2 / 2 sigma^2)."""
+    med = jnp.median(e_mag)
+    mad = jnp.median(jnp.abs(e_mag - med))
+    sigma = mad / 0.6745 + eps_mass
+    return jnp.exp(-0.5 * (e_mag / sigma) ** 2), sigma
+
+
+def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
+                         dt_imu, *, eps_psd: float, eps_mass: float,
+                         eps_r: float, blend_r0: float, blend_tau: float):
+    """vMF gravity-direction factor on the rotation block.
+
+    Laplace approximation at mu0 = R^T (-g_hat):
+      grad = -kappa (mu0 x xbar)
+      Hess ~ kappa [ (xbar . mu0) I - 0.5 (xbar mu0^T + mu0 xbar^T) ]
+    (parity: imu_evidence.py:276-559).
+    Returns (L22, h22, certs).
+    """
+    dtype = accel.dtype
+    R0 = se3.so3_exp(rotvec_wb)
+    g_hat = gravity_w / (jnp.linalg.norm(gravity_w) + eps_mass)
+    mu0 = R0.T @ (-g_hat)
+
+    a_corr = accel - accel_bias
+    e_mag = transport_consistency(a_corr, gyro, dt_imu, eps_mass)
+    rel, transport_sigma = reliability_weights(e_mag, eps_mass)
+
+    w = weights * rel
+    ess_w = jnp.sum(w)
+    ess_raw = jnp.sum(weights)
+    n = jnp.linalg.norm(a_corr, axis=-1, keepdims=True)
+    x = a_corr / (n + eps_mass)
+    S = jnp.sum(w[:, None] * x, axis=0)
+    S_norm = jnp.linalg.norm(S)
+    xbar = S / (S_norm + eps_mass)
+    rbar = S_norm / (ess_w + eps_mass)
+
+    kappa, kappa_clamp = kappa_from_resultant(rbar, eps_r, blend_r0, blend_tau)
+    x_dot_mu = xbar @ mu0
+    g_rot = -kappa * jnp.cross(mu0, xbar)
+    eye = jnp.eye(3, dtype=dtype)
+    H = kappa * (x_dot_mu * eye - 0.5 * (jnp.outer(xbar, mu0) + jnp.outer(mu0, xbar)))
+    H = 0.5 * (H + H.T)
+    H_psd, proj = project_psd(H, eps_psd)
+
+    L, h = evidence_from_block(IDX_ROT, H_psd, -g_rot, dtype)
+    certs = {
+        "imu_grav.kappa": kappa,
+        "imu_grav.rbar": rbar,
+        "imu_grav.ess": ess_w,
+        "imu_grav.reliability_mean": jnp.mean(rel),
+        "imu_grav.transport_sigma": transport_sigma,
+        "imu_grav.psd_projection": proj,
+        "imu_grav.nll_proxy": -kappa * x_dot_mu,
+        "imu_grav.kappa_clamp": kappa_clamp,
+        "imu_grav.ess_ratio": ess_w / (ess_raw + eps_mass),
+    }
+    return L, h, certs
+
+
+def dependence_inflation_scale(transport_sigma, eps_mass: float):
+    """Continuous gyro<->accel dependence downscale 1/(1 + sigma^2)."""
+    s = jnp.maximum(transport_sigma, 0.0)
+    return 1.0 / (1.0 + s * s + eps_mass)
+
+
+# ---------------------------------------------------------------------------
+# Gyro rotation evidence and preintegration velocity/position factor
+# ---------------------------------------------------------------------------
+
+def gyro_rotation_evidence(rotvec_start, rotvec_end_pred, delta_rotvec_meas,
+                           sigma_g, dt_int, *, eps_psd: float, eps_lift: float,
+                           eps_mass: float):
+    """SO(3) Gaussian factor on the rotation block.
+
+    r = Log(R_end_pred^T R_start Exp(delta_theta)); Sigma = sigma_g * dt_int;
+    continuous mass scale dt/(dt+eps) (parity: imu_gyro_evidence.py:38-163).
+    """
+    dtype = rotvec_start.dtype
+    R_start = se3.so3_exp(rotvec_start)
+    R_end_imu = R_start @ se3.so3_exp(delta_rotvec_meas)
+    R_end_pred = se3.so3_exp(rotvec_end_pred)
+    r_rot = se3.so3_log(R_end_pred.T @ R_end_imu)
+
+    dt_pos = jnp.maximum(dt_int, 0.0)
+    dt_eff = dt_pos + eps_mass
+    mass_scale = dt_pos / dt_eff
+
+    Sigma_rot, proj = project_psd(sigma_g * dt_eff, eps_psd)
+    L_rot, lift = spd_inverse_lifted(Sigma_rot, eps_lift)
+    L_rot = mass_scale * L_rot
+
+    L, h = evidence_from_block(IDX_ROT, L_rot, L_rot @ r_rot, dtype)
+    certs = {
+        "imu_gyro.nll_proxy": 0.5 * r_rot @ L_rot @ r_rot,
+        "imu_gyro.residual_norm": jnp.linalg.norm(r_rot),
+        "imu_gyro.psd_projection": proj,
+        "imu_gyro.lift": lift,
+        "imu_gyro.mass_scale": mass_scale,
+    }
+    return L, h, certs
+
+
+def preintegration_factor(p_start, rotvec_start, v_start, p_end_pred, v_end_pred,
+                          delta_v_body, delta_p_body, sigma_a, dt_int, *,
+                          eps_psd: float, eps_lift: float, eps_mass: float):
+    """Velocity + position factors from preintegrated IMU.
+
+    v_imu = v_i + R_i dv;  p_imu = p_i + v_i dt + R_i dp;
+    Sigma_v = Sigma_a dt; Sigma_p = Sigma_a dt^3
+    (parity: imu_preintegration_factor.py:46-180).
+    """
+    dtype = p_start.dtype
+    R_start = se3.so3_exp(rotvec_start)
+    v_imu = v_start + R_start @ delta_v_body
+    p_imu = p_start + v_start * dt_int + R_start @ delta_p_body
+    r_vel = v_imu - v_end_pred
+    r_pos = p_imu - p_end_pred
+
+    dt_pos = jnp.maximum(dt_int, 0.0)
+    dt_eff = dt_pos + eps_mass
+    mass_scale = dt_pos / dt_eff
+
+    Sv, proj_v = project_psd(sigma_a * dt_eff, eps_psd)
+    Sp, proj_p = project_psd(sigma_a * dt_eff ** 3, eps_psd)
+    L_v, lift_v = spd_inverse_lifted(Sv, eps_lift)
+    L_p, lift_p = spd_inverse_lifted(Sp, eps_lift)
+    L_v = mass_scale * L_v
+    L_p = mass_scale * L_p
+
+    from fl_slam_tpu.config import D_Z
+    L = jnp.zeros((D_Z, D_Z), dtype=dtype)
+    h = jnp.zeros((D_Z,), dtype=dtype)
+    L = L.at[IDX_TRANS, IDX_TRANS].set(L_p)
+    h = h.at[IDX_TRANS].set(L_p @ r_pos)
+    L = L.at[IDX_VEL, IDX_VEL].set(L_v)
+    h = h.at[IDX_VEL].set(L_v @ r_vel)
+    certs = {
+        "imu_preint.nll_proxy": 0.5 * (r_vel @ L_v @ r_vel + r_pos @ L_p @ r_pos),
+        "imu_preint.lift": lift_v + lift_p,
+        "imu_preint.psd_projection": proj_v + proj_p,
+        "imu_preint.r_vel_norm": jnp.linalg.norm(r_vel),
+        "imu_preint.r_pos_norm": jnp.linalg.norm(r_pos),
+    }
+    return L, h, certs
+
+
+# ---------------------------------------------------------------------------
+# Measurement-noise IW sufficient statistics (gyro, accel)
+# ---------------------------------------------------------------------------
+
+def gyro_iw_suffstats(gyro, weights, gyro_bias, omega_avg, dt_imu, *,
+                      eps_mass: float, eps_psd: float):
+    """Gyro noise suffstats from debiased-rate residuals around omega_avg;
+    discrete variance mapped to PSD by * dt (measurement_noise_iw_jax.py:134).
+    Returns (3,3) dPsi for the gyro block."""
+    w = weights / (jnp.sum(weights) + eps_mass)
+    r = (gyro - gyro_bias) - omega_avg
+    rrT = jnp.einsum("m,mi,mj->ij", w, r, r)
+    rrT, _ = project_psd(0.5 * (rrT + rrT.T), eps_psd)
+    return rrT * jnp.maximum(dt_imu, 1e-12)
+
+
+def accel_iw_suffstats(rotvec_wb, accel, weights, accel_bias, gravity_w, dt_imu,
+                       *, eps_mass: float, eps_psd: float):
+    """Accel noise suffstats from specific-force residuals vs predicted gravity
+    reaction f_pred = -R^T g (measurement_noise_iw_jax.py:170-218)."""
+    R0 = se3.so3_exp(rotvec_wb)
+    f_pred = -(R0.T @ gravity_w)
+    w = weights / (jnp.sum(weights) + eps_mass)
+    r = (accel - accel_bias) - f_pred
+    rrT = jnp.einsum("m,mi,mj->ij", w, r, r)
+    rrT, _ = project_psd(0.5 * (rrT + rrT.T), eps_psd)
+    return rrT * jnp.maximum(dt_imu, 1e-12)
+
+
+def weighted_mean_rate(gyro, weights, gyro_bias, eps_mass: float):
+    """omega_avg: weighted mean of debiased gyro rates (angular-rate proxy)."""
+    w = weights / (jnp.sum(weights) + eps_mass)
+    return jnp.einsum("m,mi->i", w, gyro - gyro_bias)
