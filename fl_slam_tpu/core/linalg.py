@@ -193,3 +193,50 @@ def eigh3x3_smallest(A):
     """(smallest eigenvalue, its unit eigenvector) for symmetric (..., 3, 3)."""
     lam = eigvalsh3x3(A)
     return lam[..., 0], eigvec3x3(A, lam[..., 0]), lam
+
+
+# ---------------------------------------------------------------------------
+# Closed-form 3x3 inverse / solve (batched; avoids lapack on the hot path).
+# ---------------------------------------------------------------------------
+
+def det3x3(A):
+    """Determinant of (..., 3, 3)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def inv3x3(A, eps: float = 0.0):
+    """Closed-form inverse of (..., 3, 3) via the adjugate.
+
+    When ``eps > 0``, inverts ``A + eps I`` (lifted). Total function as long as
+    the lifted matrix is nonsingular (which SPD + eps guarantees).
+    """
+    if eps:
+        A = A + eps * jnp.eye(3, dtype=A.dtype)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], axis=-1),
+        jnp.stack([A10, A11, A12], axis=-1),
+        jnp.stack([A20, A21, A22], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def solve3x3(A, b, eps: float = 0.0):
+    """Solve (A + eps I) x = b for (..., 3, 3) / (..., 3)."""
+    return jnp.einsum("...ij,...j->...i", inv3x3(A, eps), b)

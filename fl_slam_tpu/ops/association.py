@@ -1,0 +1,172 @@
+"""Soft association via unbalanced Sinkhorn OT (parity: reference
+``operators/primitive_association.py:105-553``).
+
+TPU-first redesign:
+  - The reference builds a per-measurement hex-stencil candidate pool with
+    gather tables, then scores candidates. Here the cost over the FULL stitched
+    map view is computed densely — both terms expand into matmuls that run on
+    the MXU:
+      ||x_i - m_j||^2          = |x|^2 + |m|^2 - 2 x.m^T
+      ||eta_i + eta_j||^2      = k_i^2 + k_j^2 + 2 eta_i.eta_j^T
+    The view is already restricted to the active hex-disk tiles, so this is a
+    superset of the reference's per-measurement stencil (no coverage loss; the
+    stencil there is a compute-bound workaround, not a semantic constraint).
+  - Association runs in WORLD frame: callers transform the measurement batch
+    to the IMU+odom-informed linearization pose first. (The reference compares
+    body-frame measurement positions against world-frame map positions —
+    tolerable only near the origin; fixed here by design.)
+  - Sinkhorn runs in log domain (stable in float32 on TPU); the update rule is
+    algebraically identical to the reference's multiplicative form
+    (``_sinkhorn_unbalanced_fixed_k_jax``): fixed iterations, unbalanced KL
+    relaxation exponents ua = 1/(1+tau_a/eps), vb = 1/(1+tau_b/eps),
+    a = uniform over valid measurements, b = uniform 1/K over candidate slots,
+    pi used directly as transported mass (NO row normalization, spec 5.7.3).
+
+Cost (parity): C = ||dx||^2 + beta * (1 - BC_vMF) + eps * lambda_recency * dt,
+row-min subtracted; invalid candidates masked to 1e12.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.structures.atlas import MapView
+
+COST_BETA = 0.5          # direction weight in cost (AssociationConfig.beta)
+COST_INVALID = 1e12
+
+
+class AssociationResult(NamedTuple):
+    responsibilities: jnp.ndarray  # (N, K) transported mass pi
+    cand_view_idx: jnp.ndarray     # (N, K) int32 rows of the map view
+    cand_global_idx: jnp.ndarray   # (N, K) int32 flat pool indices
+    cand_valid: jnp.ndarray        # (N, K) bool
+    row_masses: jnp.ndarray        # (N,) sum_k pi
+    cost: jnp.ndarray              # (N, K) selected candidate costs
+
+
+def _log_sinh_ratio(k, eps):
+    """A_vmf(k) = log(4 pi) + log(sinh k) - log k, stable everywhere
+    (parity: _A_vmf_vec_jax)."""
+    k = jnp.maximum(k, eps)
+    log_sinh = jnp.where(
+        k > 20.0, k - jnp.log(2.0),
+        jnp.where(k >= 1e-2, jnp.log(jnp.sinh(jnp.minimum(k, 20.0))),
+                  jnp.log(k + (k ** 3) / 6.0)))
+    return jnp.log(4.0 * jnp.pi) + log_sinh - jnp.log(k)
+
+
+def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
+              scan_seq, cfg: GCConfig) -> tuple[AssociationResult, dict]:
+    """Dense-cost candidate selection + unbalanced Sinkhorn.
+
+    meas_pos (N,3) WORLD frame, meas_dir (N,3), meas_kappa (N,),
+    meas_valid (N,) bool. Returns (AssociationResult, certs).
+    """
+    dt = meas_pos.dtype
+    eps = cfg.ot_epsilon
+    K = cfg.k_assoc
+
+    # ---- dense cost over the view (MXU matmuls) ---------------------------
+    x2 = jnp.sum(meas_pos * meas_pos, axis=-1)[:, None]
+    m2 = jnp.sum(view.positions * view.positions, axis=-1)[None, :]
+    d_pos = x2 + m2 - 2.0 * meas_pos @ view.positions.T        # (N, V)
+
+    eta_m = meas_kappa[:, None] * meas_dir                      # (N, 3)
+    eta_v = view.kappas[:, None] * view.directions              # (V, 3)
+    cross = eta_m @ eta_v.T
+    km2 = meas_kappa[:, None] ** 2 + view.kappas[None, :] ** 2 + 2.0 * cross
+    km = 0.5 * jnp.sqrt(jnp.maximum(km2, 0.0))
+    eig_min = 1e-12
+    A_km = _log_sinh_ratio(jnp.maximum(km, eig_min), eig_min)
+    A_k1 = _log_sinh_ratio(jnp.maximum(meas_kappa, eig_min), eig_min)[:, None]
+    A_k2 = _log_sinh_ratio(jnp.maximum(view.kappas, eig_min), eig_min)[None, :]
+    bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
+    d_dir = jnp.maximum(0.0, 1.0 - bc)
+    dir_ok = (meas_kappa[:, None] > 0.0) & (view.kappas[None, :] > 0.0)
+    d_dir = jnp.where(dir_ok, d_dir, 0.0)
+
+    # Recency bias (continuous; parity: recency_cost in associate_primitives_ot)
+    seq = jnp.asarray(scan_seq, dtype=jnp.int32)
+    cand_dt = jnp.maximum(seq - view.last_supported, 0).astype(dt)
+    recency = (eps * cfg.recency_decay_lambda) * cand_dt[None, :]
+
+    C_full = d_pos + COST_BETA * d_dir + recency
+    C_full = jnp.where(view.valid[None, :], C_full, COST_INVALID)
+
+    # ---- top-K candidates per measurement (cost ascending) ----------------
+    k_eff = min(K, C_full.shape[1])
+    neg_cost, cand_view_idx = jax.lax.top_k(-C_full, k_eff)
+    if k_eff < K:
+        neg_cost = jnp.pad(neg_cost, ((0, 0), (0, K - k_eff)),
+                           constant_values=-COST_INVALID)
+        cand_view_idx = jnp.pad(cand_view_idx, ((0, 0), (0, K - k_eff)))
+    C = -neg_cost                                              # (N, K)
+    cand_view_idx = cand_view_idx.astype(jnp.int32)
+    cand_valid = view.valid[cand_view_idx] & (C < 0.5 * COST_INVALID)
+    cand_global_idx = view.global_idx[cand_view_idx]
+
+    C = C - jnp.min(C, axis=1, keepdims=True)                  # row-min shift
+
+    # ---- unbalanced Sinkhorn, log domain, fixed iterations -----------------
+    a_mask = meas_valid.astype(dt)
+    a = a_mask / jnp.maximum(jnp.sum(a_mask), cfg.eps_mass)
+    log_a = jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-300)), -jnp.inf)
+    log_b = jnp.full((K,), -jnp.log(float(K)), dtype=dt)
+
+    ua = 1.0 / (1.0 + cfg.ot_tau_a / eps)
+    vb = 1.0 / (1.0 + cfg.ot_tau_b / eps)
+    logKmat = -C / eps                                          # (N, K)
+    neg_cap = jnp.asarray(-1e30, dtype=dt)
+
+    def one_iter(_, fg):
+        log_u, log_v = fg
+        lse_v = jax.nn.logsumexp(logKmat + log_v[None, :], axis=1)
+        log_u = ua * (log_a - jnp.maximum(lse_v, neg_cap))
+        log_u = jnp.where(jnp.isfinite(log_a), log_u, -jnp.inf)
+        lse_u = jax.nn.logsumexp(logKmat + log_u[:, None], axis=0)
+        log_v = vb * (log_b - jnp.maximum(lse_u, neg_cap))
+        return log_u, log_v
+
+    log_u0 = jnp.zeros_like(log_a)
+    log_v0 = jnp.zeros_like(log_b)
+    log_u, log_v = jax.lax.fori_loop(0, cfg.k_sinkhorn, one_iter,
+                                     (log_u0, log_v0))
+    log_pi = log_u[:, None] + logKmat + log_v[None, :]
+    pi = jnp.where(jnp.isfinite(log_pi), jnp.exp(log_pi), 0.0)
+    pi = pi * a_mask[:, None] * cand_valid.astype(dt)
+
+    row_masses = jnp.sum(pi, axis=1)
+    col_masses = jnp.sum(pi, axis=0)
+    b = jnp.exp(log_b)
+    ess_ot = jnp.sum(row_masses) ** 2 / (jnp.sum(row_masses ** 2) + cfg.eps_mass)
+
+    certs = {
+        "ot.marginal_defect_a": jnp.linalg.norm(row_masses - a),
+        "ot.marginal_defect_b": jnp.linalg.norm(col_masses - b),
+        "ot.transport_mass_total": jnp.sum(pi),
+        "ot.sum_novel": jnp.sum(jnp.maximum(a - row_masses, 0.0)),
+        "ot.ess": ess_ot,
+        "ot.total_cost": jnp.sum(pi * C),
+    }
+    result = AssociationResult(
+        responsibilities=pi,
+        cand_view_idx=cand_view_idx,
+        cand_global_idx=cand_global_idx,
+        cand_valid=cand_valid,
+        row_masses=row_masses,
+        cost=C,
+    )
+    return result, certs
+
+
+def novelty_mass(result: AssociationResult, meas_valid, eps_mass: float):
+    """Novelty per measurement: max(a - transported row mass, 0)
+    (parity: pipeline.py:1330-1337)."""
+    a_mask = meas_valid.astype(result.row_masses.dtype)
+    a = a_mask / jnp.maximum(jnp.sum(a_mask), eps_mass)
+    return jnp.maximum(a - result.row_masses, 0.0)

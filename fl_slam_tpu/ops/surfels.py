@@ -1,0 +1,135 @@
+"""LiDAR surfel extraction via MA-Hex-3D binning (parity: reference
+``operators/lidar_surfel_extraction.py:84-431``).
+
+TPU-first redesign: the reference gathers up to ``max_occupants`` point
+indices per cell and vmaps a per-cell fit. Here the per-cell weighted moments
+(sum w, sum w*p, sum w*p p^T) are accumulated with ``segment_sum`` over ALL
+points — exact for any occupancy (the reference's occupant cap is an
+approximation it logs), one pass, no gather tables. The per-cell plane fit is
+closed-form (analytic symmetric-3x3 eigensolver), so the whole operator is
+elementwise + segment_sum: no LAPACK, no data-dependent shapes.
+
+Per cell (math identical to the reference ``_fit_one_cell``):
+  centroid  = sum(w p)/sum(w)
+  cov       = sum(w p p^T)/sum(w) - centroid centroid^T  (+ eig_min I)
+  normal    = eigenvector of smallest eigenvalue, sign-fixed to +z
+  Sigma     = cov + sensor_var I     (in-plane spread + perpendicular residual)
+  Lambda    = Sigma^{-1} + (nu/psi) I   (Wishart regularization in precision)
+  Sigma_reg = Lambda^{-1};  theta = Lambda_reg @ centroid
+  kappa     = kappa_scale / sqrt(max(lambda_min, eig_min)), clipped
+  valid     = count >= min_points and mass > 0
+
+Cell selection into the fixed ``n_surfel`` budget is deterministic:
+valid-first, then ascending cell id (reference ordering).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.core.hexgrid import bin_cell_ids
+from fl_slam_tpu.core.linalg import eigvalsh3x3, eigvec3x3, inv3x3
+
+# Reference SurfelExtractionConfig defaults (lidar_surfel_extraction.py:44-62).
+VOXEL_SIZE_M = 0.1
+MIN_POINTS_PER_CELL = 3
+SENSOR_VAR = 1e-6
+WISHART_NU = 5.0
+WISHART_PSI = 0.1
+KAPPA_SCALE = 10.0
+KAPPA_MIN = 0.1
+KAPPA_MAX = 100.0
+EIG_MIN = 1e-12
+
+
+def extract_surfels(points, weights, cfg: GCConfig, *,
+                    voxel_size: float = VOXEL_SIZE_M):
+    """points (N, 3), weights (N,) -> fixed-size surfel arrays + certs.
+
+    Returns dict with Lambdas (S,3,3), thetas (S,3), etas (S,B,3),
+    weights (S,), valid (S,), positions (S,3), normals (S,3), kappas (S,),
+    and a certs dict. S = cfg.n_surfel.
+    """
+    dt = cfg.jdtype
+    points = points.astype(dt)
+    weights = weights.astype(dt)
+    n_cells = cfg.surfel_cells_1 * cfg.surfel_cells_2 * cfg.surfel_cells_z
+
+    # Mask non-finite sentinels; center for hash stability (translation does
+    # not affect covariances; parity: _extract_surfels_mahex3d_jax_jit).
+    finite = jnp.all(jnp.abs(points) < 0.1 * cfg.nonfinite_sentinel, axis=1)
+    w_eff = weights * finite.astype(dt)
+    w_tot = jnp.sum(w_eff) + EIG_MIN
+    center = jnp.sum(points * w_eff[:, None], axis=0) / w_tot
+    pc = points - center
+
+    cell = bin_cell_ids(pc, voxel_size, cfg.surfel_cells_1, cfg.surfel_cells_2,
+                        cfg.surfel_cells_z)
+
+    seg = lambda vals: jax.ops.segment_sum(vals, cell, num_segments=n_cells)
+    cnt = seg(finite.astype(jnp.int32))
+    sw = seg(w_eff)                                          # (C,)
+    swp = seg(w_eff[:, None] * pc)                           # (C, 3)
+    swpp = seg(w_eff[:, None, None] * pc[:, None, :] * pc[:, :, None])  # (C,3,3)
+
+    swn = jnp.maximum(sw, EIG_MIN)
+    centroid = swp / swn[:, None]
+    cov = swpp / swn[:, None, None] - centroid[:, None, :] * centroid[:, :, None]
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2)) + EIG_MIN * jnp.eye(3, dtype=dt)
+
+    lam = eigvalsh3x3(cov)                                   # ascending
+    normal = eigvec3x3(cov, lam[:, 0])
+    normal = normal * jnp.where(normal[:, 2:3] < 0.0, -1.0, 1.0)
+
+    Sigma = cov + SENSOR_VAR * jnp.eye(3, dtype=dt)
+    Lambda = inv3x3(Sigma, EIG_MIN)
+    Lambda = 0.5 * (Lambda + jnp.swapaxes(Lambda, -1, -2))
+    Lambda_reg = Lambda + (WISHART_NU / WISHART_PSI) * jnp.eye(3, dtype=dt)
+
+    sigma_perp_sq = jnp.maximum(lam[:, 0], EIG_MIN)
+    kappa = jnp.clip(KAPPA_SCALE / jnp.sqrt(sigma_perp_sq), KAPPA_MIN, KAPPA_MAX)
+    valid_cell = (cnt >= MIN_POINTS_PER_CELL) & (sw > 0.0)
+
+    # Deterministic budget selection: valid cells first, ascending cell id.
+    cell_ids = jnp.arange(n_cells, dtype=jnp.int32)
+    key = cell_ids + (1 - valid_cell.astype(jnp.int32)) * n_cells
+    S = cfg.n_surfel
+    order = jnp.argsort(key)[:S]
+    pad = S - min(S, n_cells)
+    if pad > 0:
+        order = jnp.pad(order, (0, pad))
+
+    pos_sel = centroid[order] + center[None, :]
+    Lam_sel = Lambda_reg[order]
+    nrm_sel = normal[order]
+    kap_sel = kappa[order]
+    w_sel = sw[order]
+    val_sel = valid_cell[order]
+    if pad > 0:
+        row = jnp.arange(S) < (S - pad)
+        val_sel = val_sel & row
+
+    theta_sel = jnp.einsum("sij,sj->si", Lam_sel, pos_sel)
+    etas = jnp.zeros((S, cfg.vmf_n_lobes, 3), dtype=dt)
+    etas = etas.at[:, 0, :].set(kap_sel[:, None] * nrm_sel)
+    w_sel = jnp.where(val_sel, w_sel, 0.0)
+
+    certs = {
+        "surfel.n_valid": jnp.sum(val_sel.astype(dt)),
+        "surfel.mass_total": jnp.sum(w_sel),
+        "surfel.point_mass_in": w_tot,
+        "surfel.budget_overflow": jnp.maximum(
+            jnp.sum(valid_cell.astype(dt)) - float(S), 0.0),
+    }
+    return {
+        "Lambdas": Lam_sel,
+        "thetas": theta_sel,
+        "etas": etas,
+        "weights": w_sel,
+        "valid": val_sel,
+        "positions": pos_sel,
+        "normals": nrm_sel,
+        "kappas": kap_sel,
+    }, certs

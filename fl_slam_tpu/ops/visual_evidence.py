@@ -1,0 +1,91 @@
+"""Pose evidence from OT correspondences (parity: reference
+``operators/visual_pose_evidence.py:74-455``).
+
+Translation: weighted least squares over soft correspondences,
+  L_t = sum_{i,k} pi_ik Lambda_i,   h_t = sum_{i,k} pi_ik Lambda_i (m_k - x_i),
+with x_i the measurement means ALREADY transformed to world at the
+linearization pose z_lin (IMU+odom-informed), Lambda_i the world-frame
+precisions. (The reference keeps Lambda in body frame — an approximation; here
+the batch is world-transformed first, so the same formulas are exact in one
+frame.)
+
+Rotation: vMF scatter S = sum pi sqrt(kappa_i kappa_k) m_dir_k x_dir_i^T over
+world-frame directions; SVD-projected to SO(3) gives the residual rotation
+R_delta (world tangent), L_rot = diag(singular values), h_rot = L_rot Log(R_delta).
+
+Chart embedding: the pipeline chart GC-RIGHT-01 is right-multiplicative
+(X = X_lin exp(dxi)), so world-tangent evidence is conjugated into the right
+chart: L_chart = R_lin^T L_world R_lin, h_chart = R_lin^T h_world. (The
+reference adds world-tangent terms directly into the right-chart blocks; the
+conjugation fixes that small-angle frame mismatch at zero cost.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fl_slam_tpu.config import D_Z, IDX_ROT, IDX_TRANS
+from fl_slam_tpu.core import se3
+from fl_slam_tpu.ops.association import AssociationResult
+from fl_slam_tpu.structures.atlas import MapView
+
+
+def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
+                         meas_valid, assoc: AssociationResult, view: MapView,
+                         z_lin_pose, cfg):
+    """Returns (L (22,22), h (22,), certs). All inputs world-frame at z_lin."""
+    dt = meas_pos_w.dtype
+    pi = assoc.responsibilities * meas_valid[:, None].astype(dt)
+    idx = assoc.cand_view_idx                                   # (N, K)
+
+    map_pos = view.positions[idx]                               # (N, K, 3)
+    map_dir = view.directions[idx]
+    map_kap = view.kappas[idx]
+
+    # ---- translation WLS ----------------------------------------------------
+    pi_row = jnp.sum(pi, axis=1)                                # (N,)
+    L_t_w = jnp.einsum("n,nij->ij", pi_row, meas_prec_w)
+    target = map_pos - meas_pos_w[:, None, :]                   # (N, K, 3)
+    tgt_i = jnp.einsum("nk,nkj->nj", pi, target)
+    h_t_w = jnp.einsum("nij,nj->i", meas_prec_w, tgt_i)
+    res_cost = jnp.einsum("nij,nkj,nki->nk", meas_prec_w, target, target)
+    trans_cost = jnp.sum(pi * res_cost)
+
+    # ---- rotation vMF scatter ----------------------------------------------
+    kw = jnp.sqrt(meas_kappa[:, None] * map_kap + 1e-12)
+    w_all = pi * kw
+    S = jnp.einsum("nk,nki,nj->ij", w_all, map_dir, meas_dir_w)
+    dots = jnp.einsum("ni,nki->nk", meas_dir_w, map_dir)
+    rot_cost = jnp.sum(w_all * (1.0 - dots))
+
+    U, s, Vt = jnp.linalg.svd(S)
+    L_rot_w = jnp.diag(s + cfg.eps_lift)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype=dt)) + \
+        jnp.diag(jnp.asarray([0.0, 0.0, 1.0], dtype=dt)) * det
+    R_delta = U @ D @ Vt                                        # world tangent
+    rotvec_delta = se3.so3_log(R_delta)
+    h_rot_w = L_rot_w @ rotvec_delta
+
+    # ---- conjugate world tangent -> right chart at z_lin --------------------
+    R_lin = se3.so3_exp(z_lin_pose[3:6])
+    L_t = R_lin.T @ L_t_w @ R_lin
+    h_t = R_lin.T @ h_t_w
+    L_r = R_lin.T @ L_rot_w @ R_lin
+    h_r = R_lin.T @ h_rot_w
+
+    L = cfg.eps_lift * jnp.eye(D_Z, dtype=dt)
+    h = jnp.zeros((D_Z,), dtype=dt)
+    L = L.at[IDX_TRANS, IDX_TRANS].set(L_t)
+    h = h.at[IDX_TRANS].set(h_t)
+    L = L.at[IDX_ROT, IDX_ROT].set(L_r)
+    h = h.at[IDX_ROT].set(h_r)
+
+    certs = {
+        "visual.trans_cost": trans_cost,
+        "visual.rot_cost": rot_cost,
+        "visual.transported_mass": jnp.sum(pi),
+        "visual.rot_residual_norm": jnp.linalg.norm(rotvec_delta),
+        "visual.scatter_s_min": s[-1],
+    }
+    return L, h, certs

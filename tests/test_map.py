@@ -1,0 +1,377 @@
+"""Invariant tests for the atlas map, surfel extraction, OT association and
+visual pose evidence (the map path of the 14-step pipeline)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.core import se3
+from fl_slam_tpu.core.hexgrid import (
+    stencil_offsets_3d, stencil_tile_keys, tile_keys_from_xyz,
+    xyz_to_tile_axial,
+)
+from fl_slam_tpu.ops.association import associate, novelty_mass
+from fl_slam_tpu.ops.surfels import extract_surfels
+from fl_slam_tpu.ops.visual_evidence import visual_pose_evidence
+from fl_slam_tpu.structures import atlas as atlas_mod
+from fl_slam_tpu.structures import measurement_batch as mb
+
+CFG = GCConfig.small()
+
+
+def make_plane_points(rng, n=200, normal=(0.0, 0.0, 1.0), center=(0, 0, 0),
+                      extent=0.3, noise=1e-3):
+    normal = np.asarray(normal, dtype=np.float64)
+    normal = normal / np.linalg.norm(normal)
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(normal[0]) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    e1 = np.cross(normal, a)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(normal, e1)
+    uv = rng.uniform(-extent, extent, size=(n, 2))
+    pts = (np.asarray(center)[None, :] + uv[:, :1] * e1[None, :]
+           + uv[:, 1:2] * e2[None, :]
+           + rng.normal(0, noise, size=(n, 1)) * normal[None, :])
+    return pts
+
+
+def surfel_batch_from_points(points, cfg=CFG):
+    w = jnp.ones((points.shape[0],), dtype=cfg.jdtype)
+    surf, certs = extract_surfels(jnp.asarray(points), w, cfg)
+    batch = mb.empty_batch(cfg)
+    batch = mb.with_lidar_surfels(batch, cfg, Lambdas=surf["Lambdas"],
+                                  thetas=surf["thetas"], etas=surf["etas"],
+                                  weights=surf["weights"], valid=surf["valid"])
+    return batch, surf, certs
+
+
+class TestSurfels:
+    def test_plane_fit_recovers_normal_and_centroid(self, rng):
+        pts = make_plane_points(rng, n=400, normal=(0, 0, 1), center=(0.1, 0.05, 0.2))
+        batch, surf, _ = surfel_batch_from_points(pts)
+        valid = np.asarray(surf["valid"])
+        assert valid.any()
+        normals = np.asarray(surf["normals"])[valid]
+        # Cells lie on one plane: normals ~ +z (boundary cells with few,
+        # near-collinear points may be off; require the bulk to agree).
+        frac_good = np.mean(np.abs(normals[:, 2]) > 0.99)
+        assert frac_good > 0.9
+        pos = np.asarray(surf["positions"])[valid]
+        assert np.all(np.abs(pos[:, 2] - 0.2) < 0.05)
+
+    def test_fixed_shapes_and_masked_invalids(self, rng):
+        pts = make_plane_points(rng, n=50)
+        surf, certs = extract_surfels(jnp.asarray(pts),
+                                      jnp.ones((50,), dtype=CFG.jdtype), CFG)
+        assert surf["Lambdas"].shape == (CFG.n_surfel, 3, 3)
+        w = np.asarray(surf["weights"])
+        v = np.asarray(surf["valid"])
+        assert np.all(w[~v] == 0.0)
+
+    def test_sentinel_points_excluded(self, rng):
+        pts = make_plane_points(rng, n=100)
+        pts_bad = np.concatenate([pts, np.full((20, 3), 1e6)], axis=0)
+        w = jnp.ones((120,), dtype=CFG.jdtype)
+        surf, certs = extract_surfels(jnp.asarray(pts_bad), w, CFG)
+        assert np.isfinite(np.asarray(surf["positions"])[np.asarray(surf["valid"])]).all()
+        # sentinel mass excluded
+        assert float(certs["surfel.point_mass_in"]) <= 100.0 + 1e-6
+
+    def test_theta_consistent_with_position(self, rng):
+        pts = make_plane_points(rng, n=300)
+        surf, _ = extract_surfels(jnp.asarray(pts),
+                                  jnp.ones((300,), dtype=CFG.jdtype), CFG)
+        v = np.asarray(surf["valid"])
+        Lam = np.asarray(surf["Lambdas"])[v]
+        th = np.asarray(surf["thetas"])[v]
+        pos = np.asarray(surf["positions"])[v]
+        mu = np.linalg.solve(Lam, th[..., None])[..., 0]
+        assert np.allclose(mu, pos, atol=1e-6)
+
+
+class TestAtlas:
+    def _active(self, atlas, center=(0.0, 0.0, 0.0), seq=0):
+        c = jnp.asarray(center, dtype=CFG.jdtype)
+        q, r, z = xyz_to_tile_axial(c, CFG.h_tile)
+        offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
+        keys = stencil_tile_keys(q, r, z, offs)
+        return atlas_mod.activate_tiles(atlas, keys, seq) + (keys,)
+
+    def test_activate_allocates_and_finds(self):
+        atlas = atlas_mod.empty_atlas(CFG)
+        atlas, slots, certs, keys = self._active(atlas)
+        assert int(certs["atlas.tiles_allocated"]) == CFG.n_active_tiles
+        assert len(np.unique(np.asarray(slots))) == CFG.n_active_tiles
+        # Second activation finds the same slots.
+        atlas2, slots2, certs2, _ = self._active(atlas, seq=1)
+        np.testing.assert_array_equal(np.asarray(slots), np.asarray(slots2))
+        assert int(certs2["atlas.tiles_allocated"]) == 0
+
+    def test_insert_then_view_roundtrip(self, rng):
+        atlas = atlas_mod.empty_atlas(CFG)
+        atlas, slots, _, keys = self._active(atlas)
+        pts = make_plane_points(rng, n=300, center=(0.2, 0.1, 0.0))
+        batch, surf, _ = surfel_batch_from_points(pts)
+        novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        meas_keys = tile_keys_from_xyz(mu, CFG.h_tile)
+        atlas, certs = atlas_mod.insert(atlas, batch, novelty, meas_keys,
+                                        keys, slots, 0, CFG)
+        n_valid_meas = int(jnp.sum(batch.valid))
+        n_inserted = int(certs["map.inserted_count"])
+        assert n_inserted > 0
+        assert n_inserted <= min(n_valid_meas, CFG.k_insert * CFG.n_active_tiles)
+        assert int(atlas_mod.total_count(atlas)) == n_inserted
+        assert int(atlas.next_prim_id) == n_inserted
+
+        view = atlas_mod.extract_view(atlas, slots, CFG)
+        vv = np.asarray(view.valid)
+        assert vv.sum() == n_inserted
+        # View positions of valid rows match inserted measurement means.
+        vp = np.asarray(view.positions)[vv]
+        mu_np = np.asarray(mu)[np.asarray(batch.valid)]
+        d = np.linalg.norm(vp[:, None, :] - mu_np[None, :, :], axis=-1).min(axis=1)
+        assert np.all(d < 1e-5)
+
+    def test_fuse_adds_information(self, rng):
+        atlas = atlas_mod.empty_atlas(CFG)
+        atlas, slots, _, keys = self._active(atlas)
+        pts = make_plane_points(rng, n=300, center=(0.2, 0.1, 0.0))
+        batch, _, _ = surfel_batch_from_points(pts)
+        novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        meas_keys = tile_keys_from_xyz(mu, CFG.h_tile)
+        atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys, keys,
+                                    slots, 0, CFG)
+        w_before = float(jnp.sum(atlas.weights))
+        tr_before = float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1)))
+
+        view = atlas_mod.extract_view(atlas, slots, CFG)
+        mdir = mb.mean_directions(batch, CFG.eps_mass)
+        mkap = mb.kappas(batch)
+        assoc, _ = associate(mu, mdir, mkap, batch.valid, view, 1, CFG)
+        atlas, fcerts = atlas_mod.fuse(atlas, batch, assoc.responsibilities,
+                                       assoc.cand_global_idx, assoc.cand_valid,
+                                       1, CFG)
+        assert float(jnp.sum(atlas.weights)) > w_before
+        assert float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1))) > tr_before
+        assert float(fcerts["map.fused_mass"]) > 0.0
+        # Supported primitives got stamped with the new scan seq.
+        assert int(jnp.max(atlas.last_supported)) == 1
+
+    def test_forget_cull_recency(self, rng):
+        atlas = atlas_mod.empty_atlas(CFG)
+        atlas, slots, _, keys = self._active(atlas)
+        pts = make_plane_points(rng, n=300)
+        batch, _, _ = surfel_batch_from_points(pts)
+        novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        meas_keys = tile_keys_from_xyz(mu, CFG.h_tile)
+        atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys, keys,
+                                    slots, 0, CFG)
+        w0 = float(jnp.sum(atlas.weights))
+        atlas = atlas_mod.forget(atlas, slots, CFG)
+        assert float(jnp.sum(atlas.weights)) == pytest.approx(
+            w0 * CFG.forgetting_factor, rel=1e-6)
+
+        # Recency inflate at a much later scan downscales precision.
+        tr0 = float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1)))
+        atlas, rcerts = atlas_mod.recency_inflate(atlas, slots, 200, CFG)
+        tr1 = float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1)))
+        assert tr1 < tr0
+        assert float(rcerts["map.staleness_strength"]) > 0.0
+
+        # Cull with a huge threshold removes everything.
+        big = CFG.replace(cull_weight_threshold=1e9)
+        atlas, ccerts = atlas_mod.cull(atlas, slots, big)
+        assert int(atlas_mod.total_count(atlas)) == 0
+        assert float(ccerts["map.culled_mass"]) > 0.0
+
+    def test_merge_reduce_merges_duplicates(self, rng):
+        atlas = atlas_mod.empty_atlas(CFG)
+        atlas, slots, _, keys = self._active(atlas)
+        # Two nearly identical primitives in the center tile.
+        batch = mb.empty_batch(CFG)
+        Lam = jnp.stack([jnp.eye(3, dtype=CFG.jdtype) * 100.0] * 2)
+        pos = jnp.asarray([[0.1, 0.0, 0.0], [0.1001, 0.0, 0.0]], dtype=CFG.jdtype)
+        th = jnp.einsum("nij,nj->ni", Lam, pos)
+        etas = jnp.zeros((2, CFG.vmf_n_lobes, 3), dtype=CFG.jdtype)
+        etas = etas.at[:, 0, 2].set(5.0)
+        pad = CFG.n_surfel - 2
+        batch = mb.with_lidar_surfels(
+            batch, CFG,
+            Lambdas=jnp.concatenate([Lam, jnp.zeros((pad, 3, 3), CFG.jdtype)]),
+            thetas=jnp.concatenate([th, jnp.zeros((pad, 3), CFG.jdtype)]),
+            etas=jnp.concatenate([etas, jnp.zeros((pad, CFG.vmf_n_lobes, 3), CFG.jdtype)]),
+            weights=jnp.concatenate([jnp.ones((2,), CFG.jdtype),
+                                     jnp.zeros((pad,), CFG.jdtype)]),
+            valid=jnp.concatenate([jnp.ones((2,), bool), jnp.zeros((pad,), bool)]))
+        novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        meas_keys = tile_keys_from_xyz(mu, CFG.h_tile)
+        atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys, keys,
+                                    slots, 0, CFG)
+        assert int(atlas_mod.total_count(atlas)) == 2
+        w_total = float(jnp.sum(atlas.weights))
+        atlas, mcerts = atlas_mod.merge_reduce(atlas, slots, CFG)
+        assert int(mcerts["map.merged_pairs"]) == 1
+        assert int(atlas_mod.total_count(atlas)) == 1
+        # Mass conserved by moment-matched merge.
+        assert float(jnp.sum(atlas.weights)) == pytest.approx(w_total, rel=1e-6)
+
+    def test_eviction_when_pool_full(self):
+        cfg = CFG.replace(n_tiles_pool=8)  # 7 active + 1 spare
+        atlas = atlas_mod.empty_atlas(cfg)
+        c = jnp.zeros((3,), dtype=cfg.jdtype)
+        q, r, z = xyz_to_tile_axial(c, cfg.h_tile)
+        offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
+        keys0 = stencil_tile_keys(q, r, z, offs)
+        atlas, slots0, _ = atlas_mod.activate_tiles(atlas, keys0, 0)
+        # Move far away: all-new keys force eviction of the oldest tiles.
+        c2 = jnp.asarray([100.0, 100.0, 0.0], dtype=cfg.jdtype)
+        q2, r2, z2 = xyz_to_tile_axial(c2, cfg.h_tile)
+        keys1 = stencil_tile_keys(q2, r2, z2, offs)
+        atlas, slots1, certs = atlas_mod.activate_tiles(atlas, keys1, 5)
+        assert int(certs["atlas.tiles_allocated"]) == cfg.n_active_tiles
+        assert int(certs["atlas.tiles_evicted"]) >= cfg.n_active_tiles - 1
+        assert len(np.unique(np.asarray(slots1))) == cfg.n_active_tiles
+
+
+class TestAssociation:
+    def _map_with_points(self, rng, center=(0.2, 0.1, 0.0)):
+        atlas = atlas_mod.empty_atlas(CFG)
+        c = jnp.asarray(center, dtype=CFG.jdtype)
+        q, r, z = xyz_to_tile_axial(c, CFG.h_tile)
+        offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
+        keys = stencil_tile_keys(q, r, z, offs)
+        atlas, slots, _ = atlas_mod.activate_tiles(atlas, keys, 0)
+        pts = make_plane_points(rng, n=300, center=center)
+        batch, _, _ = surfel_batch_from_points(pts)
+        novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        meas_keys = tile_keys_from_xyz(mu, CFG.h_tile)
+        atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys, keys,
+                                    slots, 0, CFG)
+        return atlas, slots, keys, batch, pts
+
+    def test_self_association_prefers_self(self, rng):
+        atlas, slots, keys, batch, pts = self._map_with_points(rng)
+        view = atlas_mod.extract_view(atlas, slots, CFG)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        mdir = mb.mean_directions(batch, CFG.eps_mass)
+        mkap = mb.kappas(batch)
+        assoc, certs = associate(mu, mdir, mkap, batch.valid, view, 1, CFG)
+        v = np.asarray(batch.valid)
+        pi = np.asarray(assoc.responsibilities)
+        # Valid rows transport positive mass, best candidate is the nearest one.
+        assert np.all(pi[v].sum(axis=1) > 0)
+        best = np.asarray(assoc.cand_view_idx)[v, np.argmax(pi[v], axis=1)]
+        best_pos = np.asarray(view.positions)[best]
+        mu_np = np.asarray(mu)[v]
+        assert np.all(np.linalg.norm(best_pos - mu_np, axis=1) < 0.2)
+        # Invalid rows transport nothing.
+        assert np.all(pi[~v].sum(axis=1) == 0)
+        # Novelty for well-explained measurements is much lower than the
+        # uniform row budget.
+        nov = np.asarray(novelty_mass(assoc, batch.valid, CFG.eps_mass))
+        assert nov[v].mean() < 1.0 / max(v.sum(), 1)
+
+    def test_empty_map_yields_full_novelty(self, rng):
+        atlas = atlas_mod.empty_atlas(CFG)
+        c = jnp.zeros((3,), dtype=CFG.jdtype)
+        q, r, z = xyz_to_tile_axial(c, CFG.h_tile)
+        offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
+        keys = stencil_tile_keys(q, r, z, offs)
+        atlas, slots, _ = atlas_mod.activate_tiles(atlas, keys, 0)
+        view = atlas_mod.extract_view(atlas, slots, CFG)
+        pts = make_plane_points(rng, n=200)
+        batch, _, _ = surfel_batch_from_points(pts)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        assoc, _ = associate(mu, mb.mean_directions(batch, CFG.eps_mass),
+                             mb.kappas(batch), batch.valid, view, 0, CFG)
+        assert float(jnp.sum(assoc.responsibilities)) == 0.0
+        nov = novelty_mass(assoc, batch.valid, CFG.eps_mass)
+        a = np.asarray(batch.valid, dtype=float)
+        a = a / a.sum()
+        np.testing.assert_allclose(np.asarray(nov), a, atol=1e-12)
+
+    def _three_plane_map(self, rng):
+        """Map with three plane orientations: translation fully observable."""
+        atlas = atlas_mod.empty_atlas(CFG)
+        c = jnp.zeros((3,), dtype=CFG.jdtype)
+        q, r, z = xyz_to_tile_axial(c, CFG.h_tile)
+        offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
+        keys = stencil_tile_keys(q, r, z, offs)
+        atlas, slots, _ = atlas_mod.activate_tiles(atlas, keys, 0)
+        p1 = make_plane_points(rng, n=150, normal=(0, 0, 1), center=(0.3, 0, 0))
+        p2 = make_plane_points(rng, n=150, normal=(0, 1, 0.2), center=(0, 0.3, 0.2))
+        p3 = make_plane_points(rng, n=150, normal=(1, 0, 0.3), center=(-0.3, 0.1, 0.4))
+        pts = np.concatenate([p1, p2, p3])
+        batch, _, _ = surfel_batch_from_points(pts)
+        novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        meas_keys = tile_keys_from_xyz(mu, CFG.h_tile)
+        atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys, keys,
+                                    slots, 0, CFG)
+        return atlas, slots, batch
+
+    def test_visual_evidence_pulls_toward_map(self, rng):
+        """Offset the scan; evidence mean increment should point back."""
+        atlas, slots, batch = self._three_plane_map(rng)
+        view = atlas_mod.extract_view(atlas, slots, CFG)
+
+        offset = jnp.asarray([0.05, -0.03, 0.02], dtype=CFG.jdtype)
+        z_lin = jnp.zeros((6,), dtype=CFG.jdtype)
+        mu = mb.mean_positions(batch, CFG.eps_lift) + offset
+        mdir = mb.mean_directions(batch, CFG.eps_mass)
+        mkap = mb.kappas(batch)
+        assoc, _ = associate(mu, mdir, mkap, batch.valid, view, 1, CFG)
+        Lam_w = batch.Lambdas
+        L, h, certs = visual_pose_evidence(mu, Lam_w, mdir, mkap, batch.valid,
+                                           assoc, view, z_lin, CFG)
+        # Solve the pose increment suggested by evidence alone.
+        dz = np.linalg.solve(np.asarray(L) + 1e-9 * np.eye(22), np.asarray(h))
+        # Translation increment should cancel the offset.
+        np.testing.assert_allclose(dz[:3], -np.asarray(offset), atol=0.02)
+        assert np.linalg.norm(dz[3:6]) < 0.05
+
+    def test_visual_evidence_rotation(self, rng):
+        atlas, slots, batch = self._three_plane_map(rng)
+        view = atlas_mod.extract_view(atlas, slots, CFG)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+
+        # Rotate the scan by a small yaw; directions and positions rotate.
+        rv = jnp.asarray([0.0, 0.0, 0.04], dtype=CFG.jdtype)
+        R = se3.so3_exp(rv)
+        mu_rot = mu @ R.T
+        mdir = mb.mean_directions(batch, CFG.eps_mass) @ R.T
+        mkap = mb.kappas(batch)
+        z_lin = jnp.zeros((6,), dtype=CFG.jdtype)
+        assoc, _ = associate(mu_rot, mdir, mkap, batch.valid, view, 1, CFG)
+        Lam_w = jnp.einsum("ij,njk,lk->nil", R, batch.Lambdas, R)
+        L, h, _ = visual_pose_evidence(mu_rot, Lam_w, mdir, mkap, batch.valid,
+                                       assoc, view, z_lin, CFG)
+        dz = np.linalg.solve(np.asarray(L) + 1e-9 * np.eye(22), np.asarray(h))
+        # Rotation increment should cancel the applied yaw.
+        np.testing.assert_allclose(dz[5], -0.04, atol=0.015)
+
+    def test_association_jits_with_fixed_shapes(self, rng):
+        atlas, slots, keys, batch, _ = self._map_with_points(rng)
+        view = atlas_mod.extract_view(atlas, slots, CFG)
+        mu = mb.mean_positions(batch, CFG.eps_lift)
+        mdir = mb.mean_directions(batch, CFG.eps_mass)
+        mkap = mb.kappas(batch)
+
+        @jax.jit
+        def run(mu, mdir, mkap, valid, view):
+            assoc, _ = associate(mu, mdir, mkap, valid, view, 1, CFG)
+            return assoc.responsibilities
+
+        pi1 = run(mu, mdir, mkap, batch.valid, view)
+        assoc2, _ = associate(mu, mdir, mkap, batch.valid, view, 1, CFG)
+        np.testing.assert_allclose(np.asarray(pi1),
+                                   np.asarray(assoc2.responsibilities),
+                                   rtol=1e-6, atol=1e-9)
