@@ -1,0 +1,82 @@
+"""Headline benchmark: scan-pipeline throughput as a multiple of real time.
+
+Runs the full production-budget 14-step scan update (8192 points, 512 IMU,
+1024 surfels, 50k-slot tiles, Sinkhorn 50, full map maintenance) as a single
+jitted step on whatever accelerator is present and reports scans/second
+divided by the 10 Hz sensor rate.
+
+Baseline: the reference processes a scan in ~1-2 s on a desktop GPU
+(backend_node.py:1141, bag replayed at rate 0.5 to keep up) = 0.05-0.1x real
+time; we use the favorable 0.1x as the comparison denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+SCAN_HZ = 10.0
+BASELINE_XRT = 0.1  # reference: ~1 s/scan at 10 Hz lidar (favorable reading)
+
+
+def main():
+    import jax
+
+    from fl_slam_tpu.config import GCConfig
+    from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
+    from fl_slam_tpu.pipeline import init_state, make_step
+
+    on_accel = jax.default_backend() not in ("cpu",)
+    cfg = GCConfig.tpu() if on_accel else GCConfig.small()
+
+    n_scans = 20
+    ds = simulate(cfg, n_scans=n_scans, seed=0)
+    scans = to_scan_inputs(ds, cfg)
+    state = init_state(cfg, t0=float(ds.gt_stamps[0]) - 0.1)
+
+    step = make_step(cfg)
+
+    # Warmup / compile (donated state: thread it).
+    scan0 = jax.tree.map(lambda a: a[0], scans)
+    t0 = time.perf_counter()
+    state, out = step(state, scan0)
+    jax.block_until_ready(out.pose)
+    compile_s = time.perf_counter() - t0
+
+    # Steady state.
+    t0 = time.perf_counter()
+    n_timed = n_scans - 1
+    for i in range(1, n_scans):
+        scan_i = jax.tree.map(lambda a: a[i], scans)
+        state, out = step(state, scan_i)
+    jax.block_until_ready(out.pose)
+    elapsed = time.perf_counter() - t0
+
+    scans_per_sec = n_timed / elapsed
+    xrt = scans_per_sec / SCAN_HZ
+    print(json.dumps({
+        "metric": "scan_pipeline_throughput",
+        "value": round(xrt, 3),
+        "unit": "x_realtime_10hz",
+        "vs_baseline": round(xrt / BASELINE_XRT, 3),
+        "extra": {
+            "scans_per_sec": round(scans_per_sec, 3),
+            "backend": jax.default_backend(),
+            "config": "tpu" if on_accel else "small_cpu",
+            "compile_s": round(compile_s, 2),
+            "per_scan_ms": round(1000.0 * elapsed / n_timed, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

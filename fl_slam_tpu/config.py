@@ -95,6 +95,7 @@ class GCConfig:
     imu_accel_noise_density: float = 9.5e-5   # m^2/s^3 (PSD)
     lidar_sigma_meas: float = 0.01            # m^2 (discrete)
     imu_accel_scale: float = 1.0              # input already m/s^2 for Kimera/synth
+    accel_bias_sigma: float = 0.2             # m/s^2; gravity-magnitude ba factor
 
     # ---- process diffusion priors (constants.py:232-249) --------------------
     q_trans: float = 1e-4
@@ -151,6 +152,34 @@ class GCConfig:
     power_beta_exc_c: float = 50.0
     power_beta_z_c: float = 1.0
 
+    # ---- scan-to-map evidence tempering (this build; not in the reference) ---
+    # The OT/WLS visual evidence is a product of per-surfel precisions and is
+    # overconfident by construction (mm-level sigma): untempered it couples
+    # the pose rigidly to the map and the map->insert->associate loop echoes
+    # estimate bias (observable as a z random walk). Tempering keeps it
+    # informative but subordinate to the kinematic evidence.
+    visual_evidence_weight: float = 0.2
+
+    # Relative-IMU factor weight (gyro rotation + preint velocity/position
+    # factors). With the mechanized prediction these factors re-state the
+    # prediction's own information at ~1e6-1e7 precision WITHOUT the pose-vel
+    # cross terms a correct joint factor would carry — pure double counting
+    # that crushes every absolute evidence source (the reference runs them
+    # against a static-mean prediction and pays with its documented meter-
+    # level lag modes). Kept as operators; off in the default pipeline.
+    imu_factor_weight: float = 0.0
+
+    # ---- per-group evidence weights (ablation knobs, reference pattern of
+    # imu_gravity_scale/deskew_rotation_only; all 1.0 = full pipeline) -------
+    odom_pose_weight: float = 1.0
+    odom_twist_weight: float = 1.0
+    planar_weight: float = 1.0
+    # The pose-twist kinematic factor uses the SAME odom twist sample as the
+    # velocity/yawrate factors (triple counting) with Sigma = dt^2 Sigma_twist
+    # — precision ~1e6 that injects raw odom twist noise into pose each scan.
+    # Kept as an operator; off in the default pipeline.
+    odom_kinematic_weight: float = 0.0
+
     # ---- ablation knobs (pipeline.py:138-146) --------------------------------
     imu_gravity_scale: float = 1.0
     deskew_rotation_only: bool = False
@@ -165,7 +194,11 @@ class GCConfig:
     # ---- map / atlas (constants.py:382-489) ----------------------------------
     m_tile: int = 50000              # primitive capacity per tile
     n_tiles_pool: int = 64           # fixed tile-pool size (device array axis)
-    h_tile: float = 2.0
+    # Tile size must cover the sensor range: the active hex disk (radius
+    # r_active_xy) is where surfels can be inserted and associated. The
+    # reference's 2.0 m tiles with a radius-1 disk silently drop every
+    # measurement beyond ~4 m of the robot — most of a lidar sweep.
+    h_tile: float = 10.0
     r_active_xy: int = 1
     r_active_z: int = 0
     r_stencil_xy: int = 1
@@ -218,12 +251,13 @@ class GCConfig:
             n_surfel=64,
             k_assoc=4,
             k_sinkhorn=10,
-            surfel_cells_1=8,
-            surfel_cells_2=8,
-            surfel_cells_z=4,
+            surfel_cells_1=16,
+            surfel_cells_2=16,
+            surfel_cells_z=8,
             surfel_max_occupants=16,
             m_tile=256,
             n_tiles_pool=16,
+            h_tile=8.0,
             m_tile_view=128,
             merge_max_tile=256,
             fuse_chunk=64,

@@ -55,7 +55,10 @@ def xyz_to_tile_axial(p, h_tile: float, h_z: float | None = None):
         h_z = h_tile
     qf, rf = xy_to_axial_frac(p[..., 0], p[..., 1], h_tile)
     q, r = axial_round(qf, rf)
-    zi = jnp.floor(p[..., 2] / h_z).astype(jnp.int32)
+    # z slabs are CENTERED on their index (slab 0 covers [-h/2, h/2)): a
+    # ground robot at z~0 must have the ground plane below it in ITS slab,
+    # not in the neighbour below.
+    zi = jnp.floor(p[..., 2] / h_z + 0.5).astype(jnp.int32)
     return q, r, zi
 
 
@@ -139,3 +142,31 @@ def bin_cell_ids(p, cell_size: float, c1: int, c2: int, cz: int,
     rm = jnp.mod(r, c2)
     zm = jnp.mod(zi, cz)
     return (qm * c2 + rm) * cz + zm
+
+
+def bin_cell_ids_local(p_centered, cell_size: float, c1: int, c2: int, cz: int,
+                       z_size: float | None = None):
+    """Bounded local hex grid around the (pre-centered) scan: axial coords are
+    offset to the grid center and CLIPPED, not modulo-wrapped.
+
+    The reference wraps (``ma_hex_web.py:243``), which makes points
+    ``wrap_extent`` apart collide in one cell — with a 3.2 m wrap against a
+    >10 m lidar this mixes far-apart geometry into one plane fit. Clipping
+    instead keeps every in-grid cell exact and returns ``in_grid`` so
+    out-of-coverage points can be masked (coverage loss is logged, never
+    silent corruption).
+
+    Returns (flat ids int32 in [0, c1*c2*cz), in_grid bool).
+    """
+    if z_size is None:
+        z_size = cell_size
+    q, r, zi = xyz_to_tile_axial(p_centered, cell_size, z_size)
+    qo = q + c1 // 2
+    ro = r + c2 // 2
+    zo = zi + cz // 2
+    in_grid = ((qo >= 0) & (qo < c1) & (ro >= 0) & (ro < c2)
+               & (zo >= 0) & (zo < cz))
+    qc = jnp.clip(qo, 0, c1 - 1)
+    rc = jnp.clip(ro, 0, c2 - 1)
+    zc = jnp.clip(zo, 0, cz - 1)
+    return (qc * c2 + rc) * cz + zc, in_grid

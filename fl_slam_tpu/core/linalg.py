@@ -240,3 +240,53 @@ def inv3x3(A, eps: float = 0.0):
 def solve3x3(A, b, eps: float = 0.0):
     """Solve (A + eps I) x = b for (..., 3, 3) / (..., 3)."""
     return jnp.einsum("...ij,...j->...i", inv3x3(A, eps), b)
+
+
+def kabsch3x3(S, eps: float = 1e-12):
+    """Closed-form proper-rotation polar factor of a 3x3 matrix.
+
+    Returns (R, A) with R in SO(3), A = R^T S (symmetric at the optimum):
+    the rotation maximizing tr(R^T S) (Kabsch/Wahba). Built on the analytic
+    symmetric-3x3 eigensolver — no LAPACK/SVD, so it lowers cleanly to TPU
+    (jnp.linalg.svd crashes the TPU HLO pipeline for this shape).
+
+    Rank-deficient S is handled: the weak right-singular direction is
+    completed by a cross product, so R is always a valid rotation.
+    """
+    StS = S.T @ S + eps * jnp.eye(3, dtype=S.dtype)
+    lam = eigvalsh3x3(StS)                       # ascending
+    va = eigvec3x3(StS, lam[2])                  # strongest direction
+    vc_raw = eigvec3x3(StS, lam[0])              # weakest
+    # Orthonormalize defensively (analytic eigvecs can lose orthogonality in
+    # near-degenerate spectra), then complete a right-handed basis.
+    vc = vc_raw - (vc_raw @ va) * va
+    nc = jnp.linalg.norm(vc)
+    alt = jnp.where(jnp.abs(va[0]) < 0.9,
+                    jnp.asarray([1.0, 0.0, 0.0], S.dtype),
+                    jnp.asarray([0.0, 1.0, 0.0], S.dtype))
+    alt = alt - (alt @ va) * va
+    vc = jnp.where(nc > 1e-6, vc / jnp.maximum(nc, 1e-30),
+                   alt / jnp.linalg.norm(alt))
+    vb = jnp.cross(vc, va)
+    V = jnp.stack([va, vb, vc], axis=1)          # columns, right-handed
+
+    s = jnp.sqrt(jnp.maximum(jnp.asarray([lam[2], lam[1], lam[0]],
+                                         dtype=S.dtype), 0.0))
+    ua = S @ va / jnp.maximum(s[0], eps)
+    ua = ua / jnp.maximum(jnp.linalg.norm(ua), eps)
+    ub_raw = S @ vb / jnp.maximum(s[1], eps)
+    ub_raw = ub_raw - (ub_raw @ ua) * ua
+    nb = jnp.linalg.norm(ub_raw)
+    altb = jnp.where(jnp.abs(ua[0]) < 0.9,
+                     jnp.asarray([1.0, 0.0, 0.0], S.dtype),
+                     jnp.asarray([0.0, 1.0, 0.0], S.dtype))
+    altb = altb - (altb @ ua) * ua
+    ub = jnp.where(nb > 1e-6, ub_raw / jnp.maximum(nb, 1e-30),
+                   altb / jnp.linalg.norm(altb))
+    uc = jnp.cross(ua, ub)
+    U = jnp.stack([ua, ub, uc], axis=1)
+
+    R = U @ V.T
+    A = R.T @ S
+    A = 0.5 * (A + A.T)
+    return R, A

@@ -110,7 +110,12 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     cand_valid = view.valid[cand_view_idx] & (C < 0.5 * COST_INVALID)
     cand_global_idx = view.global_idx[cand_view_idx]
 
-    C = C - jnp.min(C, axis=1, keepdims=True)                  # row-min shift
+    # NOTE: the reference subtracts the per-row minimum cost here
+    # (cost_subtract_row_min=True). That destroys absolute cost semantics:
+    # a measurement whose best candidate is meters away still transports its
+    # full budget onto it, corrupting both the pose evidence and the map
+    # fuse. Keeping absolute costs lets the unbalanced OT shrink bad rows'
+    # mass to ~0, which novelty insertion then covers. Deliberate fix.
 
     # ---- unbalanced Sinkhorn, log domain, fixed iterations -----------------
     a_mask = meas_valid.astype(dt)
@@ -118,8 +123,13 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     log_a = jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-300)), -jnp.inf)
     log_b = jnp.full((K,), -jnp.log(float(K)), dtype=dt)
 
-    ua = 1.0 / (1.0 + cfg.ot_tau_a / eps)
-    vb = 1.0 / (1.0 + cfg.ot_tau_b / eps)
+    # Standard unbalanced-OT scaling exponent tau/(tau+eps) (Chizat et al.).
+    # The reference uses 1/(1+tau/eps) — with (tau, eps) = (0.5, 0.1) that is
+    # 1/6 instead of 5/6, which barely enforces the marginals: transported row
+    # masses overshoot the declared budget a_i ~8x, inflating the downstream
+    # pose evidence and zeroing novelty. Deliberate fix.
+    ua = cfg.ot_tau_a / (cfg.ot_tau_a + eps)
+    vb = cfg.ot_tau_b / (cfg.ot_tau_b + eps)
     logKmat = -C / eps                                          # (N, K)
     neg_cap = jnp.asarray(-1e30, dtype=dt)
 

@@ -200,6 +200,33 @@ def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
     return L, h, certs
 
 
+def accel_bias_evidence(a_body_mean, rotvec_wb, gravity_w, sigma_ba, dtype,
+                        a_body_expected=None):
+    """Accel-bias factor from the gravity reaction (NOT in the reference).
+
+    Over a quasi-static window the mean debiased specific force should equal
+    the gravity reaction -R^T g; the residual observes the accel bias
+    directly: delta_ba = a_body_mean - (-R^T g). Without this factor ba (and
+    through mechanization, velocity and z) drifts unboundedly — the
+    reference's factor set never observes ba at all. sigma_ba is generous to
+    absorb true robot acceleration contaminating the window mean.
+    """
+    from fl_slam_tpu.config import IDX_BA
+    R0 = se3.so3_exp(rotvec_wb)
+    r_ba = a_body_mean - (-(R0.T @ gravity_w))
+    if a_body_expected is not None:
+        # Remove the kinematically expected body acceleration (e.g. the
+        # centripetal omega x v from odometry) so turning does not masquerade
+        # as accel bias.
+        r_ba = r_ba - a_body_expected
+    precision = 1.0 / (sigma_ba * sigma_ba)
+    L3 = precision * jnp.eye(3, dtype=dtype)
+    L, h = evidence_from_block(IDX_BA, L3, L3 @ r_ba, dtype)
+    certs = {"imu_ba.residual_norm": jnp.linalg.norm(r_ba),
+             "imu_ba.nll_proxy": 0.5 * precision * (r_ba @ r_ba)}
+    return L, h, certs
+
+
 def dependence_inflation_scale(transport_sigma, eps_mass: float):
     """Continuous gyro<->accel dependence downscale 1/(1 + sigma^2)."""
     s = jnp.maximum(transport_sigma, 0.0)
@@ -245,12 +272,17 @@ def gyro_rotation_evidence(rotvec_start, rotvec_end_pred, delta_rotvec_meas,
 
 def preintegration_factor(p_start, rotvec_start, v_start, p_end_pred, v_end_pred,
                           delta_v_body, delta_p_body, sigma_a, dt_int, *,
-                          eps_psd: float, eps_lift: float, eps_mass: float):
+                          eps_psd: float, eps_lift: float, eps_mass: float,
+                          sigma_ba: float = 0.1):
     """Velocity + position factors from preintegrated IMU.
 
     v_imu = v_i + R_i dv;  p_imu = p_i + v_i dt + R_i dp;
-    Sigma_v = Sigma_a dt; Sigma_p = Sigma_a dt^3
-    (parity: imu_preintegration_factor.py:46-180).
+    Sigma_v = Sigma_a dt + (sigma_ba dt)^2;
+    Sigma_p = Sigma_a dt^3 + (sigma_ba dt^2 / 2)^2
+    (parity: imu_preintegration_factor.py:46-180, plus bias-uncertainty terms
+    the reference omits — its Sigma_a dt^3 alone claims ~mm position knowledge
+    from 0.1 s of IMU, which lets any residual accel bias steamroll every
+    other translation factor).
     """
     dtype = p_start.dtype
     R_start = se3.so3_exp(rotvec_start)
@@ -263,8 +295,12 @@ def preintegration_factor(p_start, rotvec_start, v_start, p_end_pred, v_end_pred
     dt_eff = dt_pos + eps_mass
     mass_scale = dt_pos / dt_eff
 
-    Sv, proj_v = project_psd(sigma_a * dt_eff, eps_psd)
-    Sp, proj_p = project_psd(sigma_a * dt_eff ** 3, eps_psd)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Sv, proj_v = project_psd(sigma_a * dt_eff
+                             + (sigma_ba * dt_eff) ** 2 * eye3, eps_psd)
+    Sp, proj_p = project_psd(sigma_a * dt_eff ** 3
+                             + (0.5 * sigma_ba * dt_eff ** 2) ** 2 * eye3,
+                             eps_psd)
     L_v, lift_v = spd_inverse_lifted(Sv, eps_lift)
     L_p, lift_p = spd_inverse_lifted(Sp, eps_lift)
     L_v = mass_scale * L_v

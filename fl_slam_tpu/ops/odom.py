@@ -43,7 +43,11 @@ def velocity_evidence(v_pred_world, rotvec_wb, v_odom_body, sigma_v, *,
     r_vel = v_odom_body - R.T @ v_pred_world
     S, proj = project_psd(sigma_v, eps_psd)
     L3, lift = spd_inverse_lifted(S, eps_lift)
-    L, h = evidence_from_block(IDX_VEL, L3, L3 @ r_vel, dtype)
+    # The state block is WORLD velocity: residual Jacobian J = -R^T, so
+    # L_w = R Sigma^-1 R^T and h_w = L_w (R r) — without the conjugation the
+    # correction direction is rotated by the body yaw.
+    L_w = R @ L3 @ R.T
+    L, h = evidence_from_block(IDX_VEL, L_w, L_w @ (R @ r_vel), dtype)
     certs = {
         "odom_vel.nll_proxy": 0.5 * r_vel @ L3 @ r_vel,
         "odom_vel.lift": lift,

@@ -29,13 +29,18 @@ import jax
 import jax.numpy as jnp
 
 from fl_slam_tpu.config import GCConfig
-from fl_slam_tpu.core.hexgrid import bin_cell_ids
+from fl_slam_tpu.core.hexgrid import bin_cell_ids_local
 from fl_slam_tpu.core.linalg import eigvalsh3x3, eigvec3x3, inv3x3
 
-# Reference SurfelExtractionConfig defaults (lidar_surfel_extraction.py:44-62).
-VOXEL_SIZE_M = 0.1
+# Reference SurfelExtractionConfig defaults (lidar_surfel_extraction.py:44-62),
+# except the cell size comes from cfg.surfel_cell_size: the reference's 0.1 m
+# cells on a 32x32x8 wrapped grid alias geometry >3.2 m apart; here the grid is
+# clipped-local (see bin_cell_ids_local) and sized to cover the lidar range.
 MIN_POINTS_PER_CELL = 3
-SENSOR_VAR = 1e-6
+# Per-axis sensor noise floor (m^2). The reference uses 1e-6 (sigma = 1 mm),
+# which lets a 3-point near-coplanar cell claim millimeter plane precision
+# (Lambda ~ 1e6) and dominate the pose WLS; 1e-4 matches a real lidar's ~1 cm.
+SENSOR_VAR = 1e-4
 WISHART_NU = 5.0
 WISHART_PSI = 0.1
 KAPPA_SCALE = 10.0
@@ -45,7 +50,7 @@ EIG_MIN = 1e-12
 
 
 def extract_surfels(points, weights, cfg: GCConfig, *,
-                    voxel_size: float = VOXEL_SIZE_M):
+                    voxel_size: float | None = None):
     """points (N, 3), weights (N,) -> fixed-size surfel arrays + certs.
 
     Returns dict with Lambdas (S,3,3), thetas (S,3), etas (S,B,3),
@@ -53,23 +58,30 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
     and a certs dict. S = cfg.n_surfel.
     """
     dt = cfg.jdtype
+    if voxel_size is None:
+        voxel_size = cfg.surfel_cell_size
     points = points.astype(dt)
     weights = weights.astype(dt)
     n_cells = cfg.surfel_cells_1 * cfg.surfel_cells_2 * cfg.surfel_cells_z
 
-    # Mask non-finite sentinels; center for hash stability (translation does
-    # not affect covariances; parity: _extract_surfels_mahex3d_jax_jit).
+    # Mask non-finite sentinels; center the scan so the bounded local grid
+    # covers the sweep (translation does not affect covariances; parity:
+    # _extract_surfels_mahex3d_jax_jit).
     finite = jnp.all(jnp.abs(points) < 0.1 * cfg.nonfinite_sentinel, axis=1)
-    w_eff = weights * finite.astype(dt)
-    w_tot = jnp.sum(w_eff) + EIG_MIN
-    center = jnp.sum(points * w_eff[:, None], axis=0) / w_tot
+    w_fin = weights * finite.astype(dt)
+    w_tot_fin = jnp.sum(w_fin) + EIG_MIN
+    center = jnp.sum(points * w_fin[:, None], axis=0) / w_tot_fin
     pc = points - center
 
-    cell = bin_cell_ids(pc, voxel_size, cfg.surfel_cells_1, cfg.surfel_cells_2,
-                        cfg.surfel_cells_z)
+    cell, in_grid = bin_cell_ids_local(
+        pc, voxel_size, cfg.surfel_cells_1, cfg.surfel_cells_2,
+        cfg.surfel_cells_z)
+    usable = finite & in_grid
+    w_eff = weights * usable.astype(dt)
+    w_tot = jnp.sum(w_eff) + EIG_MIN
 
     seg = lambda vals: jax.ops.segment_sum(vals, cell, num_segments=n_cells)
-    cnt = seg(finite.astype(jnp.int32))
+    cnt = seg(usable.astype(jnp.int32))
     sw = seg(w_eff)                                          # (C,)
     swp = seg(w_eff[:, None] * pc)                           # (C, 3)
     swpp = seg(w_eff[:, None, None] * pc[:, None, :] * pc[:, :, None])  # (C,3,3)
@@ -81,7 +93,14 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
 
     lam = eigvalsh3x3(cov)                                   # ascending
     normal = eigvec3x3(cov, lam[:, 0])
-    normal = normal * jnp.where(normal[:, 2:3] < 0.0, -1.0, 1.0)
+    # Deterministic sign: face the SENSOR (normal . ray_from_sensor < 0). The
+    # reference fixes sign to +z (lidar_surfel_extraction.py:130), which is
+    # degenerate for vertical surfaces (walls flip scan to scan and corrupt
+    # the vMF scatter); sensor-facing is stable for any surface the lidar
+    # actually saw. Sensor origin in centered coords is -center.
+    centroid_body = centroid + center[None, :]
+    facing = jnp.sum(normal * centroid_body, axis=-1, keepdims=True)
+    normal = normal * jnp.where(facing > 0.0, -1.0, 1.0)
 
     Sigma = cov + SENSOR_VAR * jnp.eye(3, dtype=dt)
     Lambda = inv3x3(Sigma, EIG_MIN)
@@ -91,6 +110,14 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
     sigma_perp_sq = jnp.maximum(lam[:, 0], EIG_MIN)
     kappa = jnp.clip(KAPPA_SCALE / jnp.sqrt(sigma_perp_sq), KAPPA_MIN, KAPPA_MAX)
     valid_cell = (cnt >= MIN_POINTS_PER_CELL) & (sw > 0.0)
+
+    # Continuous planarity weighting (no gate): surface-like cells have
+    # lam_min << lam_mid ~ lam_max. Mixed-surface cells (corners) and sparse
+    # blobs get their mass smoothly suppressed — off-surface centroids from
+    # such cells are the main source of map corruption.
+    planarity = (lam[:, 1] - lam[:, 0]) / (lam[:, 2] + EIG_MIN)
+    planarity = jnp.clip(planarity, 0.0, 1.0)
+    sw = sw * planarity
 
     # Deterministic budget selection: valid cells first, ascending cell id.
     cell_ids = jnp.arange(n_cells, dtype=jnp.int32)
@@ -120,6 +147,7 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
         "surfel.n_valid": jnp.sum(val_sel.astype(dt)),
         "surfel.mass_total": jnp.sum(w_sel),
         "surfel.point_mass_in": w_tot,
+        "surfel.mass_out_of_grid": w_tot_fin - w_tot,
         "surfel.budget_overflow": jnp.maximum(
             jnp.sum(valid_cell.astype(dt)) - float(S), 0.0),
     }

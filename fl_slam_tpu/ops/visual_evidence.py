@@ -58,21 +58,25 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     dots = jnp.einsum("ni,nki->nk", meas_dir_w, map_dir)
     rot_cost = jnp.sum(w_all * (1.0 - dots))
 
-    U, s, Vt = jnp.linalg.svd(S)
-    L_rot_w = jnp.diag(s + cfg.eps_lift)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype=dt)) + \
-        jnp.diag(jnp.asarray([0.0, 0.0, 1.0], dtype=dt)) * det
-    R_delta = U @ D @ Vt                                        # world tangent
-    rotvec_delta = se3.so3_log(R_delta)
-    h_rot_w = L_rot_w @ rotvec_delta
-
-    # ---- conjugate world tangent -> right chart at z_lin --------------------
+    # Matrix-Fisher evidence. J(R) = tr(R^T S); mode R_hat is the proper polar
+    # factor of S (closed-form Kabsch — jnp.linalg.svd does not lower on this
+    # TPU backend); at the mode A = R_hat^T S is symmetric and the RIGHT-
+    # tangent Hessian is H = tr(A) I - A (information about rotation around
+    # axis v_i is s_j + s_k: axes that move no directions carry no information
+    # — the reference's diag(s) in world coords is the wrong basis and lets
+    # the decomposition's arbitrary weak-axis choice inject spurious rotation
+    # evidence).
+    from fl_slam_tpu.core.linalg import kabsch3x3
+    R_hat, A = kabsch3x3(S)
+    L_r = (jnp.trace(A) * jnp.eye(3, dtype=dt) - A
+           + cfg.eps_lift * jnp.eye(3, dtype=dt))
     R_lin = se3.so3_exp(z_lin_pose[3:6])
+    rotvec_delta = se3.so3_log(R_lin.T @ R_hat)                 # right tangent
+    h_r = L_r @ rotvec_delta
+
+    # ---- conjugate world-tangent translation -> right chart at z_lin --------
     L_t = R_lin.T @ L_t_w @ R_lin
     h_t = R_lin.T @ h_t_w
-    L_r = R_lin.T @ L_rot_w @ R_lin
-    h_r = R_lin.T @ h_rot_w
 
     L = cfg.eps_lift * jnp.eye(D_Z, dtype=dt)
     h = jnp.zeros((D_Z,), dtype=dt)
@@ -86,6 +90,6 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
         "visual.rot_cost": rot_cost,
         "visual.transported_mass": jnp.sum(pi),
         "visual.rot_residual_norm": jnp.linalg.norm(rotvec_delta),
-        "visual.scatter_s_min": s[-1],
+        "visual.scatter_s_min": jnp.min(jnp.diag(A)),
     }
     return L, h, certs

@@ -1,0 +1,75 @@
+"""Multi-chip batched replay: N independent SLAM instances over a device mesh.
+
+This is the v5e-8 "batched replay" configuration from BASELINE.json: instances
+(different bags / noise seeds / hypothesis banks) are data-parallel with NO
+cross-instance communication, so the sharding is a pure leading-axis split
+over a 1-D mesh and XLA compiles the whole thing without collectives (the
+only collective in practice is the end-of-run gather of per-instance metrics,
+which happens implicitly when the host reads the outputs).
+
+The reference has no distributed execution at all (single process + ROS
+threads, SURVEY.md section 2.6); this module is the TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.pipeline import PipelineState, ScanInput, init_state, process_scan
+
+
+def make_mesh(devices=None, axis: str = "inst") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def init_states_batched(cfg: GCConfig, n_instances: int,
+                        anchors0=None) -> PipelineState:
+    """Stacked PipelineState with a leading instance axis."""
+    def one(i):
+        anchor = None if anchors0 is None else anchors0[i]
+        return init_state(cfg, anchor0=anchor)
+    states = [one(i) for i in range(n_instances)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def batched_step(cfg: GCConfig, mesh: Mesh, axis: str = "inst",
+                 donate: bool = True):
+    """One vmapped scan step, instance axis sharded over the mesh.
+
+    Returns a jitted fn(states, scans) -> (states', outputs) where every leaf
+    of states/scans carries a leading instance axis laid out on the mesh.
+    """
+    def step(states, scans):
+        return jax.vmap(lambda s, sc: process_scan(s, sc, cfg))(states, scans)
+
+    shard = NamedSharding(mesh, P(axis))
+    kw = dict(donate_argnums=(0,)) if donate else {}
+    return jax.jit(step, in_shardings=(shard, shard),
+                   out_shardings=(shard, shard), **kw)
+
+
+def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
+    """Full lax.scan replay over time, vmapped over sharded instances.
+
+    scans: ScanInput with leading axes (n_instances, T, ...).
+    """
+    def run(states, scans):
+        def one(state, scans_i):
+            def body(carry, scan):
+                return process_scan(carry, scan, cfg)
+            return jax.lax.scan(body, state, scans_i)
+        return jax.vmap(one)(states, scans)
+
+    shard = NamedSharding(mesh, P(axis))
+    return jax.jit(run, in_shardings=(shard, shard),
+                   out_shardings=(shard, shard))
+
+
+def shard_scan_inputs(scans: ScanInput, mesh: Mesh, axis: str = "inst"):
+    shard = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, shard), scans)

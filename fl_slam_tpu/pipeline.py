@@ -1,0 +1,485 @@
+"""The per-scan inference step and bag replay (parity: reference
+``backend/pipeline.py:316-1591`` ``process_scan_single_hypothesis`` +
+``backend_node.py`` orchestration).
+
+TPU-first architecture (SURVEY.md section 7.1): the entire 14-step fixed-cost
+pipeline is ONE pure function ``process_scan(state, scan, cfg)`` with static
+shapes, compiled once and driven by ``lax.scan`` over the pre-staged bag
+(``replay``). There is no ROS, no threads, no host round-trips: certificates
+are device scalars collected per scan and returned as stacked arrays.
+
+Step map (reference step -> here):
+   1 point budget        host/io layer (ops.point_budget, applied at staging)
+   2 predict             ops.predict.predict_diffusion
+   3 soft IMU windows    ops.imu.smooth_window_weights x2
+   4 preintegration x2   ops.imu.preintegrate (lax.scan over imu_len)
+   5 deskew              ops.deskew.deskew_constant_twist (batched)
+   6 IMU+odom evidence   ops.imu / ops.odom / ops.priors -> L_io, h_io, z_lin
+   7 map branch          ops.surfels -> structures.atlas view -> ops.association
+                         (runs AFTER z_lin; the measurement batch is world-
+                         transformed at z_lin before association — the
+                         reference associates body-frame against world-frame,
+                         see ops/association.py docstring)
+   8 visual evidence     ops.visual_evidence at z_lin
+   9 tempering           ops.fusion.power_tempering_beta
+  10 trust alpha         ops.fusion.fusion_alpha (constant 1 at ref. config)
+  11 additive fusion     ops.fusion.info_fusion_additive
+  12 recompose           ops.recompose.frobenius_recompose (+ process IW stats)
+  12b map update         atlas.fuse / insert / cull / forget / merge at z_t
+  13 anchor drift        ops.recompose.anchor_drift_update
+  14 certs               merged dict of device scalars
+  (IW apply once/scan)   ops.noise.process/measurement_apply_suffstats
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fl_slam_tpu.config import (
+    GCConfig, GRAVITY_W, IDX_BA, IDX_BG, IDX_DT, IDX_POSE, IDX_VEL,
+)
+from fl_slam_tpu.core import se3
+from fl_slam_tpu.core.belief import Belief, identity_belief, mean_increment, world_pose
+from fl_slam_tpu.core.hexgrid import (
+    stencil_offsets_3d, stencil_tile_keys, tile_keys_from_xyz, xyz_to_tile_axial,
+)
+from fl_slam_tpu.core.linalg import spd_inverse_lifted, spd_solve_lifted
+from fl_slam_tpu.ops import association as assoc_ops
+from fl_slam_tpu.ops import deskew as deskew_ops
+from fl_slam_tpu.ops import fusion as fusion_ops
+from fl_slam_tpu.ops import imu as imu_ops
+from fl_slam_tpu.ops import noise as noise_ops
+from fl_slam_tpu.ops import odom as odom_ops
+from fl_slam_tpu.ops import predict as predict_ops
+from fl_slam_tpu.ops import priors as prior_ops
+from fl_slam_tpu.ops import recompose as recompose_ops
+from fl_slam_tpu.ops import surfels as surfel_ops
+from fl_slam_tpu.ops.visual_evidence import visual_pose_evidence
+from fl_slam_tpu.structures import atlas as atlas_ops
+from fl_slam_tpu.structures import measurement_batch as mb
+
+
+class ScanInput(NamedTuple):
+    """One scan record; all fixed shapes, built host-side by the io layer."""
+
+    points: jnp.ndarray         # (n_points, 3) base frame, sentinel-padded
+    point_stamps: jnp.ndarray   # (n_points,) absolute seconds
+    point_weights: jnp.ndarray  # (n_points,) range weights; 0 = padding
+    scan_start: jnp.ndarray     # () seconds — THE scan clock t_scan: the
+                                # belief/evidence timestamp and deskew target
+                                # frame (points are deskewed to body@scan_start)
+    scan_end: jnp.ndarray       # () seconds (sweep end; deskew window only)
+    imu_stamps: jnp.ndarray     # (imu_len,) ascending, 0-padded tail
+    imu_gyro: jnp.ndarray       # (imu_len, 3) rad/s
+    imu_accel: jnp.ndarray      # (imu_len, 3) m/s^2
+    odom_pose: jnp.ndarray      # (6,) [t, rotvec] world
+    odom_cov: jnp.ndarray       # (6, 6)
+    odom_vel_body: jnp.ndarray  # (3,)
+    odom_omega_body: jnp.ndarray  # (3,)
+
+
+class PipelineState(NamedTuple):
+    """The lax.scan carry: everything that persists across scans."""
+
+    belief: Belief
+    process_noise: noise_ops.ProcessNoiseIW
+    meas_noise: noise_ops.MeasurementNoiseIW
+    atlas: atlas_ops.AtlasMap
+    scan_seq: jnp.ndarray       # () int32
+    prev_scan_t: jnp.ndarray    # () previous scan clock (scan_start)
+
+
+class ScanOutput(NamedTuple):
+    pose: jnp.ndarray           # (6,) world [t, rotvec] after recompose
+    stamp: jnp.ndarray          # () scan_end
+    certs: dict                 # flat dict of device scalars
+
+
+def initial_belief(cfg: GCConfig, anchor0=None) -> Belief:
+    """Datasheet-style per-block diagonal prior at the anchor.
+
+    Pose is defined by the anchor (weak 1e-6); the non-pose components carry
+    physically sized priors — in particular dt (sensor time offset) must NOT
+    start with a ~1e3 s std or the soft-window machinery degenerates.
+    """
+    d = cfg.jdtype
+    sig = jnp.concatenate([
+        jnp.full((6,), 1e3, d),      # pose: anchor-defined
+        jnp.full((3,), 1.0, d),      # vel  (m/s)
+        jnp.full((3,), 0.01, d),     # gyro bias (rad/s)
+        jnp.full((3,), 0.1, d),      # accel bias (m/s^2)
+        jnp.full((1,), 0.05, d),     # dt offset (s)
+        jnp.full((6,), 0.01, d),     # extrinsic
+    ])
+    L0 = jnp.diag(1.0 / sig ** 2)
+    b = identity_belief(dtype=d, prior_info=1e-6, anchor=anchor0)
+    return b._replace(L=L0.astype(d))
+
+
+def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
+               t0: float = 0.0) -> PipelineState:
+    return PipelineState(
+        belief=initial_belief(cfg, anchor0=anchor0),
+        process_noise=noise_ops.init_process_noise(cfg),
+        meas_noise=noise_ops.init_measurement_noise(cfg),
+        atlas=atlas_ops.empty_atlas(cfg),
+        scan_seq=jnp.int32(0),
+        prev_scan_t=jnp.asarray(t0, dtype=cfg.jdtype),
+    )
+
+
+def process_scan(state: PipelineState, scan: ScanInput,
+                 cfg: GCConfig) -> tuple[PipelineState, ScanOutput]:
+    dt = cfg.jdtype
+    certs: dict = {}
+    belief_prev = state.belief
+    seq = state.scan_seq
+
+    dt_sec = jnp.clip(scan.scan_start - state.prev_scan_t, 1e-4, 20.0)
+    gravity_w = jnp.asarray(GRAVITY_W, dtype=dt) * cfg.imu_gravity_scale
+
+    # ---- step 3: soft IMU windows (sigma from dt uncertainty) ---------------
+    # Windows + preintegration run BEFORE predict so the preintegrated deltas
+    # can mechanize the prediction mean (biases/rotation from belief_prev,
+    # whose mean the reference's static predict preserves anyway).
+    pose_prev = world_pose(belief_prev, cfg.eps_lift)
+    mu_prev = mean_increment(belief_prev, cfg.eps_lift)
+    gyro_bias = mu_prev[IDX_BG]
+    accel_bias = mu_prev[IDX_BA]
+    rotvec0 = pose_prev[3:6]
+
+    Sigma_prev, _ = spd_inverse_lifted(belief_prev.L, cfg.eps_lift)
+    dt_std = jnp.sqrt(jnp.maximum(Sigma_prev[IDX_DT.start, IDX_DT.start], 0.0))
+    # Window softness lives on the sensor time-offset scale (10-50 ms). The
+    # reference only floors this (pipeline.py:438); without a ceiling a weak
+    # initial dt prior (std ~ seconds) smears the windows flat and silently
+    # attenuates all preintegrated deltas.
+    sigma_warp = jnp.clip(dt_std, 0.01, 0.05)
+    imu_valid = (scan.imu_stamps > 0.0).astype(dt)
+    w_scan = imu_ops.smooth_window_weights(
+        scan.imu_stamps, scan.scan_start, scan.scan_end, sigma_warp) * imu_valid
+    w_int = imu_ops.smooth_window_weights(
+        scan.imu_stamps, state.prev_scan_t, scan.scan_start, sigma_warp) * imu_valid
+
+    # ---- step 4: preintegration x2 ------------------------------------------
+    pre_scan = imu_ops.preintegrate(scan.imu_stamps, scan.imu_gyro,
+                                    scan.imu_accel, w_scan, rotvec0,
+                                    gyro_bias, accel_bias, gravity_w)
+    pre_int = imu_ops.preintegrate(scan.imu_stamps, scan.imu_gyro,
+                                   scan.imu_accel, w_int, rotvec0,
+                                   gyro_bias, accel_bias, gravity_w)
+
+    # ---- step 2: mechanized predict ------------------------------------------
+    Q = noise_ops.process_noise_to_Q(state.process_noise, cfg.eps_psd)
+    # The soft membership window attenuates the preintegrated deltas by its
+    # sigmoid edges (by design for evidence; wrong for mechanization, where it
+    # would systematically shrink the predicted motion). Rescale by actual
+    # IMU coverage over effective weighted time — exact under the constant-
+    # twist assumption the deskew already makes.
+    dt_int_pre = imu_ops.integration_time(scan.imu_stamps, state.prev_scan_t,
+                                          scan.scan_start)
+    cover = jnp.clip(dt_int_pre / jnp.maximum(pre_int["dt_eff_sum"],
+                                              cfg.eps_mass), 1.0, 2.0)
+    motion = predict_ops.MotionDelta(
+        delta_rotvec=pre_int["delta_pose"][3:6] * cover,
+        delta_p_body=pre_int["delta_p"] * cover * cover,
+        delta_v_body=pre_int["delta_v"] * cover)
+    certs["predict.window_coverage_scale"] = cover
+    belief_pred, c = predict_ops.predict_diffusion(
+        belief_prev, Q, dt_sec, lambda_ou=cfg.ou_lambda, eps_psd=cfg.eps_psd,
+        eps_lift=cfg.eps_lift, motion=motion)
+    certs.update(c)
+    pose_pred = world_pose(belief_pred, cfg.eps_lift)
+    mu_pred = mean_increment(belief_pred, cfg.eps_lift)
+    vel_pred = mu_pred[IDX_VEL]
+    dt_int = imu_ops.integration_time(scan.imu_stamps, state.prev_scan_t,
+                                      scan.scan_start)
+    dt_imu = imu_ops.mean_sample_period(scan.imu_stamps)
+    omega_avg = imu_ops.weighted_mean_rate(scan.imu_gyro, w_int, gyro_bias,
+                                           cfg.eps_mass)
+    certs["imu.ess_scan"] = pre_scan["ess"]
+    certs["imu.ess_int"] = pre_int["ess"]
+    certs["imu.dt_int"] = dt_int
+
+    # Measurement-noise IW suffstats (gyro/accel), commutative.
+    dpsi_gyro = imu_ops.gyro_iw_suffstats(
+        scan.imu_gyro, w_int, gyro_bias, omega_avg, dt_imu,
+        eps_mass=cfg.eps_mass, eps_psd=cfg.eps_psd)
+    dpsi_accel = imu_ops.accel_iw_suffstats(
+        pose_pred[3:6], scan.imu_accel, w_int, accel_bias, gravity_w, dt_imu,
+        eps_mass=cfg.eps_mass, eps_psd=cfg.eps_psd)
+
+    # ---- step 5: deskew ------------------------------------------------------
+    xi_body = pre_scan["delta_pose"]
+    xi_body = xi_body.at[:3].mul(0.0 if cfg.deskew_rotation_only else 1.0)
+    points_dsk, w_dsk, c = deskew_ops.deskew_constant_twist(
+        scan.points, scan.point_stamps, scan.point_weights,
+        scan.scan_start, scan.scan_end, xi_body,
+        time_warp_sigma_frac=cfg.time_warp_sigma_frac, eps_mass=cfg.eps_mass)
+    certs.update(c)
+
+    # ---- step 6: IMU + odom evidence branch ---------------------------------
+    L_io = jnp.zeros_like(belief_pred.L)
+    h_io = jnp.zeros_like(belief_pred.h)
+
+    L1, h1, dz_odom, c = odom_ops.quadratic_pose_evidence(
+        pose_pred, scan.odom_pose, scan.odom_cov,
+        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+    L_io, h_io = (L_io + cfg.odom_pose_weight * L1,
+                  h_io + cfg.odom_pose_weight * h1)
+    certs.update(c)
+
+    Lg, hg, c = imu_ops.gravity_vmf_evidence(
+        pose_pred[3:6], scan.imu_accel, scan.imu_gyro, w_int, accel_bias,
+        gravity_w, dt_imu, eps_psd=cfg.eps_psd, eps_mass=cfg.eps_mass,
+        eps_r=cfg.eps_r, blend_r0=cfg.kappa_blend_r0,
+        blend_tau=cfg.kappa_blend_tau)
+    s_dep = imu_ops.dependence_inflation_scale(c["imu_grav.transport_sigma"],
+                                               cfg.eps_mass)
+    L_io, h_io = L_io + s_dep * Lg, h_io + s_dep * hg
+    certs.update(c)
+    certs["imu_grav.dependence_scale"] = s_dep
+
+    sigma_g = noise_ops.measurement_noise_mean(state.meas_noise, 0, cfg.eps_psd)
+    sigma_a = noise_ops.measurement_noise_mean(state.meas_noise, 1, cfg.eps_psd)
+    # The factors use the SAME coverage-corrected deltas as the mechanized
+    # prediction — otherwise their high-precision residuals fight the
+    # prediction by exactly the soft-window attenuation every scan.
+    w_imu_f = cfg.imu_factor_weight
+    L2, h2, c = imu_ops.gyro_rotation_evidence(
+        rotvec0, pose_pred[3:6], motion.delta_rotvec, sigma_g, dt_int,
+        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift, eps_mass=cfg.eps_mass)
+    L_io, h_io = L_io + w_imu_f * L2, h_io + w_imu_f * h2
+    certs.update(c)
+
+    L3, h3, c = imu_ops.preintegration_factor(
+        pose_prev[:3], rotvec0, vel_pred, pose_pred[:3], vel_pred,
+        motion.delta_v_body, motion.delta_p_body, sigma_a, dt_int,
+        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift, eps_mass=cfg.eps_mass)
+    L_io, h_io = L_io + w_imu_f * L3, h_io + w_imu_f * h3
+    certs.update(c)
+
+    a_body_exp = jnp.cross(scan.odom_omega_body, scan.odom_vel_body)
+    Lb, hb, c = imu_ops.accel_bias_evidence(
+        pre_int["a_body_mean"], pose_pred[3:6], gravity_w,
+        cfg.accel_bias_sigma, dt, a_body_expected=a_body_exp)
+    L_io, h_io = L_io + Lb, h_io + hb
+    certs.update(c)
+
+    L4, h4, c = prior_ops.planar_z_prior(pose_pred[2], cfg.planar_z_ref,
+                                         cfg.planar_z_sigma, dt)
+    L_io, h_io = L_io + cfg.planar_weight * L4, h_io + cfg.planar_weight * h4
+    certs.update(c)
+    L5, h5, c = prior_ops.velocity_z_prior(vel_pred[2], cfg.planar_vz_sigma, dt)
+    L_io, h_io = L_io + cfg.planar_weight * L5, h_io + cfg.planar_weight * h5
+    certs.update(c)
+
+    sig_v = cfg.odom_twist_vel_sigma ** 2 * jnp.eye(3, dtype=dt)
+    L6, h6, c = odom_ops.velocity_evidence(
+        vel_pred, pose_pred[3:6], scan.odom_vel_body, sig_v,
+        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+    certs.update(c)
+    L7, h7, c = odom_ops.yawrate_evidence(
+        omega_avg[2], scan.odom_omega_body[2], cfg.odom_twist_wz_sigma, dt)
+    certs.update(c)
+    sig_w = cfg.odom_twist_wz_sigma ** 2 * jnp.eye(3, dtype=dt)
+    L8, h8, r_tr, r_rt, c = odom_ops.pose_twist_consistency(
+        pose_prev, pose_pred, scan.odom_vel_body, scan.odom_omega_body,
+        dt_sec, sig_v, sig_w, eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+    certs.update(c)
+    s_odom = (odom_ops.dependence_inflation_scale(r_tr, r_rt, cfg.eps_mass)
+              * cfg.odom_twist_weight)
+    w_kin = cfg.odom_kinematic_weight
+    L_io = L_io + s_odom * (L6 + L7 + w_kin * L8)
+    h_io = h_io + s_odom * (h6 + h7 + w_kin * h8)
+    certs["odom.dependence_scale"] = s_odom
+
+    # Every factor above encodes h = L * r with r the residual measured AT the
+    # prediction; information fusion needs the absolute chart target
+    # h = L * (mu_pred + r). (The reference adds L*r directly — benign only
+    # while the in-chart means stay near zero; with a mechanized prediction it
+    # would cancel the predicted motion every scan.)
+    h_io = h_io + L_io @ mu_pred
+
+    # Linearization point (IMU+odom-informed; invariant of
+    # docs/PIPELINE_ORDER_AND_EVIDENCE.md:19-22).
+    z_lin, _ = spd_solve_lifted(belief_pred.L + L_io, belief_pred.h + h_io,
+                                cfg.eps_lift)
+    z_lin_pose = se3.se3_plus(belief_pred.anchor, z_lin[IDX_POSE])
+
+    # ---- step 7: map branch (surfels -> view -> association) ----------------
+    surf, c = surfel_ops.extract_surfels(points_dsk, w_dsk, cfg)
+    certs.update(c)
+    batch = mb.with_lidar_surfels(
+        mb.empty_batch(cfg), cfg, Lambdas=surf["Lambdas"],
+        thetas=surf["thetas"], etas=surf["etas"], weights=surf["weights"],
+        valid=surf["valid"])
+    batch_w = mb.transform_to_world(batch, z_lin_pose, eps_lift=cfg.eps_lift)
+
+    offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
+    q, r, z = xyz_to_tile_axial(z_lin_pose[:3], cfg.h_tile)
+    active_keys = stencil_tile_keys(q, r, z, offs)
+    atlas, slots, c = atlas_ops.activate_tiles(state.atlas, active_keys, seq)
+    certs.update(c)
+    atlas, c = atlas_ops.recency_inflate(atlas, slots, seq, cfg)
+    certs.update(c)
+    view = atlas_ops.extract_view(atlas, slots, cfg)
+
+    mu_w = mb.mean_positions(batch_w, cfg.eps_lift)
+    dir_w = mb.mean_directions(batch_w, cfg.eps_mass)
+    kap = mb.kappas(batch_w)
+    assoc, c = assoc_ops.associate(mu_w, dir_w, kap, batch_w.valid, view,
+                                   seq, cfg)
+    certs.update(c)
+
+    # ---- step 8: visual pose evidence at z_lin -------------------------------
+    L_vis, h_vis, c = visual_pose_evidence(
+        mu_w, batch_w.Lambdas, dir_w, kap, batch_w.valid, assoc, view,
+        z_lin_pose, cfg)
+    # Residuals are measured at z_lin: lift to the absolute chart target.
+    h_vis = h_vis + L_vis @ z_lin
+    L_vis = cfg.visual_evidence_weight * L_vis
+    h_vis = cfg.visual_evidence_weight * h_vis
+    certs.update(c)
+    # Diagnostics: correction the visual evidence alone would apply at z_lin.
+    dz_vis, _ = spd_solve_lifted(L_vis[IDX_POSE, IDX_POSE],
+                                 h_vis[IDX_POSE], 1e-9)
+    dz_vis_rel = dz_vis - z_lin[IDX_POSE]
+    certs["visual.implied_dtrans_norm"] = jnp.linalg.norm(dz_vis_rel[:3])
+    certs["visual.implied_dz"] = dz_vis_rel[2]
+    certs["visual.implied_drot_norm"] = jnp.linalg.norm(dz_vis_rel[3:6])
+
+    # LiDAR measurement-noise IW suffstats from weighted residuals.
+    map_pos_cand = view.positions[assoc.cand_view_idx]
+    r_lidar = jnp.einsum("nk,nki->ni", assoc.responsibilities,
+                         map_pos_cand - mu_w[:, None, :])
+    row_m = jnp.maximum(assoc.row_masses, cfg.eps_mass)
+    dpsi_lidar = noise_ops.lidar_iw_suffstats(
+        r_lidar / row_m[:, None], assoc.row_masses, cfg.eps_mass, cfg.eps_psd)
+
+    # ---- step 9-10: evidence sum + tempering + excitation + alpha ------------
+    L_ev = L_io + L_vis
+    h_ev = h_io + h_vis
+    ess_total = pre_int["ess"] + certs["ot.ess"]
+    s_dt, s_ex = fusion_ops.excitation_scales(L_ev, belief_pred.L, cfg.exc_eps)
+    exc_total = s_dt + s_ex
+    beta, c = fusion_ops.power_tempering_beta(
+        L_ev, ess_total, exc_total, power_beta_min=cfg.power_beta_min,
+        power_beta_z_c=cfg.power_beta_z_c,
+        power_beta_exc_c=cfg.power_beta_exc_c, eps_mass=cfg.eps_mass)
+    certs.update(c)
+    L_ev, h_ev = beta * L_ev, beta * h_ev
+
+    L_prior, h_prior = fusion_ops.apply_excitation_prior_scaling(
+        belief_pred.L, belief_pred.h, s_dt, s_ex)
+    belief_pred = belief_pred._replace(L=L_prior, h=h_prior)
+    certs["exc.s_dt"] = s_dt
+    certs["exc.s_ex"] = s_ex
+
+    cond_p6 = fusion_ops.pose6_conditioning(L_ev, cfg.eps_psd)
+    nll_per_ess = certs["ot.total_cost"] / jnp.maximum(ess_total, cfg.eps_mass)
+    alpha = fusion_ops.fusion_alpha(
+        cond_p6, ess_total, nll_per_ess, certs["temper.dt_asymmetry"],
+        certs["temper.z_to_xy"], exc_total, beta, alpha_min=cfg.alpha_min,
+        alpha_max=cfg.alpha_max, c0_cond=cfg.c0_cond, eps_mass=cfg.eps_mass)
+    certs["fusion.cond_pose6"] = cond_p6
+
+    # ---- step 11: additive info fusion ---------------------------------------
+    belief_post, c = fusion_ops.info_fusion_additive(
+        belief_pred, L_ev, h_ev, alpha, eps_psd=cfg.eps_psd)
+    certs.update(c)
+
+    # ---- step 12: Frobenius recompose ----------------------------------------
+    trigger_mag = (certs["fusion.psd_projection"]
+                   + certs["predict.psd_projection"]
+                   + certs["imu_grav.psd_projection"])
+    belief_rec, z_lin_new, delta_pose, c = recompose_ops.frobenius_recompose(
+        belief_post, z_lin, trigger_mag, c_frob=cfg.c_frob,
+        eps_lift=cfg.eps_lift)
+    certs.update(c)
+    z_t = belief_rec.anchor  # recompose absorbed the pose increment
+
+    # Process-noise IW suffstats (pred vs post), plus the ODOM INNOVATION on
+    # the pose blocks. Pred-vs-post alone underestimates Q by the filter gain
+    # (small gain -> small updates -> small learned Q -> small gain: the
+    # filter can never loosen an overconfident prior). The innovation
+    # xi_err = Log(T_pred^-1 T_odom) measures the actual per-scan prediction
+    # error (plus odom noise) independent of the gain.
+    dpsi_q, dnu_q = noise_ops.process_suffstats(
+        belief_pred.L, belief_pred.h, belief_post.L, belief_post.h,
+        cfg.eps_lift)
+    xi_err = dz_odom[IDX_POSE]
+    dpsi_q = dpsi_q.at[0, :3, :3].add(jnp.outer(xi_err[:3], xi_err[:3]))
+    dpsi_q = dpsi_q.at[1, :3, :3].add(jnp.outer(xi_err[3:6], xi_err[3:6]))
+
+    # ---- step 12b: map update at z_t ------------------------------------------
+    batch_t = mb.transform_to_world(batch, z_t, eps_lift=cfg.eps_lift)
+    atlas, c = atlas_ops.fuse(atlas, batch_t, assoc.responsibilities,
+                              assoc.cand_global_idx, assoc.cand_valid, seq, cfg)
+    certs.update(c)
+    nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
+    mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
+    meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
+    atlas, c = atlas_ops.insert(atlas, batch_t, nov, meas_keys, active_keys,
+                                slots, seq, cfg)
+    certs.update(c)
+    atlas, c = atlas_ops.cull(atlas, slots, cfg)
+    certs.update(c)
+    atlas = atlas_ops.forget(atlas, slots, cfg)
+    atlas, c = atlas_ops.merge_reduce(atlas, slots, cfg)
+    certs.update(c)
+
+    # ---- step 13: anchor drift -------------------------------------------------
+    belief_final, _, c = recompose_ops.anchor_drift_update(
+        belief_rec, z_lin_new, m0=cfg.anchor_drift_m0, r0=cfg.anchor_drift_r0,
+        eps_lift=cfg.eps_lift)
+    certs.update(c)
+
+    # ---- IW apply (once per scan) ----------------------------------------------
+    proc_noise, c = noise_ops.process_apply_suffstats(
+        state.process_noise, dpsi_q, dnu_q, cfg)
+    certs.update(c)
+    dpsi_meas = jnp.stack([dpsi_gyro, dpsi_accel, dpsi_lidar])
+    dnu_meas = jnp.ones((3,), dtype=dt)
+    meas_noise, c = noise_ops.measurement_apply_suffstats(
+        state.meas_noise, dpsi_meas, dnu_meas, cfg)
+    certs.update(c)
+
+    new_state = PipelineState(
+        belief=belief_final,
+        process_noise=proc_noise,
+        meas_noise=meas_noise,
+        atlas=atlas,
+        scan_seq=seq + 1,
+        prev_scan_t=scan.scan_start,
+    )
+    out = ScanOutput(pose=world_pose(belief_final, cfg.eps_lift),
+                     stamp=scan.scan_start, certs=certs)
+    return new_state, out
+
+
+def make_step(cfg: GCConfig):
+    """Jitted step function (cfg is closed over; shapes are static)."""
+    def step(state, scan):
+        return process_scan(state, scan, cfg)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
+    """lax.scan over a stacked ScanInput (leading time axis on every field).
+
+    Returns (final_state, ScanOutput with stacked fields). This is the single
+    compiled program for the whole bag (BASELINE.json north star).
+    """
+    def step(carry, scan):
+        new_state, out = process_scan(carry, scan, cfg)
+        return new_state, out
+    return jax.lax.scan(step, state, scans)
+
+
+def replay_jit(cfg: GCConfig):
+    return jax.jit(lambda state, scans: replay(state, scans, cfg),
+                   donate_argnums=(0,))

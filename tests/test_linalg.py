@@ -100,3 +100,43 @@ def test_sanitize():
     x = jnp.asarray([np.nan, np.inf, -np.inf, 1.5])
     y = np.asarray(linalg.sanitize(x, sentinel=1e6))
     np.testing.assert_allclose(y, [0.0, 1e6, -1e6, 1.5])
+
+
+class TestKabsch3x3:
+    def test_recovers_rotation(self, rng):
+        from fl_slam_tpu.core.linalg import kabsch3x3
+        from fl_slam_tpu.core import se3
+        import jax.numpy as jnp
+        rv = jnp.asarray([0.3, -0.2, 0.5])
+        R_true = se3.so3_exp(rv)
+        # scatter S = R_true @ SPD (polar form)
+        W = rng.standard_normal((3, 3))
+        A_true = W @ W.T + 3.0 * np.eye(3)
+        S = np.asarray(R_true) @ A_true
+        R, A = kabsch3x3(jnp.asarray(S))
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_true), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(A), A_true, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(R) @ np.asarray(R).T, np.eye(3),
+                                   atol=1e-8)
+        assert np.linalg.det(np.asarray(R)) > 0.99
+
+    def test_rank_deficient_total(self, rng):
+        from fl_slam_tpu.core.linalg import kabsch3x3
+        import jax.numpy as jnp
+        # rank-1 scatter (all directions identical)
+        d = np.array([0.0, 0.0, 1.0])
+        S = np.outer(d, d) * 5.0
+        R, A = kabsch3x3(jnp.asarray(S))
+        R = np.asarray(R)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(R) > 0.99
+        assert np.isfinite(np.asarray(A)).all()
+
+    def test_reflection_input_gives_proper_rotation(self):
+        from fl_slam_tpu.core.linalg import kabsch3x3
+        import jax.numpy as jnp
+        S = np.diag([2.0, 1.5, -1.0])  # det < 0
+        R, A = kabsch3x3(jnp.asarray(S))
+        R = np.asarray(R)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(R) > 0.99

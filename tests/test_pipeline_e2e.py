@@ -1,0 +1,129 @@
+"""End-to-end pipeline tests: synthetic bag -> lax.scan replay -> ATE gates.
+
+The canonical system test (SURVEY.md section 4 tier c): mirror of the
+reference's ``run_and_evaluate_gc.sh`` stage structure, on synthetic data.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.eval.metrics import ate, rpe
+from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
+from fl_slam_tpu.pipeline import init_state, process_scan, replay
+
+CFG = GCConfig.small()
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return simulate(CFG, n_scans=25, seed=3)
+
+
+@pytest.fixture(scope="module")
+def replay_result(dataset):
+    scans = to_scan_inputs(dataset, CFG)
+    anchor0 = jnp.asarray(dataset.gt_poses[0], dtype=CFG.jdtype)
+    state = init_state(CFG, anchor0=anchor0,
+                       t0=float(dataset.gt_stamps[0]) - 0.1)
+    final_state, outs = replay(state, scans, CFG)
+    return final_state, outs
+
+
+class TestReplay:
+    def test_poses_finite_and_shaped(self, dataset, replay_result):
+        _, outs = replay_result
+        poses = np.asarray(outs.pose)
+        assert poses.shape == (25, 6)
+        assert np.isfinite(poses).all()
+
+    def test_ate_within_gate(self, dataset, replay_result):
+        _, outs = replay_result
+        poses = np.asarray(outs.pose)
+        m = ate(poses, dataset.gt_poses, align="initial")
+        # Odometry noise is ~1 cm / 0.1 deg; the fused estimate must stay in
+        # that class over a 2 m / 2.5 s trajectory.
+        assert m["trans"]["rmse"] < 0.05, m
+        assert m["rot_deg"]["rmse"] < 0.5, m
+
+    def test_slam_beats_drifting_odometry(self):
+        """The SLAM gate: with drifting wheel odometry (honest covariance),
+        the fused estimate must beat raw odometry on BOTH metrics, and the
+        scan-to-map evidence must contribute (better than odom even though
+        odom is an input)."""
+        cfg = GCConfig.small()
+        ds = simulate(cfg, n_scans=50, seed=3, odom_drift_vel_scale=1.03,
+                      odom_drift_yaw_rate=0.01)
+        scans = to_scan_inputs(ds, cfg)
+        anchor0 = jnp.asarray(ds.gt_poses[0], dtype=cfg.jdtype)
+        state = init_state(cfg, anchor0=anchor0,
+                           t0=float(ds.gt_stamps[0]) - 0.1)
+        _, outs = replay(state, scans, cfg)
+        m = ate(np.asarray(outs.pose), ds.gt_poses, align="initial")
+        m_odom = ate(ds.scans["odom_pose"], ds.gt_poses, align="initial")
+        assert m["trans"]["rmse"] < m_odom["trans"]["rmse"], (m, m_odom)
+        assert m["rot_deg"]["rmse"] < m_odom["rot_deg"]["rmse"], (m, m_odom)
+
+    def test_rpe_within_gate(self, dataset, replay_result):
+        _, outs = replay_result
+        poses = np.asarray(outs.pose)
+        m = rpe(poses, dataset.gt_poses, delta_m=0.5)
+        assert m["trans"]["rmse"] < 0.05, m
+
+    def test_map_grows_then_stabilizes(self, dataset, replay_result):
+        final_state, outs = replay_result
+        from fl_slam_tpu.structures.atlas import total_count
+        n = int(total_count(final_state.atlas))
+        assert n > 0
+        inserted = np.asarray(outs.certs["map.inserted_count"])
+        # Early scans insert; after the map covers the corridor the per-scan
+        # insertions must fall (fuse explains re-observations).
+        assert inserted[:5].sum() > 0
+
+    def test_certs_finite(self, replay_result):
+        _, outs = replay_result
+        for k, v in outs.certs.items():
+            arr = np.asarray(v)
+            assert np.isfinite(arr).all(), f"cert {k} has non-finite entries"
+
+    def test_scan_seq_advances(self, replay_result):
+        final_state, _ = replay_result
+        assert int(final_state.scan_seq) == 25
+
+    def test_adaptive_noise_moves(self, replay_result):
+        final_state, _ = replay_result
+        import fl_slam_tpu.ops.noise as noise_ops
+        st0 = noise_ops.init_measurement_noise(CFG)
+        # IW states must have absorbed suffstats (nu grows with scans).
+        assert float(jnp.sum(final_state.meas_noise.nu)) > float(jnp.sum(st0.nu))
+
+    def test_replay_deterministic(self, dataset):
+        scans = to_scan_inputs(dataset, CFG)
+        anchor0 = jnp.asarray(dataset.gt_poses[0], dtype=CFG.jdtype)
+        t0 = float(dataset.gt_stamps[0]) - 0.1
+
+        def run():
+            st = init_state(CFG, anchor0=anchor0, t0=t0)
+            _, outs = replay(st, scans, CFG)
+            return np.asarray(outs.pose)
+
+        p1, p2 = run(), run()
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_single_step_matches_replay(self, dataset, replay_result):
+        """scan-by-scan process_scan == lax.scan replay (same trace)."""
+        _, outs = replay_result
+        scans = to_scan_inputs(dataset, CFG)
+        anchor0 = jnp.asarray(dataset.gt_poses[0], dtype=CFG.jdtype)
+        state = init_state(CFG, anchor0=anchor0,
+                           t0=float(dataset.gt_stamps[0]) - 0.1)
+        step = jax.jit(lambda s, sc: process_scan(s, sc, CFG))
+        poses = []
+        for i in range(3):
+            scan_i = jax.tree.map(lambda a: a[i], scans)
+            state, out = step(state, scan_i)
+            poses.append(np.asarray(out.pose))
+        np.testing.assert_allclose(np.stack(poses), np.asarray(outs.pose)[:3],
+                                   rtol=1e-8, atol=1e-10)
