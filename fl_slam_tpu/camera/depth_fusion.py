@@ -1,0 +1,159 @@
+"""LiDAR->camera depth evidence + PoE fusion into camera features (parity:
+reference ``frontend/sensors/lidar_camera_depth_fusion.py`` Routes A/B and
+``frontend/sensors/splat_prep.py`` ``splat_prep_fused``).
+
+Route A: project lidar points into the image, robust local depth sample
+around each feature. Route B: weighted local plane fit of the lidar
+neighborhood, ray-plane intersection depth. Mixture of experts in natural
+parameters: Lambda_ell = Lambda_A + Lambda_B, theta_ell likewise — always
+defined, -> 0 with no support (:389-442). Fusion: Lambda_f = Lambda_c +
+Lambda_ell (PoE in depth naturals), backproject (u, v, z_f) with closed-form
+covariance (:450-489).
+
+Host-side numpy (staging time), mirroring the reference's frontend placement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fl_slam_tpu.camera.features import (FeatureArrays, PinholeIntrinsics,
+                                         backprojection_cov)
+
+
+def lidar_depth_evidence(feat_uv: np.ndarray, feat_valid: np.ndarray,
+                         points_cam: np.ndarray, intr: PinholeIntrinsics, *,
+                         radius_px: float = 6.0, min_support: int = 3,
+                         sigma_lidar: float = 0.02):
+    """Per-feature lidar depth naturals (Lambda_ell, theta_ell) via Route A+B.
+
+    points_cam: (M, 3) lidar points in the CAMERA frame.
+    Returns (lambda_ell (N,), theta_ell (N,), support (N,)).
+    """
+    N = feat_uv.shape[0]
+    lam = np.zeros(N)
+    the = np.zeros(N)
+    sup = np.zeros(N, dtype=int)
+    front = points_cam[:, 2] > 0.05
+    p = points_cam[front]
+    if p.shape[0] == 0:
+        return lam, the, sup
+    u = intr.fx * p[:, 0] / p[:, 2] + intr.cx
+    v = intr.fy * p[:, 1] / p[:, 2] + intr.cy
+    inimg = (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height)
+    p, u, v = p[inimg], u[inimg], v[inimg]
+    if p.shape[0] == 0:
+        return lam, the, sup
+
+    for i in range(N):
+        if not feat_valid[i]:
+            continue
+        du = u - feat_uv[i, 0]
+        dv = v - feat_uv[i, 1]
+        near = du * du + dv * dv < radius_px ** 2
+        k = int(near.sum())
+        sup[i] = k
+        if k < min_support:
+            continue
+        q = p[near]
+        d2 = du[near] ** 2 + dv[near] ** 2
+        w = np.exp(-0.5 * d2 / (0.5 * radius_px) ** 2)
+
+        # Route A: robust (weighted-median-ish) local depth.
+        z_a = float(np.median(q[:, 2]))
+        mad = float(np.median(np.abs(q[:, 2] - z_a))) / 0.6745 + sigma_lidar
+        lam_a = 1.0 / (mad * mad)
+
+        # Route B: weighted plane fit + ray-plane intersection.
+        lam_b, z_b = 0.0, 0.0
+        if k >= 4:
+            c = np.average(q, axis=0, weights=w)
+            qc = q - c
+            C = (qc * w[:, None]).T @ qc / max(w.sum(), 1e-9)
+            evals, evecs = np.linalg.eigh(C)
+            n = evecs[:, 0]
+            ray = np.array([(feat_uv[i, 0] - intr.cx) / intr.fx,
+                            (feat_uv[i, 1] - intr.cy) / intr.fy, 1.0])
+            denom = float(ray @ n)
+            if abs(denom) > 1e-3:
+                t = float(c @ n) / denom
+                if t > 0.05:
+                    z_b = t           # depth along z since ray_z = 1
+                    perp_var = max(float(evals[0]), sigma_lidar ** 2)
+                    lam_b = abs(denom) ** 2 / perp_var
+
+        lam[i] = lam_a + lam_b
+        the[i] = lam_a * z_a + lam_b * z_b
+    return lam, the, sup
+
+
+def splat_prep_fused(feats: FeatureArrays, intr: PinholeIntrinsics,
+                     points_cam: np.ndarray | None = None, *,
+                     sigma_px: float = 1.0):
+    """PoE-fuse camera + lidar depth naturals and backproject.
+
+    Returns dict of fixed (N, ...) arrays for the camera slice:
+    xyz_cam, cov_cam, color, weight, valid, kappa_app, z_fused.
+    """
+    N = feats.uv.shape[0]
+    lam_ell = np.zeros(N)
+    the_ell = np.zeros(N)
+    if points_cam is not None and len(points_cam):
+        lam_ell, the_ell, _ = lidar_depth_evidence(
+            feats.uv, feats.valid, points_cam, intr)
+
+    lam_f = feats.depth_lambda + lam_ell
+    the_f = feats.depth_theta + the_ell
+    ok = feats.valid & (lam_f > 1e-9)
+    z_f = np.where(ok, the_f / np.maximum(lam_f, 1e-9), 0.0)
+    ok = ok & (z_f > 1e-2)
+
+    xyz = np.zeros((N, 3))
+    cov = np.zeros((N, 3, 3))
+    for i in range(N):
+        if not ok[i]:
+            continue
+        u, v = feats.uv[i]
+        z = z_f[i]
+        xyz[i] = [(u - intr.cx) * z / intr.fx, (v - intr.cy) * z / intr.fy, z]
+        cov[i] = backprojection_cov(u, v, z, intr, sigma_px,
+                                    1.0 / np.sqrt(lam_f[i]))
+    return {
+        "xyz_cam": xyz, "cov_cam": cov, "color": feats.color,
+        "weight": np.where(ok, feats.weight, 0.0), "valid": ok,
+        "kappa_app": feats.kappa_app, "z_fused": z_f,
+    }
+
+
+def camera_slice_fields(fused: dict, T_base_cam: np.ndarray, n_lobes: int):
+    """Fused camera features (camera frame) -> base-frame info-form fields for
+    ``MeasurementBatch.with_camera_features``
+    (parity: ``backend/camera_batch_utils.py`` feature_list_to_camera_batch).
+
+    T_base_cam: 4x4 camera->base extrinsic. Appearance lobe: unit view ray
+    (base frame) with kappa_app concentration.
+    """
+    R = np.asarray(T_base_cam)[:3, :3]
+    t = np.asarray(T_base_cam)[:3, 3]
+    N = fused["xyz_cam"].shape[0]
+    xyz_b = fused["xyz_cam"] @ R.T + t
+    cov_b = np.einsum("ij,njk,lk->nil", R, fused["cov_cam"], R)
+    Lam = np.zeros((N, 3, 3))
+    the = np.zeros((N, 3))
+    ok = fused["valid"]
+    for i in range(N):
+        if not ok[i]:
+            continue
+        Lam[i] = np.linalg.inv(cov_b[i] + 1e-9 * np.eye(3))
+        the[i] = Lam[i] @ xyz_b[i]
+    # Appearance: vMF lobe along the (reversed) viewing ray in base frame.
+    ray_c = fused["xyz_cam"] / np.maximum(
+        np.linalg.norm(fused["xyz_cam"], axis=1, keepdims=True), 1e-9)
+    dirs_b = -(ray_c @ R.T)
+    etas = np.zeros((N, n_lobes, 3))
+    etas[:, 0, :] = dirs_b * fused["kappa_app"][:, None] * ok[:, None]
+    return {
+        "Lambdas": Lam * ok[:, None, None], "thetas": the * ok[:, None],
+        "etas": etas, "weights": fused["weight"] * ok,
+        "valid": ok, "colors": np.clip(fused["color"], 0, 1),
+    }

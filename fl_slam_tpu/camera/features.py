@@ -1,0 +1,180 @@
+"""Host-side visual feature extraction (parity: reference
+``src/visual_feature_node.cpp`` — ORB with a fixed budget, grid spatial
+spread, robust median depth sampling, quadratic local depth fit, closed-form
+backprojection covariance, camera-depth natural parameters).
+
+Host preprocessing by design (SURVEY.md section 2.5): feature extraction is
+sensor I/O that runs once per bag at staging time; the fixed-size outputs
+feed the device pipeline's camera slice.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class PinholeIntrinsics(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+
+
+class FeatureArrays(NamedTuple):
+    """Fixed-size (n_feat, ...) feature outputs; invalid rows are zeroed."""
+
+    uv: np.ndarray            # (N, 2) pixel coords
+    z: np.ndarray             # (N,) fused median depth (m); 0 invalid
+    depth_lambda: np.ndarray  # (N,) camera-depth precision (1/m^2)
+    depth_theta: np.ndarray   # (N,) camera-depth info (lambda * z)
+    xyz_cam: np.ndarray       # (N, 3) backprojected point, camera frame
+    cov_cam: np.ndarray       # (N, 3, 3) closed-form backprojection cov
+    kappa_app: np.ndarray     # (N,) curvature-derived appearance concentration
+    color: np.ndarray         # (N, 3) RGB in [0, 1]
+    weight: np.ndarray        # (N,)
+    valid: np.ndarray         # (N,) bool
+
+
+def _grid_spread(kps, responses, width, height, n_keep, grid=16):
+    """Spatial spread: bucket keypoints into a grid, keep the strongest per
+    cell first (parity: the C++ node's hex-grid spread)."""
+    if len(kps) == 0:
+        return []
+    gx = np.clip((kps[:, 0] / max(width, 1) * grid).astype(int), 0, grid - 1)
+    gy = np.clip((kps[:, 1] / max(height, 1) * grid).astype(int), 0, grid - 1)
+    cell = gy * grid + gx
+    order = np.argsort(-responses)
+    chosen, seen_round = [], {}
+    # round-robin over cells by strength
+    by_cell = {}
+    for i in order:
+        by_cell.setdefault(cell[i], []).append(i)
+    rounds = max(len(v) for v in by_cell.values())
+    for r in range(rounds):
+        for cidx in sorted(by_cell):
+            lst = by_cell[cidx]
+            if r < len(lst):
+                chosen.append(lst[r])
+                if len(chosen) >= n_keep:
+                    return chosen
+    return chosen
+
+
+def _median3(depth, u, v):
+    h, w = depth.shape
+    u = int(round(u))
+    v = int(round(v))
+    u0, u1 = max(u - 1, 0), min(u + 2, w)
+    v0, v1 = max(v - 1, 0), min(v + 2, h)
+    patch = depth[v0:v1, u0:u1].reshape(-1)
+    good = patch[np.isfinite(patch) & (patch > 1e-3)]
+    return float(np.median(good)) if good.size else 0.0
+
+
+def _local_quadratic_depth(depth, u, v, rad=3):
+    """Robust local quadratic depth fit around (u, v): returns (z0, grad (2,),
+    curvature_mag, residual_var). MAD-weighted LSQ (the C++ node uses
+    Student-t weights; one MAD reweight is the same robustness class)."""
+    h, w = depth.shape
+    u = int(round(u))
+    v = int(round(v))
+    u0, u1 = max(u - rad, 0), min(u + rad + 1, w)
+    v0, v1 = max(v - rad, 0), min(v + rad + 1, h)
+    uu, vv = np.meshgrid(np.arange(u0, u1) - u, np.arange(v0, v1) - v)
+    zz = depth[v0:v1, u0:u1]
+    m = np.isfinite(zz) & (zz > 1e-3)
+    if m.sum() < 8:
+        return 0.0, np.zeros(2), 0.0, 1.0
+    x, y, z = uu[m].astype(float), vv[m].astype(float), zz[m].astype(float)
+    A = np.stack([np.ones_like(x), x, y, 0.5 * x * x, x * y, 0.5 * y * y],
+                 axis=1)
+    coef, *_ = np.linalg.lstsq(A, z, rcond=None)
+    r = z - A @ coef
+    mad = np.median(np.abs(r - np.median(r))) / 0.6745 + 1e-6
+    wgt = 1.0 / (1.0 + (r / (3.0 * mad)) ** 2)
+    Aw = A * wgt[:, None]
+    coef, *_ = np.linalg.lstsq(Aw, z * wgt, rcond=None)
+    r = z - A @ coef
+    res_var = float(np.sum(wgt * r * r) / max(np.sum(wgt), 1e-9))
+    curv = float(np.sqrt(coef[3] ** 2 + 2 * coef[4] ** 2 + coef[5] ** 2))
+    return float(coef[0]), coef[1:3], curv, max(res_var, 1e-8)
+
+
+def backprojection_cov(u, v, z, intr: PinholeIntrinsics, sigma_px: float,
+                       sigma_z: float) -> np.ndarray:
+    """Closed-form 3x3 covariance of backproject(u, v, z)
+    (parity: visual_feature_node.cpp closed-form backprojection covariance).
+
+    p = [ (u-cx) z / fx, (v-cy) z / fy, z ];  J = dp/d(u, v, z).
+    """
+    J = np.array([
+        [z / intr.fx, 0.0, (u - intr.cx) / intr.fx],
+        [0.0, z / intr.fy, (v - intr.cy) / intr.fy],
+        [0.0, 0.0, 1.0],
+    ])
+    S = np.diag([sigma_px ** 2, sigma_px ** 2, sigma_z ** 2])
+    return J @ S @ J.T
+
+
+def extract_features(rgb: np.ndarray, depth: np.ndarray,
+                     intr: PinholeIntrinsics, n_feat: int, *,
+                     sigma_px: float = 1.0,
+                     n_levels: int = 8) -> FeatureArrays:
+    """ORB(budget) -> grid spread -> median3 depth -> quadratic fit ->
+    backprojection covariance + depth naturals. rgb uint8 (H, W, 3),
+    depth float meters (H, W)."""
+    import cv2
+
+    gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+    orb = cv2.ORB_create(nfeatures=4 * n_feat, nlevels=n_levels)
+    kps = orb.detect(gray, None)
+
+    N = n_feat
+    out = FeatureArrays(
+        uv=np.zeros((N, 2)), z=np.zeros(N), depth_lambda=np.zeros(N),
+        depth_theta=np.zeros(N), xyz_cam=np.zeros((N, 3)),
+        cov_cam=np.zeros((N, 3, 3)), kappa_app=np.zeros(N),
+        color=np.full((N, 3), 0.5), weight=np.zeros(N),
+        valid=np.zeros(N, dtype=bool))
+    if not kps:
+        return out
+
+    pts = np.asarray([k.pt for k in kps])
+    resp = np.asarray([k.response for k in kps])
+    keep = _grid_spread(pts, resp, intr.width, intr.height, 3 * N)
+
+    j = 0
+    for i in keep:
+        if j >= N:
+            break
+        u, v = pts[i]
+        z_med = _median3(depth, u, v)
+        if z_med <= 1e-3:
+            continue
+        z0, grad, curv, res_var = _local_quadratic_depth(depth, u, v)
+        z_use = z_med if z0 <= 1e-3 else 0.5 * (z_med + z0)
+        lam_d = 1.0 / (res_var + (0.002 * z_use) ** 2)   # depth precision
+        sigma_z = 1.0 / np.sqrt(lam_d)
+        x = (u - intr.cx) * z_use / intr.fx
+        y = (v - intr.cy) * z_use / intr.fy
+        cov = backprojection_cov(u, v, z_use, intr, sigma_px, sigma_z)
+        ui, vi = int(round(u)), int(round(v))
+        col = rgb[min(vi, intr.height - 1), min(ui, intr.width - 1)] / 255.0
+        out.uv[j] = (u, v)
+        out.z[j] = z_use
+        out.depth_lambda[j] = lam_d
+        out.depth_theta[j] = lam_d * z_use
+        out.xyz_cam[j] = (x, y, z_use)
+        out.cov_cam[j] = cov
+        # appearance concentration from local curvature (flat -> high kappa)
+        out.kappa_app[j] = float(np.clip(10.0 / (1.0 + 50.0 * curv), 0.5,
+                                         100.0))
+        out.color[j] = col
+        out.weight[j] = float(resp[i] / (resp.max() + 1e-9))
+        out.valid[j] = True
+        j += 1
+    return out

@@ -209,7 +209,11 @@ class GCConfig:
     forgetting_factor: float = 0.995
     merge_threshold: float = 0.1
     k_merge_pairs: int = 4
-    merge_max_tile: int = 2048
+    # Merge candidates per tile = top-merge_max_tile by weight. The reference
+    # caps the O(M^2) pass at 2048 (and NO-OPS whenever the tile is larger, so
+    # merging never runs at production size); 256 keeps merge active at ~2 ms
+    # instead of ~340 ms on a v5e chip (the profiled top cost of the scan).
+    merge_max_tile: int = 256
     cull_weight_threshold: float = 1e-4
     kappa_min: float = 1e-3
     kappa_max: float = 1e4

@@ -43,6 +43,31 @@ def project_psd(A, eps: float = 1e-12):
     return out, mag
 
 
+def psd_guard(A, eps: float = 1e-12):
+    """Cheap PSD guard for matrices PSD BY CONSTRUCTION (sums/convex combos
+    of PSD terms, congruences): symmetrize + eps lift. Returns (A', 0.0).
+
+    Replaces eigh-based ``project_psd`` on the TPU hot path: a 22x22 eigh
+    costs ~3 ms AND ~170 s of XLA compile time per call site. Use
+    ``project_psd`` (eigh) only where the input can be genuinely indefinite
+    (sensor covariances, Laplace Hessians).
+    """
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    return A + eps * eye, jnp.zeros(A.shape[:-2], A.dtype)
+
+
+def project_psd3(A, eps: float = 1e-12):
+    """Exact-ish PSD floor for symmetric 3x3 via the analytic eigensolver:
+    diagonal lift by max(0, -lambda_min) + eps. Conservative (lifts all
+    eigenvalues equally) but closed-form — no LAPACK on TPU. Returns
+    (A', lift_magnitude)."""
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    lam_min = eigvalsh3x3(A)[..., 0]
+    lift = jnp.maximum(0.0, -lam_min) + eps
+    return A + lift[..., None, None] * jnp.eye(3, dtype=A.dtype), lift
+
+
 def spd_solve_lifted(A, b, eps: float = 1e-9):
     """Solve (A + eps I) x = b by Cholesky; total on PSD A.
 

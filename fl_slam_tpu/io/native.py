@@ -1,0 +1,142 @@
+"""ctypes bindings for the native CDR batch decoders (src/gcio.cpp).
+
+Falls back transparently to the pure-Python decoders in ``cdr.py`` when the
+shared library has not been built (``./build_native.sh``). The native path is
+the production bag-staging route: decoding 10^4-10^5 messages per bag in C++
+keeps host preprocessing off the critical path of >=100x-real-time replay.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from fl_slam_tpu.io import cdr
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        path = os.path.join(os.path.dirname(__file__), "libgcio.so")
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            f64p = ctypes.POINTER(ctypes.c_double)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.gcio_decode_imu_batch.restype = ctypes.c_int64
+            lib.gcio_decode_imu_batch.argtypes = [u8p, i64p, i64p,
+                                                  ctypes.c_int64, f64p]
+            lib.gcio_decode_odom_batch.restype = ctypes.c_int64
+            lib.gcio_decode_odom_batch.argtypes = [u8p, i64p, i64p,
+                                                   ctypes.c_int64, f64p]
+            lib.gcio_decode_pointcloud2.restype = ctypes.c_int64
+            lib.gcio_decode_pointcloud2.argtypes = [u8p, ctypes.c_int64, f64p,
+                                                    f32p, f32p, i32p,
+                                                    ctypes.c_int64]
+            _LIB = lib
+    return _LIB
+
+
+def have_native() -> bool:
+    return _lib() is not None
+
+
+def _pack(blobs):
+    offsets = np.zeros(len(blobs), dtype=np.int64)
+    sizes = np.asarray([len(b) for b in blobs], dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:]) if len(blobs) > 1 else None
+    blob = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    return blob, offsets, sizes
+
+
+def decode_imu_batch(blobs) -> np.ndarray:
+    """list of CDR buffers -> (N, 7) [stamp, gyro xyz, accel xyz]."""
+    lib = _lib()
+    n = len(blobs)
+    if lib is None:
+        out = np.zeros((n, 7))
+        for i, b in enumerate(blobs):
+            m = cdr.decode_imu(b)
+            out[i] = [m.stamp, *m.gyro, *m.accel]
+        return out
+    blob, offsets, sizes = _pack(blobs)
+    out = np.zeros((n, 7), dtype=np.float64)
+    done = lib.gcio_decode_imu_batch(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if done != n:
+        raise ValueError(f"native imu decode: {done}/{n} messages ok")
+    return out
+
+
+def decode_odom_batch(blobs) -> np.ndarray:
+    """list of CDR buffers -> (N, 86)
+    [stamp, pos3, quat4, pose_cov36, vel3, omega3, twist_cov36]."""
+    lib = _lib()
+    n = len(blobs)
+    if lib is None:
+        out = np.zeros((n, 86))
+        for i, b in enumerate(blobs):
+            m = cdr.decode_odometry(b)
+            out[i, 0] = m.stamp
+            out[i, 1:4] = m.position
+            out[i, 4:8] = m.quat_xyzw
+            out[i, 8:44] = m.pose_cov.reshape(-1)
+            out[i, 44:47] = m.vel_body
+            out[i, 47:50] = m.omega_body
+            out[i, 50:86] = m.twist_cov.reshape(-1)
+        return out
+    blob, offsets, sizes = _pack(blobs)
+    out = np.zeros((n, 86), dtype=np.float64)
+    done = lib.gcio_decode_odom_batch(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if done != n:
+        raise ValueError(f"native odom decode: {done}/{n} messages ok")
+    return out
+
+
+def decode_pointcloud2(buf: bytes, cap: int):
+    """One CDR buffer -> (stamp, xyz (n,3) f32, time (n,) f32, ring (n,) i32).
+
+    n <= cap (caller sizes cap to the sensor's max return count).
+    """
+    lib = _lib()
+    if lib is None:
+        msg = cdr.decode_pointcloud2(buf)
+        f = cdr.pointcloud2_fields(msg, ["x", "y", "z", "time", "t", "ring"])
+        n = min(msg.width * msg.height, cap)
+        xyz = np.stack([f["x"][:n], f["y"][:n], f["z"][:n]],
+                       axis=1).astype(np.float32)
+        t = f["time"] if f["time"] is not None else f["t"]
+        t = (t[:n].astype(np.float32) if t is not None
+             else np.zeros(n, np.float32))
+        ring = (f["ring"][:n].astype(np.int32) if f["ring"] is not None
+                else np.full(n, -1, np.int32))
+        return msg.stamp, xyz, t, ring
+    buf_np = np.frombuffer(buf, dtype=np.uint8)
+    stamp = np.zeros(1, dtype=np.float64)
+    xyz = np.zeros((cap, 3), dtype=np.float32)
+    t = np.zeros(cap, dtype=np.float32)
+    ring = np.zeros(cap, dtype=np.int32)
+    n = lib.gcio_decode_pointcloud2(
+        buf_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        stamp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ring.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    if n < 0:
+        raise ValueError("native pointcloud2 decode failed")
+    return float(stamp[0]), xyz[:n], t[:n], ring[:n]

@@ -1,0 +1,231 @@
+"""ROS 2 bag (sqlite3 ``.db3``) reader and scan-record builder.
+
+Replaces the reference's ROS runtime chain (rosbag play -> DDS -> sensor hub
+-> backend subscriptions, SURVEY.md section 3.1) with direct host-side
+staging: read the bag once, decode CDR (native C++ batch decoders when built,
+pure Python otherwise), apply the lidar->base extrinsic, window/pad IMU,
+select closest odometry, and emit a stacked ScanInput ready for one
+``device_put`` + ``lax.scan`` replay.
+
+Host preprocessing parity (``backend_node.py``):
+  - ``parse_pointcloud2_vlp16`` (:377-468): x/y/z + ring + per-point time,
+    non-finite -> +-sentinel, range-sigmoid weights;
+  - deterministic point-budget resample (ops/point_budget.py);
+  - IMU window slice + zero-pad to ``imu_len`` (:1927-1952);
+  - closest-odom selection (:1804-1847).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sqlite3
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.io import native
+
+
+def quat_xyzw_to_rotvec(q: np.ndarray) -> np.ndarray:
+    q = np.asarray(q, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    x, y, z, w = q
+    n = np.sqrt(x * x + y * y + z * z)
+    if n < 1e-12:
+        return np.zeros(3)
+    angle = 2.0 * np.arctan2(n, abs(w))
+    sign = 1.0 if w >= 0 else -1.0
+    return sign * np.array([x, y, z]) / n * angle
+
+
+class BagTopics(NamedTuple):
+    lidar: str
+    imu: str
+    odom: str
+
+
+class RosbagReader:
+    """Reads all messages of the needed topics from a ROS 2 bag directory."""
+
+    def __init__(self, bag_dir: str):
+        db_files = sorted(glob.glob(os.path.join(bag_dir, "*.db3")))
+        if not db_files:
+            raise FileNotFoundError(f"no .db3 files under {bag_dir}")
+        self.db_files = db_files
+
+    def topics(self) -> dict:
+        out = {}
+        for db in self.db_files:
+            con = sqlite3.connect(db)
+            for tid, name, typ in con.execute(
+                    "SELECT id, name, type FROM topics"):
+                out[name] = typ
+            con.close()
+        return out
+
+    def read_topic(self, topic: str):
+        """Yields (bag_timestamp_ns, blob) for every message on the topic."""
+        for db in self.db_files:
+            con = sqlite3.connect(db)
+            row = con.execute("SELECT id FROM topics WHERE name=?",
+                              (topic,)).fetchone()
+            if row is None:
+                con.close()
+                continue
+            tid = row[0]
+            for ts, data in con.execute(
+                    "SELECT timestamp, data FROM messages WHERE topic_id=? "
+                    "ORDER BY timestamp", (tid,)):
+                yield ts, data
+            con.close()
+
+
+def _range_weights(xyz: np.ndarray, cfg: GCConfig) -> np.ndarray:
+    """Range-sigmoid weights (parity: parse_pointcloud2_vlp16 weighting)."""
+    r = np.linalg.norm(xyz, axis=1)
+    lo = 1.0 / (1.0 + np.exp(-(r - cfg.range_weight_min_r)
+                             / max(cfg.range_weight_sigma, 1e-6)))
+    hi = 1.0 / (1.0 + np.exp((r - cfg.range_weight_max_r)
+                             / max(10.0 * cfg.range_weight_sigma, 1e-6)))
+    return (lo * hi).astype(np.float64)
+
+
+def _budget_resample(points, stamps, weights, n_cap):
+    """Deterministic stride subsample + mass-preserving rescale + pad
+    (parity: ops/point_budget.py, applied host-side at staging)."""
+    n_in = points.shape[0]
+    out_p = np.zeros((n_cap, 3), dtype=np.float64)
+    out_t = np.zeros((n_cap,), dtype=np.float64)
+    out_w = np.zeros((n_cap,), dtype=np.float64)
+    if n_in == 0:
+        return out_p, out_t, out_w
+    stride = max(1, -(-n_in // n_cap))
+    idx = np.arange(0, n_in, stride)[:n_cap]
+    total = weights.sum()
+    sel_w = weights[idx]
+    scale = total / max(sel_w.sum(), 1e-12)
+    out_p[:idx.size] = points[idx]
+    out_t[:idx.size] = stamps[idx]
+    out_w[:idx.size] = sel_w * scale
+    return out_p, out_t, out_w
+
+
+def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
+                      T_base_lidar: Optional[np.ndarray] = None,
+                      max_scans: Optional[int] = None,
+                      raw_point_cap: int = 60000) -> dict:
+    """Read a bag and build the stacked ScanInput dict (numpy, leading T).
+
+    T_base_lidar: optional 4x4 lidar->base extrinsic applied host-side
+    (parity: backend_node.py:1680).
+    """
+    reader = RosbagReader(bag_dir)
+    sentinel = cfg.nonfinite_sentinel
+
+    imu_blobs = [b for _, b in reader.read_topic(topics.imu)]
+    odom_blobs = [b for _, b in reader.read_topic(topics.odom)]
+    imu = native.decode_imu_batch(imu_blobs) if imu_blobs else np.zeros((0, 7))
+    odom = (native.decode_odom_batch(odom_blobs) if odom_blobs
+            else np.zeros((0, 86)))
+    imu_stamps_all = imu[:, 0]
+    odom_stamps_all = odom[:, 0]
+
+    R_bl = np.eye(3)
+    t_bl = np.zeros(3)
+    if T_base_lidar is not None:
+        R_bl = np.asarray(T_base_lidar)[:3, :3]
+        t_bl = np.asarray(T_base_lidar)[:3, 3]
+
+    recs = {k: [] for k in
+            ("points", "point_stamps", "point_weights", "scan_start",
+             "scan_end", "imu_stamps", "imu_gyro", "imu_accel", "odom_pose",
+             "odom_cov", "odom_vel_body", "odom_omega_body")}
+    prev_t = None
+    for _, blob in reader.read_topic(topics.lidar):
+        stamp, xyz, t_rel, ring = native.decode_pointcloud2(blob,
+                                                            raw_point_cap)
+        bad = ~np.isfinite(xyz).all(axis=1)
+        xyz = np.where(bad[:, None], np.sign(xyz) * sentinel, xyz)
+        xyz = np.nan_to_num(xyz, nan=sentinel, posinf=sentinel,
+                            neginf=-sentinel)
+        w = _range_weights(xyz, cfg) * (~bad)
+        p_base = xyz @ R_bl.T + t_bl
+        # Per-point absolute stamps: relative offsets when provided, else a
+        # uniform sweep over the nominal 0.1 s rotation.
+        if np.any(t_rel != 0):
+            t_abs = stamp + t_rel.astype(np.float64)
+        else:
+            t_abs = stamp + np.linspace(0.0, 0.1, max(len(xyz), 1))
+        pts, sts, ws = _budget_resample(p_base.astype(np.float64), t_abs, w,
+                                        cfg.n_points)
+
+        sweep_end = float(t_abs.max()) if len(t_abs) else stamp + 0.1
+        recs["points"].append(pts)
+        recs["point_stamps"].append(sts)
+        recs["point_weights"].append(ws)
+        recs["scan_start"].append(stamp)
+        recs["scan_end"].append(max(sweep_end, stamp + 1e-3))
+
+        # IMU window: everything in (prev_t - margin, sweep_end]; keep the
+        # LAST imu_len samples, zero-pad the tail.
+        t_lo = (prev_t if prev_t is not None else stamp - 1.0) - 0.05
+        sel = (imu_stamps_all > t_lo) & (imu_stamps_all <= sweep_end)
+        window = imu[sel][-cfg.imu_len:]
+        m = window.shape[0]
+        st = np.zeros(cfg.imu_len)
+        gy = np.zeros((cfg.imu_len, 3))
+        ac = np.zeros((cfg.imu_len, 3))
+        st[:m] = window[:, 0]
+        gy[:m] = window[:, 1:4]
+        ac[:m] = window[:, 4:7] * cfg.imu_accel_scale
+        recs["imu_stamps"].append(st)
+        recs["imu_gyro"].append(gy)
+        recs["imu_accel"].append(ac)
+
+        # Closest odometry to the scan clock.
+        if len(odom) > 0:
+            k = int(np.argmin(np.abs(odom_stamps_all - stamp)))
+            row = odom[k]
+            pose = np.concatenate([row[1:4], quat_xyzw_to_rotvec(row[4:8])])
+            cov = row[8:44].reshape(6, 6)
+            vel = row[44:47]
+            omg = row[47:50]
+        else:
+            # Missing odom: identity pose with huge covariance
+            # (parity: backend_node.py:1663-1666).
+            pose = np.zeros(6)
+            cov = np.eye(6) * 1e12
+            vel = np.zeros(3)
+            omg = np.zeros(3)
+        recs["odom_pose"].append(pose)
+        recs["odom_cov"].append(cov)
+        recs["odom_vel_body"].append(vel)
+        recs["odom_omega_body"].append(omg)
+
+        prev_t = stamp
+        if max_scans is not None and len(recs["scan_start"]) >= max_scans:
+            break
+
+    out = {k: np.asarray(v) for k, v in recs.items()}
+    # Camera slice placeholders (the Kimera camera path stages separately;
+    # zeros = no camera, every consumer masks on valid).
+    T = out["scan_start"].shape[0]
+    B = cfg.vmf_n_lobes
+    out.update({
+        "cam_Lambdas": np.zeros((T, cfg.n_feat, 3, 3)),
+        "cam_thetas": np.zeros((T, cfg.n_feat, 3)),
+        "cam_etas": np.zeros((T, cfg.n_feat, B, 3)),
+        "cam_weights": np.zeros((T, cfg.n_feat)),
+        "cam_valid": np.zeros((T, cfg.n_feat)),
+        "cam_colors": np.full((T, cfg.n_feat, 3), 0.5),
+    })
+    return out
+
+
+def to_scan_inputs(recs: dict, cfg: GCConfig):
+    import jax.numpy as jnp
+    from fl_slam_tpu.pipeline import ScanInput
+    return ScanInput(**{k: jnp.asarray(v, dtype=cfg.jdtype)
+                        for k, v in recs.items()})

@@ -27,6 +27,89 @@ class SyntheticDataset(NamedTuple):
     gt_stamps: np.ndarray  # (T,)
     world_points: np.ndarray  # (W, 3) the static world cloud
     world_normals: np.ndarray  # (W, 3)
+    planes: list         # analytic plane patches (for RGBD ray casting)
+
+
+class PlanePatch(NamedTuple):
+    center: np.ndarray   # (3,)
+    normal: np.ndarray   # (3,) unit
+    e1: np.ndarray       # (3,) in-plane axis
+    e2: np.ndarray       # (3,) in-plane axis
+    half1: float
+    half2: float
+
+
+def _texture(p):
+    """Procedural RGB texture from world position (gives ORB corners)."""
+    f = 2.5
+    a = np.sin(f * p[..., 0]) * np.sin(f * p[..., 1] + 1.3)
+    b = np.sin(1.7 * f * p[..., 1] + 0.4) * np.sin(1.3 * f * p[..., 2] + 2.1)
+    checker = ((np.floor(p[..., 0] * 2) + np.floor(p[..., 1] * 2)
+                + np.floor(p[..., 2] * 2)) % 2)
+    r = 0.35 + 0.3 * checker + 0.2 * a
+    g = 0.35 + 0.25 * (1 - checker) + 0.2 * b
+    bl = 0.4 + 0.25 * a * b
+    return np.clip(np.stack([r, g, bl], axis=-1), 0.0, 1.0)
+
+
+def render_rgbd(pose6, intr, planes, znear=0.15, zfar=25.0):
+    """Analytic RGBD of the plane-patch world from a camera pose
+    (camera: z forward, x right, y down). Returns (rgb uint8, depth f32)."""
+    R = _rotvec_R(pose6[3:6])
+    o = np.asarray(pose6[:3], dtype=np.float64)
+    H, W = intr.height, intr.width
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    d_cam = np.stack([(uu - intr.cx) / intr.fx,
+                      (vv - intr.cy) / intr.fy,
+                      np.ones_like(uu, dtype=np.float64)], axis=-1)
+    d_w = d_cam @ R.T                                   # (H, W, 3)
+    depth = np.full((H, W), np.inf)
+    hit_p = np.zeros((H, W, 3))
+    for pl in planes:
+        dn = d_w @ pl.normal
+        t = ((pl.center - o) @ pl.normal) / np.where(np.abs(dn) > 1e-9, dn,
+                                                     np.inf)
+        pw = o + t[..., None] * d_w
+        rel = pw - pl.center
+        ok = ((t > znear) & (t < zfar)
+              & (np.abs(rel @ pl.e1) <= pl.half1)
+              & (np.abs(rel @ pl.e2) <= pl.half2)
+              & (t < depth))
+        depth = np.where(ok, t, depth)
+        hit_p = np.where(ok[..., None], pw, hit_p)
+    got = np.isfinite(depth)
+    rgb = np.where(got[..., None], _texture(hit_p), 0.1)
+    rgb8 = (rgb * 255).astype(np.uint8)
+    d32 = np.where(got, depth, 0.0).astype(np.float32)
+    return rgb8, d32
+
+
+def _R_to_rotvec(R):
+    tr = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(tr)
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    s = max(2.0 * np.sin(th), 1e-12)
+    return w * (th / s)
+
+
+def _rotvec_R(rv):
+    rv = np.asarray(rv, dtype=np.float64)
+    th = np.linalg.norm(rv)
+    if th < 1e-12:
+        return np.eye(3)
+    k = rv / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+# camera->base extrinsic: cam z forward -> body x, cam x right -> body -y,
+# cam y down -> body -z; camera 0.3 m above body origin looking forward.
+T_BASE_CAM = np.array([
+    [0.0, 0.0, 1.0, 0.1],
+    [-1.0, 0.0, 0.0, 0.0],
+    [0.0, -1.0, 0.0, 0.3],
+    [0.0, 0.0, 0.0, 1.0],
+])
 
 
 def _yaw_rot(yaw):
@@ -91,7 +174,19 @@ def _make_world(rng, traj: _Trajectory, duration, n_ground=6000, n_wall=12000,
 
     The ground sits BELOW the sensor (ground_z < 0): a sensor lying inside an
     observed plane would make that plane's normal orientation unobservable.
+    Returns (points, normals, plane_patches).
     """
+    planes = []
+    # Ground patches along the corridor (analytic, for RGBD ray casting).
+    n_gseg = 10
+    for k in range(n_gseg):
+        t_k = duration * (k + 0.5) / n_gseg
+        c = traj.pos(t_k).copy()
+        c[2] = ground_z
+        planes.append(PlanePatch(center=c, normal=np.array([0.0, 0.0, 1.0]),
+                                 e1=np.array([1.0, 0.0, 0.0]),
+                                 e2=np.array([0.0, 1.0, 0.0]),
+                                 half1=corridor, half2=corridor))
     ts = rng.uniform(0.0, duration, n_ground)
     centers = traj.pos(ts)
     ground = centers + np.stack([
@@ -119,9 +214,14 @@ def _make_world(rng, traj: _Trajectory, duration, n_ground=6000, n_wall=12000,
         pts[:, 2] = w
         walls.append(pts)
         wall_ns.append(np.tile(-norm, (per, 1)))
+        wc = base.copy()
+        wc[2] = 0.85
+        planes.append(PlanePatch(center=wc, normal=-norm, e1=tang,
+                                 e2=np.array([0.0, 0.0, 1.0]),
+                                 half1=3.0, half2=1.25))
     world = np.concatenate([ground] + walls, axis=0)
     normals = np.concatenate([ground_n] + wall_ns, axis=0)
-    return world, normals
+    return world, normals, planes
 
 
 def simulate(cfg: GCConfig, n_scans: int = 60, scan_hz: float = 10.0,
@@ -133,14 +233,15 @@ def simulate(cfg: GCConfig, n_scans: int = 60, scan_hz: float = 10.0,
              odom_vel_noise: float = 0.01, odom_omega_noise: float = 0.002,
              odom_drift_vel_scale: float = 1.0, odom_drift_yaw_rate: float = 0.0,
              speed: float = 0.8, turn_rate: float = 0.15,
-             sweep_frac: float = 0.9) -> SyntheticDataset:
+             sweep_frac: float = 0.9, with_camera: bool = False,
+             cam_width: int = 320, cam_height: int = 240) -> SyntheticDataset:
     """Generate a stacked ScanInput dict + ground truth."""
     rng = np.random.default_rng(seed)
     traj = _Trajectory(speed=speed, turn_rate=turn_rate)
     period = 1.0 / scan_hz
     duration = n_scans * period
     sweep = sweep_frac * period
-    world, normals = _make_world(rng, traj, duration)
+    world, normals, planes = _make_world(rng, traj, duration)
     g_w = np.array([0.0, 0.0, -GRAVITY_MAG])
     bg = np.asarray(gyro_bias)
     ba = np.asarray(accel_bias)
@@ -150,8 +251,16 @@ def simulate(cfg: GCConfig, n_scans: int = 60, scan_hz: float = 10.0,
     T = n_scans
     f = np.float64
 
+    B = cfg.vmf_n_lobes
+    NF = cfg.n_feat
     out = {
         "points": np.zeros((T, N, 3), f),
+        "cam_Lambdas": np.zeros((T, NF, 3, 3), f),
+        "cam_thetas": np.zeros((T, NF, 3), f),
+        "cam_etas": np.zeros((T, NF, B, 3), f),
+        "cam_weights": np.zeros((T, NF), f),
+        "cam_valid": np.zeros((T, NF), f),
+        "cam_colors": np.full((T, NF, 3), 0.5, f),
         "point_stamps": np.zeros((T, N), f),
         "point_weights": np.zeros((T, N), f),
         "scan_start": np.zeros((T,), f),
@@ -244,9 +353,40 @@ def simulate(cfg: GCConfig, n_scans: int = 60, scan_hz: float = 10.0,
         out["odom_omega_body"][i] = (traj.omega_body(t0)
                                      + rng.normal(0, odom_omega_noise, 3))
 
+        # ---- camera (RGB-D) at the scan clock --------------------------------
+        if with_camera:
+            from fl_slam_tpu.camera.features import (PinholeIntrinsics,
+                                                     extract_features)
+            from fl_slam_tpu.camera.depth_fusion import (camera_slice_fields,
+                                                         splat_prep_fused)
+            intr = PinholeIntrinsics(fx=0.6 * cam_width, fy=0.6 * cam_width,
+                                     cx=cam_width / 2.0, cy=cam_height / 2.0,
+                                     width=cam_width, height=cam_height)
+            Tb = np.eye(4)
+            Tb[:3, :3] = R0
+            Tb[:3, 3] = traj.pos(t0)
+            Tc = Tb @ T_BASE_CAM
+            rv_c = _R_to_rotvec(Tc[:3, :3])
+            pose_c = np.concatenate([Tc[:3, 3], rv_c])
+            rgb, depth = render_rgbd(pose_c, intr, planes)
+            feats = extract_features(rgb, depth, intr, NF)
+            # lidar points (body frame at scan clock) -> camera frame
+            R_bc = T_BASE_CAM[:3, :3]
+            t_bc = T_BASE_CAM[:3, 3]
+            pts_cam = (out["points"][i] - t_bc) @ R_bc
+            fused = splat_prep_fused(feats, intr, pts_cam)
+            fields = camera_slice_fields(fused, T_BASE_CAM, B)
+            out["cam_Lambdas"][i] = fields["Lambdas"]
+            out["cam_thetas"][i] = fields["thetas"]
+            out["cam_etas"][i] = fields["etas"]
+            out["cam_weights"][i] = fields["weights"]
+            out["cam_valid"][i] = fields["valid"].astype(f)
+            out["cam_colors"][i] = fields["colors"]
+
     gt = traj.pose6(np.arange(T) * period)
     return SyntheticDataset(scans=out, gt_poses=gt, gt_stamps=gt_stamps,
-                            world_points=world, world_normals=normals)
+                            world_points=world, world_normals=normals,
+                            planes=planes)
 
 
 def to_scan_inputs(ds: SyntheticDataset, cfg: GCConfig):

@@ -43,7 +43,7 @@ COST_INVALID = 1e12
 class AssociationResult(NamedTuple):
     responsibilities: jnp.ndarray  # (N, K) transported mass pi
     cand_view_idx: jnp.ndarray     # (N, K) int32 rows of the map view
-    cand_global_idx: jnp.ndarray   # (N, K) int32 flat pool indices
+    cand_slab_idx: jnp.ndarray     # (N, K) int32 slab-flat indices (s*M+m)
     cand_valid: jnp.ndarray        # (N, K) bool
     row_masses: jnp.ndarray        # (N,) sum_k pi
     cost: jnp.ndarray              # (N, K) selected candidate costs
@@ -108,7 +108,7 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     C = -neg_cost                                              # (N, K)
     cand_view_idx = cand_view_idx.astype(jnp.int32)
     cand_valid = view.valid[cand_view_idx] & (C < 0.5 * COST_INVALID)
-    cand_global_idx = view.global_idx[cand_view_idx]
+    cand_slab_idx = view.slab_idx[cand_view_idx]
 
     # NOTE: the reference subtracts the per-row minimum cost here
     # (cost_subtract_row_min=True). That destroys absolute cost semantics:
@@ -166,7 +166,7 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     result = AssociationResult(
         responsibilities=pi,
         cand_view_idx=cand_view_idx,
-        cand_global_idx=cand_global_idx,
+        cand_slab_idx=cand_slab_idx,
         cand_valid=cand_valid,
         row_masses=row_masses,
         cost=C,

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from fl_slam_tpu.config import IDX_DT, IDX_EX, IDX_POSE, IDX_VEL
 from fl_slam_tpu.core.belief import Belief
-from fl_slam_tpu.core.linalg import project_psd
+from fl_slam_tpu.core.linalg import project_psd, psd_guard
 
 
 def power_tempering_beta(L_evidence_raw, ess_total, exc_total, *,
@@ -97,7 +97,7 @@ def fusion_alpha(cond_pose6, ess_total, nll_per_ess, dt_asym, z_to_xy,
 def info_fusion_additive(belief_pred: Belief, L_evidence, h_evidence, alpha, *,
                          eps_psd: float):
     """L_post = L_pred + alpha L_ev (PSD-projected); h likewise (fusion.py:150-230)."""
-    L_post, proj = project_psd(belief_pred.L + alpha * L_evidence, eps_psd)
+    L_post, proj = psd_guard(belief_pred.L + alpha * L_evidence, eps_psd)
     h_post = belief_pred.h + alpha * h_evidence
     certs = {
         "fusion.alpha": alpha * jnp.ones((), L_post.dtype),

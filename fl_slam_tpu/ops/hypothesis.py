@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from fl_slam_tpu.core.linalg import project_psd, spd_solve_lifted
+from fl_slam_tpu.core.linalg import psd_guard, spd_solve_lifted
 
 
 def barycenter_projection(L_stack, h_stack, z_lin_stack, weights, *,
@@ -22,7 +22,7 @@ def barycenter_projection(L_stack, h_stack, z_lin_stack, weights, *,
     floor_adjust = jnp.sum(jnp.abs(w - weights))
     w = w / jnp.sum(w)
 
-    L_out, proj = project_psd(jnp.einsum("k,kij->ij", w, L_stack), eps_psd)
+    L_out, proj = psd_guard(jnp.einsum("k,kij->ij", w, L_stack), eps_psd)
     h_out = jnp.einsum("k,ki->i", w, h_stack)
     z_lin_out = jnp.einsum("k,ki->i", w, z_lin_stack)
 

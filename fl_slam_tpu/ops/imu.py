@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from fl_slam_tpu.config import IDX_ROT, IDX_TRANS, IDX_VEL
 from fl_slam_tpu.core import se3
-from fl_slam_tpu.core.linalg import project_psd, spd_inverse_lifted
+from fl_slam_tpu.core.linalg import (project_psd3, psd_guard,
+                                     spd_inverse_lifted)
 from fl_slam_tpu.core.vmf import kappa_from_resultant
 from fl_slam_tpu.ops.embed import evidence_from_block
 
@@ -72,7 +73,15 @@ def mean_sample_period(stamps):
 
 def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
                  accel_bias, gravity_w):
-    """Fixed-length weighted IMU preintegration via ``lax.scan``.
+    """Fixed-length weighted IMU preintegration, parallelized.
+
+    Math identical to the reference's sequential ``lax.scan``
+    (imu_preintegration.py): per-sample R_{k} = R_{k-1} Exp(omega_k dt_k),
+    v_k = v_{k-1} + a_world_k dt_k, p_k = p_{k-1} + v_{k-1} dt_k + 1/2 a dt^2.
+    TPU-first: the rotation chain is a prefix product computed with
+    ``lax.associative_scan`` (log2(M) levels of batched 3x3 matmuls instead of
+    M sequential steps — ~6 ms -> sub-ms at M=512), and the v/p integrals
+    become cumulative sums over the resulting rotations.
 
     Returns a dict with delta quantities in the START BODY frame (the two
     frame-correctness rules of imu_preintegration.py:124-142):
@@ -81,31 +90,33 @@ def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
     """
     dt = imu_dt_intervals(stamps)
     R_start = se3.so3_exp(rotvec_start)
-    zero3 = jnp.zeros((3,), dtype=gyro.dtype)
+    dt_eff = weights * dt                                    # (M,)
+    omega = gyro - gyro_bias                                 # (M, 3)
+    a_body = accel - accel_bias                              # (M, 3)
 
-    def step(carry, inp):
-        R_k, v_k, p_k, s_wdt, s_ab, s_awn, s_aw = carry
-        g_i, a_i, dt_i, w_i = inp
-        dt_eff = w_i * dt_i
-        omega = g_i - gyro_bias
-        R_next = R_k @ se3.so3_exp(omega * dt_eff)
-        a_body = a_i - accel_bias
-        a_world_nog = R_k @ a_body
-        a_world = a_world_nog + gravity_w
-        v_next = v_k + a_world * dt_eff
-        p_next = p_k + v_k * dt_eff + 0.5 * a_world * dt_eff * dt_eff
-        return (
-            R_next, v_next, p_next,
-            s_wdt + dt_eff,
-            s_ab + a_body * dt_eff,
-            s_awn + a_world_nog * dt_eff,
-            s_aw + a_world * dt_eff,
-        ), None
+    # Prefix rotation products: P_k = dR_1 ... dR_k (inclusive).
+    dR = se3.so3_exp(omega * dt_eff[:, None])                # (M, 3, 3)
+    P = jax.lax.associative_scan(lambda a, b: a @ b, dR)     # left-to-right
+    # R before step k (exclusive prefix): R_start @ P_{k-1}.
+    eyeM = jnp.broadcast_to(jnp.eye(3, dtype=gyro.dtype), dR.shape)
+    P_excl = jnp.concatenate([eyeM[:1], P[:-1]], axis=0)
+    R_before = jnp.einsum("ij,mjk->mik", R_start, P_excl)    # (M, 3, 3)
 
-    carry0 = (R_start, zero3, zero3, jnp.zeros((), gyro.dtype), zero3, zero3, zero3)
-    (R_end, v_end, p_end, s_wdt, s_ab, s_awn, s_aw), _ = jax.lax.scan(
-        step, carry0, (gyro, accel, dt, weights)
-    )
+    a_world_nog = jnp.einsum("mij,mj->mi", R_before, a_body)
+    a_world = a_world_nog + gravity_w[None, :]
+
+    dv = a_world * dt_eff[:, None]                           # (M, 3)
+    v_cum = jnp.cumsum(dv, axis=0)
+    v_before = v_cum - dv                                    # exclusive
+    dp = v_before * dt_eff[:, None] + 0.5 * a_world * dt_eff[:, None] ** 2
+    p_end = jnp.sum(dp, axis=0)
+    v_end = v_cum[-1]
+    R_end = R_start @ P[-1]
+
+    s_wdt = jnp.sum(dt_eff)
+    s_ab = jnp.sum(a_body * dt_eff[:, None], axis=0)
+    s_awn = jnp.sum(a_world_nog * dt_eff[:, None], axis=0)
+    s_aw = jnp.sum(a_world * dt_eff[:, None], axis=0)
 
     delta_R = R_start.T @ R_end
     rotvec_delta = se3.so3_log(delta_R)
@@ -183,7 +194,7 @@ def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
     eye = jnp.eye(3, dtype=dtype)
     H = kappa * (x_dot_mu * eye - 0.5 * (jnp.outer(xbar, mu0) + jnp.outer(mu0, xbar)))
     H = 0.5 * (H + H.T)
-    H_psd, proj = project_psd(H, eps_psd)
+    H_psd, proj = project_psd3(H, eps_psd)
 
     L, h = evidence_from_block(IDX_ROT, H_psd, -g_rot, dtype)
     certs = {
@@ -255,7 +266,7 @@ def gyro_rotation_evidence(rotvec_start, rotvec_end_pred, delta_rotvec_meas,
     dt_eff = dt_pos + eps_mass
     mass_scale = dt_pos / dt_eff
 
-    Sigma_rot, proj = project_psd(sigma_g * dt_eff, eps_psd)
+    Sigma_rot, proj = psd_guard(sigma_g * dt_eff, eps_psd)
     L_rot, lift = spd_inverse_lifted(Sigma_rot, eps_lift)
     L_rot = mass_scale * L_rot
 
@@ -296,11 +307,11 @@ def preintegration_factor(p_start, rotvec_start, v_start, p_end_pred, v_end_pred
     mass_scale = dt_pos / dt_eff
 
     eye3 = jnp.eye(3, dtype=dtype)
-    Sv, proj_v = project_psd(sigma_a * dt_eff
-                             + (sigma_ba * dt_eff) ** 2 * eye3, eps_psd)
-    Sp, proj_p = project_psd(sigma_a * dt_eff ** 3
-                             + (0.5 * sigma_ba * dt_eff ** 2) ** 2 * eye3,
-                             eps_psd)
+    Sv, proj_v = psd_guard(sigma_a * dt_eff
+                           + (sigma_ba * dt_eff) ** 2 * eye3, eps_psd)
+    Sp, proj_p = psd_guard(sigma_a * dt_eff ** 3
+                           + (0.5 * sigma_ba * dt_eff ** 2) ** 2 * eye3,
+                           eps_psd)
     L_v, lift_v = spd_inverse_lifted(Sv, eps_lift)
     L_p, lift_p = spd_inverse_lifted(Sp, eps_lift)
     L_v = mass_scale * L_v
@@ -335,7 +346,7 @@ def gyro_iw_suffstats(gyro, weights, gyro_bias, omega_avg, dt_imu, *,
     w = weights / (jnp.sum(weights) + eps_mass)
     r = (gyro - gyro_bias) - omega_avg
     rrT = jnp.einsum("m,mi,mj->ij", w, r, r)
-    rrT, _ = project_psd(0.5 * (rrT + rrT.T), eps_psd)
+    rrT, _ = psd_guard(rrT, eps_psd)
     return rrT * jnp.maximum(dt_imu, 1e-12)
 
 
@@ -348,7 +359,7 @@ def accel_iw_suffstats(rotvec_wb, accel, weights, accel_bias, gravity_w, dt_imu,
     w = weights / (jnp.sum(weights) + eps_mass)
     r = (accel - accel_bias) - f_pred
     rrT = jnp.einsum("m,mi,mj->ij", w, r, r)
-    rrT, _ = project_psd(0.5 * (rrT + rrT.T), eps_psd)
+    rrT, _ = psd_guard(rrT, eps_psd)
     return rrT * jnp.maximum(dt_imu, 1e-12)
 
 

@@ -29,7 +29,8 @@ from fl_slam_tpu.config import (
     IDX_VEL,
     D_Z,
 )
-from fl_slam_tpu.core.linalg import project_psd, spd_inverse_lifted, spd_solve_lifted
+from fl_slam_tpu.core.linalg import (project_psd, project_psd3, psd_guard,
+                                     spd_inverse_lifted, spd_solve_lifted)
 
 _BLOCK_DIMS = (3, 3, 3, 3, 3, 1, 6)
 _BLOCK_STARTS = (0, 3, 6, 9, 12, 15, 16)
@@ -90,14 +91,14 @@ def process_noise_to_Q(state: ProcessNoiseIW, eps_psd: float):
     Q = jnp.zeros((D_Z, D_Z), dtype)
     for i, (d, start) in enumerate(zip(_BLOCK_DIMS, _BLOCK_STARTS)):
         Q = Q.at[start:start + d, start:start + d].set(blocks[i, :d, :d])
-    Q_psd, _ = project_psd(Q, eps_psd)
+    Q_psd, _ = psd_guard(Q, eps_psd)
     return Q_psd
 
 
 def measurement_noise_mean(state: MeasurementNoiseIW, idx: int, eps_psd: float):
     """Operational covariance: IW mode Sigma = Psi / (nu + p + 1), always defined."""
     denom = state.nu[idx] + 3.0 + 1.0
-    S, _ = project_psd(state.psi[idx] / denom, eps_psd)
+    S, _ = psd_guard(state.psi[idx] / denom, eps_psd)
     return S
 
 
@@ -135,7 +136,7 @@ def process_apply_suffstats(state: ProcessNoiseIW, dpsi, dnu, cfg: GCConfig,
                        cfg.iw_rho_bg, cfg.iw_rho_ba, cfg.iw_rho_dt,
                        cfg.iw_rho_ex], dtype)
     psi_raw = (rho[:, None, None] * state.psi + dpsi) * _block_masks(dtype)
-    psi_psd, proj = jax.vmap(lambda P: project_psd(P, cfg.eps_psd))(psi_raw)
+    psi_psd, proj = psd_guard(psi_raw, cfg.eps_psd)
 
     dims = jnp.asarray(_BLOCK_DIMS, dtype)
     nu_min = dims + 1.0 + cfg.iw_nu_weak_add
@@ -151,8 +152,7 @@ def measurement_apply_suffstats(state: MeasurementNoiseIW, dpsi, dnu,
     rho = jnp.asarray([cfg.iw_rho_meas_gyro, cfg.iw_rho_meas_accel,
                        cfg.iw_rho_meas_lidar], dtype)
     psi_raw = rho[:, None, None] * state.psi + dpsi
-    psi_raw = 0.5 * (psi_raw + jnp.swapaxes(psi_raw, -1, -2))
-    psi_psd, proj = jax.vmap(lambda P: project_psd(P, cfg.eps_psd))(psi_raw)
+    psi_psd, proj = psd_guard(psi_raw, cfg.eps_psd)
 
     nu_min = jnp.asarray([3.0, 3.0, 3.0], dtype) + 1.0 + cfg.iw_nu_weak_add
     nu = _smooth_nu_clip(rho * state.nu + dnu, nu_min, nu_max)
@@ -164,5 +164,5 @@ def lidar_iw_suffstats(residuals, weights, eps_mass: float, eps_psd: float):
     """LiDAR translation suffstats: weighted average outer product (3,3)."""
     w = weights / (jnp.sum(weights) + eps_mass)
     rrT = jnp.einsum("b,bi,bj->ij", w, residuals, residuals)
-    rrT, _ = project_psd(0.5 * (rrT + rrT.T), eps_psd)
+    rrT, _ = psd_guard(rrT, eps_psd)
     return rrT

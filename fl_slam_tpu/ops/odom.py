@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from fl_slam_tpu.config import D_Z, IDX_POSE, IDX_ROT, IDX_TRANS, IDX_VEL
 from fl_slam_tpu.core import se3
-from fl_slam_tpu.core.linalg import project_psd, spd_inverse_lifted
+from fl_slam_tpu.core.linalg import project_psd3, psd_guard, spd_inverse_lifted
 from fl_slam_tpu.ops.embed import evidence_from_block, evidence_from_scalar
 
 
@@ -22,7 +22,8 @@ def quadratic_pose_evidence(pose_pred, odom_pose, odom_cov, *, eps_psd: float,
     # xi_err = Log(T_pred^{-1} ∘ T_odom): the increment that moves the
     # prediction onto the odom measurement (right chart).
     xi_err = se3.se3_log(se3.se3_relative(pose_pred, odom_pose))
-    cov_psd, proj = project_psd(odom_cov, eps_psd)
+    cov_psd = 0.5 * (odom_cov + odom_cov.T)
+    cov_psd, proj = psd_guard(cov_psd, eps_psd)  # external input; diag covs in practice
     L_pose, lift = spd_inverse_lifted(cov_psd, eps_lift)
     L, h = evidence_from_block(IDX_POSE, L_pose, L_pose @ xi_err, dtype)
     certs = {
@@ -41,7 +42,7 @@ def velocity_evidence(v_pred_world, rotvec_wb, v_odom_body, sigma_v, *,
     dtype = v_pred_world.dtype
     R = se3.so3_exp(rotvec_wb)
     r_vel = v_odom_body - R.T @ v_pred_world
-    S, proj = project_psd(sigma_v, eps_psd)
+    S, proj = psd_guard(sigma_v, eps_psd)
     L3, lift = spd_inverse_lifted(S, eps_lift)
     # The state block is WORLD velocity: residual Jacobian J = -R^T, so
     # L_w = R Sigma^-1 R^T and h_w = L_w (R r) — without the conjugation the
@@ -81,8 +82,8 @@ def pose_twist_consistency(pose_prev, pose_curr, v_body, omega_body, dt,
     r_rot = omega_body * dt - se3.so3_log(R_prev.T @ R_curr)
 
     dt2 = dt * dt + eps_psd
-    St, proj_t = project_psd(dt2 * sigma_v, eps_psd)
-    Sr, proj_r = project_psd(dt2 * sigma_omega, eps_psd)
+    St, proj_t = psd_guard(dt2 * sigma_v, eps_psd)
+    Sr, proj_r = psd_guard(dt2 * sigma_omega, eps_psd)
     Lt, lift_t = spd_inverse_lifted(St, eps_lift)
     Lr, lift_r = spd_inverse_lifted(Sr, eps_lift)
 

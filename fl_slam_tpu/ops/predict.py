@@ -27,7 +27,7 @@ from fl_slam_tpu.config import D_Z, IDX_POSE, IDX_TRANS, IDX_VEL
 from fl_slam_tpu.core import se3
 from fl_slam_tpu.core.belief import Belief
 from fl_slam_tpu.core.linalg import (
-    project_psd,
+    psd_guard,
     spd_inverse_lifted,
     spd_solve_lifted,
     cond_proxy,
@@ -83,9 +83,9 @@ def predict_diffusion(b: Belief, Q, dt_sec, *, lambda_ou: float, eps_psd: float,
     diff_coeff = (1.0 - exp_factor) / (2.0 * lambda_ou + 1e-300)
     cov_pred = exp_factor * cov_prop + diff_coeff * Q
 
-    cov_pred_psd, proj_cov = project_psd(cov_pred, eps_psd)
+    cov_pred_psd, proj_cov = psd_guard(cov_pred, eps_psd)
     L_pred, lift_inv = spd_inverse_lifted(cov_pred_psd, eps_lift)
-    L_pred_psd, proj_L = project_psd(L_pred, eps_psd)
+    L_pred_psd, proj_L = psd_guard(L_pred, eps_psd)
     h_pred = jnp.einsum("...ij,...j->...i", L_pred_psd, mean_pred)
 
     certs = {

@@ -1,6 +1,6 @@
 """The per-scan inference step and bag replay (parity: reference
 ``backend/pipeline.py:316-1591`` ``process_scan_single_hypothesis`` +
-``backend_node.py`` orchestration).
+``backend_node.py`` orchestration + ``process_hypotheses``).
 
 TPU-first architecture (SURVEY.md section 7.1): the entire 14-step fixed-cost
 pipeline is ONE pure function ``process_scan(state, scan, cfg)`` with static
@@ -8,26 +8,37 @@ shapes, compiled once and driven by ``lax.scan`` over the pre-staged bag
 (``replay``). There is no ROS, no threads, no host round-trips: certificates
 are device scalars collected per scan and returned as stacked arrays.
 
+Multi-hypothesis: the K_HYP hypothesis bank is a leading vmap axis on the
+belief (the reference loops a Python list, ``backend_node.py:2036``). The
+22D algebra (predict -> evidence -> fuse -> recompose -> anchor drift) is
+vmapped per hypothesis; the measurement-side branch (deskew, surfels, map
+view, OT association, visual evidence residuals) is computed once at
+hypothesis 0's linearization point and shared — exactly the reference's
+behavior, where all hypotheses see identical inputs and the map is updated
+from hypothesis 0 only (``backend_node.py:2079``). Per-scan the bank is
+combined by the information barycenter for the published pose, and IW
+sufficient statistics are hypothesis-weight-averaged before the single
+per-scan apply.
+
 Step map (reference step -> here):
    1 point budget        host/io layer (ops.point_budget, applied at staging)
-   2 predict             ops.predict.predict_diffusion
+   2 predict             ops.predict.predict_diffusion (mechanized; vmapped)
    3 soft IMU windows    ops.imu.smooth_window_weights x2
    4 preintegration x2   ops.imu.preintegrate (lax.scan over imu_len)
    5 deskew              ops.deskew.deskew_constant_twist (batched)
-   6 IMU+odom evidence   ops.imu / ops.odom / ops.priors -> L_io, h_io, z_lin
+   6 IMU+odom evidence   ops.imu / ops.odom / ops.priors (vmapped over K)
    7 map branch          ops.surfels -> structures.atlas view -> ops.association
-                         (runs AFTER z_lin; the measurement batch is world-
-                         transformed at z_lin before association — the
-                         reference associates body-frame against world-frame,
-                         see ops/association.py docstring)
-   8 visual evidence     ops.visual_evidence at z_lin
-   9 tempering           ops.fusion.power_tempering_beta
+                         at hypothesis 0's z_lin (world frame; see
+                         ops/association.py docstring)
+   8 visual evidence     ops.visual_evidence at z_lin[0]; absolute lift per hyp
+   9 tempering           ops.fusion.power_tempering_beta (vmapped)
   10 trust alpha         ops.fusion.fusion_alpha (constant 1 at ref. config)
-  11 additive fusion     ops.fusion.info_fusion_additive
-  12 recompose           ops.recompose.frobenius_recompose (+ process IW stats)
-  12b map update         atlas.fuse / insert / cull / forget / merge at z_t
-  13 anchor drift        ops.recompose.anchor_drift_update
-  14 certs               merged dict of device scalars
+  11 additive fusion     ops.fusion.info_fusion_additive (vmapped)
+  12 recompose           ops.recompose.frobenius_recompose (vmapped)
+  12b map update         atlas.fuse / insert / cull / forget / merge at z_t[0]
+  13 anchor drift        ops.recompose.anchor_drift_update (vmapped)
+  14 certs               hypothesis-0 slice of the vmapped cert dicts
+  15 hypothesis combine  ops.hypothesis.barycenter_projection
   (IW apply once/scan)   ops.noise.process/measurement_apply_suffstats
 """
 
@@ -42,7 +53,10 @@ from fl_slam_tpu.config import (
     GCConfig, GRAVITY_W, IDX_BA, IDX_BG, IDX_DT, IDX_POSE, IDX_VEL,
 )
 from fl_slam_tpu.core import se3
-from fl_slam_tpu.core.belief import Belief, identity_belief, mean_increment, world_pose
+from fl_slam_tpu.core.belief import (
+    Belief, floor_and_normalize_weights, identity_belief, mean_increment,
+    world_pose,
+)
 from fl_slam_tpu.core.hexgrid import (
     stencil_offsets_3d, stencil_tile_keys, tile_keys_from_xyz, xyz_to_tile_axial,
 )
@@ -50,6 +64,7 @@ from fl_slam_tpu.core.linalg import spd_inverse_lifted, spd_solve_lifted
 from fl_slam_tpu.ops import association as assoc_ops
 from fl_slam_tpu.ops import deskew as deskew_ops
 from fl_slam_tpu.ops import fusion as fusion_ops
+from fl_slam_tpu.ops import hypothesis as hyp_ops
 from fl_slam_tpu.ops import imu as imu_ops
 from fl_slam_tpu.ops import noise as noise_ops
 from fl_slam_tpu.ops import odom as odom_ops
@@ -79,12 +94,20 @@ class ScanInput(NamedTuple):
     odom_cov: jnp.ndarray       # (6, 6)
     odom_vel_body: jnp.ndarray  # (3,)
     odom_omega_body: jnp.ndarray  # (3,)
+    # Camera slice (RGB-D visual features; zeros when no camera). Base frame.
+    cam_Lambdas: jnp.ndarray    # (n_feat, 3, 3)
+    cam_thetas: jnp.ndarray     # (n_feat, 3)
+    cam_etas: jnp.ndarray       # (n_feat, B, 3)
+    cam_weights: jnp.ndarray    # (n_feat,)
+    cam_valid: jnp.ndarray      # (n_feat,) 1.0/0.0
+    cam_colors: jnp.ndarray     # (n_feat, 3)
 
 
 class PipelineState(NamedTuple):
     """The lax.scan carry: everything that persists across scans."""
 
-    belief: Belief
+    belief: Belief              # K_HYP-stacked hypothesis bank
+    hyp_weights: jnp.ndarray    # (K_HYP,)
     process_noise: noise_ops.ProcessNoiseIW
     meas_noise: noise_ops.MeasurementNoiseIW
     atlas: atlas_ops.AtlasMap
@@ -93,8 +116,8 @@ class PipelineState(NamedTuple):
 
 
 class ScanOutput(NamedTuple):
-    pose: jnp.ndarray           # (6,) world [t, rotvec] after recompose
-    stamp: jnp.ndarray          # () scan_end
+    pose: jnp.ndarray           # (6,) barycenter world pose [t, rotvec]
+    stamp: jnp.ndarray          # () scan clock
     certs: dict                 # flat dict of device scalars
 
 
@@ -121,8 +144,11 @@ def initial_belief(cfg: GCConfig, anchor0=None) -> Belief:
 
 def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
                t0: float = 0.0) -> PipelineState:
+    one = initial_belief(cfg, anchor0=anchor0)
+    bank = jax.tree.map(lambda a: jnp.stack([a] * cfg.k_hyp), one)
     return PipelineState(
-        belief=initial_belief(cfg, anchor0=anchor0),
+        belief=bank,
+        hyp_weights=jnp.full((cfg.k_hyp,), 1.0 / cfg.k_hyp, dtype=cfg.jdtype),
         process_noise=noise_ops.init_process_noise(cfg),
         meas_noise=noise_ops.init_measurement_noise(cfg),
         atlas=atlas_ops.empty_atlas(cfg),
@@ -135,23 +161,23 @@ def process_scan(state: PipelineState, scan: ScanInput,
                  cfg: GCConfig) -> tuple[PipelineState, ScanOutput]:
     dt = cfg.jdtype
     certs: dict = {}
-    belief_prev = state.belief
     seq = state.scan_seq
+    bel0_prev = jax.tree.map(lambda a: a[0], state.belief)
 
     dt_sec = jnp.clip(scan.scan_start - state.prev_scan_t, 1e-4, 20.0)
     gravity_w = jnp.asarray(GRAVITY_W, dtype=dt) * cfg.imu_gravity_scale
 
-    # ---- step 3: soft IMU windows (sigma from dt uncertainty) ---------------
+    # ---- steps 3-4 (shared): soft IMU windows + preintegration ---------------
     # Windows + preintegration run BEFORE predict so the preintegrated deltas
-    # can mechanize the prediction mean (biases/rotation from belief_prev,
-    # whose mean the reference's static predict preserves anyway).
-    pose_prev = world_pose(belief_prev, cfg.eps_lift)
-    mu_prev = mean_increment(belief_prev, cfg.eps_lift)
-    gyro_bias = mu_prev[IDX_BG]
-    accel_bias = mu_prev[IDX_BA]
-    rotvec0 = pose_prev[3:6]
+    # can mechanize the prediction mean. Biases/start rotation come from
+    # hypothesis 0 (all hypotheses see identical inputs; reference behavior).
+    pose_prev0 = world_pose(bel0_prev, cfg.eps_lift)
+    mu_prev0 = mean_increment(bel0_prev, cfg.eps_lift)
+    gyro_bias = mu_prev0[IDX_BG]
+    accel_bias = mu_prev0[IDX_BA]
+    rotvec0 = pose_prev0[3:6]
 
-    Sigma_prev, _ = spd_inverse_lifted(belief_prev.L, cfg.eps_lift)
+    Sigma_prev, _ = spd_inverse_lifted(bel0_prev.L, cfg.eps_lift)
     dt_std = jnp.sqrt(jnp.maximum(Sigma_prev[IDX_DT.start, IDX_DT.start], 0.0))
     # Window softness lives on the sensor time-offset scale (10-50 ms). The
     # reference only floors this (pipeline.py:438); without a ceiling a weak
@@ -164,7 +190,6 @@ def process_scan(state: PipelineState, scan: ScanInput,
     w_int = imu_ops.smooth_window_weights(
         scan.imu_stamps, state.prev_scan_t, scan.scan_start, sigma_warp) * imu_valid
 
-    # ---- step 4: preintegration x2 ------------------------------------------
     pre_scan = imu_ops.preintegrate(scan.imu_stamps, scan.imu_gyro,
                                     scan.imu_accel, w_scan, rotvec0,
                                     gyro_bias, accel_bias, gravity_w)
@@ -172,29 +197,6 @@ def process_scan(state: PipelineState, scan: ScanInput,
                                    scan.imu_accel, w_int, rotvec0,
                                    gyro_bias, accel_bias, gravity_w)
 
-    # ---- step 2: mechanized predict ------------------------------------------
-    Q = noise_ops.process_noise_to_Q(state.process_noise, cfg.eps_psd)
-    # The soft membership window attenuates the preintegrated deltas by its
-    # sigmoid edges (by design for evidence; wrong for mechanization, where it
-    # would systematically shrink the predicted motion). Rescale by actual
-    # IMU coverage over effective weighted time — exact under the constant-
-    # twist assumption the deskew already makes.
-    dt_int_pre = imu_ops.integration_time(scan.imu_stamps, state.prev_scan_t,
-                                          scan.scan_start)
-    cover = jnp.clip(dt_int_pre / jnp.maximum(pre_int["dt_eff_sum"],
-                                              cfg.eps_mass), 1.0, 2.0)
-    motion = predict_ops.MotionDelta(
-        delta_rotvec=pre_int["delta_pose"][3:6] * cover,
-        delta_p_body=pre_int["delta_p"] * cover * cover,
-        delta_v_body=pre_int["delta_v"] * cover)
-    certs["predict.window_coverage_scale"] = cover
-    belief_pred, c = predict_ops.predict_diffusion(
-        belief_prev, Q, dt_sec, lambda_ou=cfg.ou_lambda, eps_psd=cfg.eps_psd,
-        eps_lift=cfg.eps_lift, motion=motion)
-    certs.update(c)
-    pose_pred = world_pose(belief_pred, cfg.eps_lift)
-    mu_pred = mean_increment(belief_pred, cfg.eps_lift)
-    vel_pred = mu_pred[IDX_VEL]
     dt_int = imu_ops.integration_time(scan.imu_stamps, state.prev_scan_t,
                                       scan.scan_start)
     dt_imu = imu_ops.mean_sample_period(scan.imu_stamps)
@@ -204,15 +206,31 @@ def process_scan(state: PipelineState, scan: ScanInput,
     certs["imu.ess_int"] = pre_int["ess"]
     certs["imu.dt_int"] = dt_int
 
-    # Measurement-noise IW suffstats (gyro/accel), commutative.
+    # The soft membership window attenuates the preintegrated deltas by its
+    # sigmoid edges (by design for evidence; wrong for mechanization, where it
+    # would systematically shrink the predicted motion). Rescale by actual
+    # IMU coverage over effective weighted time — exact under the constant-
+    # twist assumption the deskew already makes.
+    cover = jnp.clip(dt_int / jnp.maximum(pre_int["dt_eff_sum"],
+                                          cfg.eps_mass), 1.0, 2.0)
+    motion = predict_ops.MotionDelta(
+        delta_rotvec=pre_int["delta_pose"][3:6] * cover,
+        delta_p_body=pre_int["delta_p"] * cover * cover,
+        delta_v_body=pre_int["delta_v"] * cover)
+    certs["predict.window_coverage_scale"] = cover
+
+    Q = noise_ops.process_noise_to_Q(state.process_noise, cfg.eps_psd)
+    sigma_g = noise_ops.measurement_noise_mean(state.meas_noise, 0, cfg.eps_psd)
+    sigma_a = noise_ops.measurement_noise_mean(state.meas_noise, 1, cfg.eps_psd)
+
+    # Measurement-noise IW suffstats (gyro/accel), commutative; hypothesis-
+    # independent up to the shared hyp-0 linearization (reference accumulates
+    # weight-scaled identical copies, backend_node.py:2085-2090).
     dpsi_gyro = imu_ops.gyro_iw_suffstats(
         scan.imu_gyro, w_int, gyro_bias, omega_avg, dt_imu,
         eps_mass=cfg.eps_mass, eps_psd=cfg.eps_psd)
-    dpsi_accel = imu_ops.accel_iw_suffstats(
-        pose_pred[3:6], scan.imu_accel, w_int, accel_bias, gravity_w, dt_imu,
-        eps_mass=cfg.eps_mass, eps_psd=cfg.eps_psd)
 
-    # ---- step 5: deskew ------------------------------------------------------
+    # ---- step 5 (shared): deskew ----------------------------------------------
     xi_body = pre_scan["delta_pose"]
     xi_body = xi_body.at[:3].mul(0.0 if cfg.deskew_rotation_only else 1.0)
     points_dsk, w_dsk, c = deskew_ops.deskew_constant_twist(
@@ -221,102 +239,135 @@ def process_scan(state: PipelineState, scan: ScanInput,
         time_warp_sigma_frac=cfg.time_warp_sigma_frac, eps_mass=cfg.eps_mass)
     certs.update(c)
 
-    # ---- step 6: IMU + odom evidence branch ---------------------------------
-    L_io = jnp.zeros_like(belief_pred.L)
-    h_io = jnp.zeros_like(belief_pred.h)
+    # ---- steps 2+6 per hypothesis: mechanized predict + IMU/odom evidence -----
+    def predict_and_evidence(bel_prev: Belief):
+        k_certs: dict = {}
+        pose_prev = world_pose(bel_prev, cfg.eps_lift)
+        belief_pred, c = predict_ops.predict_diffusion(
+            bel_prev, Q, dt_sec, lambda_ou=cfg.ou_lambda, eps_psd=cfg.eps_psd,
+            eps_lift=cfg.eps_lift, motion=motion)
+        k_certs.update(c)
+        pose_pred = world_pose(belief_pred, cfg.eps_lift)
+        mu_pred = mean_increment(belief_pred, cfg.eps_lift)
+        vel_pred = mu_pred[IDX_VEL]
 
-    L1, h1, dz_odom, c = odom_ops.quadratic_pose_evidence(
-        pose_pred, scan.odom_pose, scan.odom_cov,
-        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
-    L_io, h_io = (L_io + cfg.odom_pose_weight * L1,
-                  h_io + cfg.odom_pose_weight * h1)
-    certs.update(c)
+        L_io = jnp.zeros_like(belief_pred.L)
+        h_io = jnp.zeros_like(belief_pred.h)
 
-    Lg, hg, c = imu_ops.gravity_vmf_evidence(
-        pose_pred[3:6], scan.imu_accel, scan.imu_gyro, w_int, accel_bias,
-        gravity_w, dt_imu, eps_psd=cfg.eps_psd, eps_mass=cfg.eps_mass,
-        eps_r=cfg.eps_r, blend_r0=cfg.kappa_blend_r0,
-        blend_tau=cfg.kappa_blend_tau)
-    s_dep = imu_ops.dependence_inflation_scale(c["imu_grav.transport_sigma"],
-                                               cfg.eps_mass)
-    L_io, h_io = L_io + s_dep * Lg, h_io + s_dep * hg
-    certs.update(c)
-    certs["imu_grav.dependence_scale"] = s_dep
+        L1, h1, dz_odom, c = odom_ops.quadratic_pose_evidence(
+            pose_pred, scan.odom_pose, scan.odom_cov,
+            eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+        L_io = L_io + cfg.odom_pose_weight * L1
+        h_io = h_io + cfg.odom_pose_weight * h1
+        k_certs.update(c)
 
-    sigma_g = noise_ops.measurement_noise_mean(state.meas_noise, 0, cfg.eps_psd)
-    sigma_a = noise_ops.measurement_noise_mean(state.meas_noise, 1, cfg.eps_psd)
-    # The factors use the SAME coverage-corrected deltas as the mechanized
-    # prediction — otherwise their high-precision residuals fight the
-    # prediction by exactly the soft-window attenuation every scan.
-    w_imu_f = cfg.imu_factor_weight
-    L2, h2, c = imu_ops.gyro_rotation_evidence(
-        rotvec0, pose_pred[3:6], motion.delta_rotvec, sigma_g, dt_int,
-        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift, eps_mass=cfg.eps_mass)
-    L_io, h_io = L_io + w_imu_f * L2, h_io + w_imu_f * h2
-    certs.update(c)
+        Lg, hg, c = imu_ops.gravity_vmf_evidence(
+            pose_pred[3:6], scan.imu_accel, scan.imu_gyro, w_int, accel_bias,
+            gravity_w, dt_imu, eps_psd=cfg.eps_psd, eps_mass=cfg.eps_mass,
+            eps_r=cfg.eps_r, blend_r0=cfg.kappa_blend_r0,
+            blend_tau=cfg.kappa_blend_tau)
+        s_dep = imu_ops.dependence_inflation_scale(
+            c["imu_grav.transport_sigma"], cfg.eps_mass)
+        L_io, h_io = L_io + s_dep * Lg, h_io + s_dep * hg
+        k_certs.update(c)
+        k_certs["imu_grav.dependence_scale"] = s_dep
 
-    L3, h3, c = imu_ops.preintegration_factor(
-        pose_prev[:3], rotvec0, vel_pred, pose_pred[:3], vel_pred,
-        motion.delta_v_body, motion.delta_p_body, sigma_a, dt_int,
-        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift, eps_mass=cfg.eps_mass)
-    L_io, h_io = L_io + w_imu_f * L3, h_io + w_imu_f * h3
-    certs.update(c)
+        # The factors use the SAME coverage-corrected deltas as the mechanized
+        # prediction — otherwise their high-precision residuals fight the
+        # prediction by exactly the soft-window attenuation every scan.
+        w_imu_f = cfg.imu_factor_weight
+        L2, h2, c = imu_ops.gyro_rotation_evidence(
+            pose_prev[3:6], pose_pred[3:6], motion.delta_rotvec, sigma_g,
+            dt_int, eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift,
+            eps_mass=cfg.eps_mass)
+        L_io, h_io = L_io + w_imu_f * L2, h_io + w_imu_f * h2
+        k_certs.update(c)
 
-    a_body_exp = jnp.cross(scan.odom_omega_body, scan.odom_vel_body)
-    Lb, hb, c = imu_ops.accel_bias_evidence(
-        pre_int["a_body_mean"], pose_pred[3:6], gravity_w,
-        cfg.accel_bias_sigma, dt, a_body_expected=a_body_exp)
-    L_io, h_io = L_io + Lb, h_io + hb
-    certs.update(c)
+        L3, h3, c = imu_ops.preintegration_factor(
+            pose_prev[:3], pose_prev[3:6], vel_pred, pose_pred[:3], vel_pred,
+            motion.delta_v_body, motion.delta_p_body, sigma_a, dt_int,
+            eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift, eps_mass=cfg.eps_mass)
+        L_io, h_io = L_io + w_imu_f * L3, h_io + w_imu_f * h3
+        k_certs.update(c)
 
-    L4, h4, c = prior_ops.planar_z_prior(pose_pred[2], cfg.planar_z_ref,
-                                         cfg.planar_z_sigma, dt)
-    L_io, h_io = L_io + cfg.planar_weight * L4, h_io + cfg.planar_weight * h4
-    certs.update(c)
-    L5, h5, c = prior_ops.velocity_z_prior(vel_pred[2], cfg.planar_vz_sigma, dt)
-    L_io, h_io = L_io + cfg.planar_weight * L5, h_io + cfg.planar_weight * h5
-    certs.update(c)
+        a_body_exp = jnp.cross(scan.odom_omega_body, scan.odom_vel_body)
+        Lb, hb, c = imu_ops.accel_bias_evidence(
+            pre_int["a_body_mean"], pose_pred[3:6], gravity_w,
+            cfg.accel_bias_sigma, dt, a_body_expected=a_body_exp)
+        L_io, h_io = L_io + Lb, h_io + hb
+        k_certs.update(c)
 
-    sig_v = cfg.odom_twist_vel_sigma ** 2 * jnp.eye(3, dtype=dt)
-    L6, h6, c = odom_ops.velocity_evidence(
-        vel_pred, pose_pred[3:6], scan.odom_vel_body, sig_v,
-        eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
-    certs.update(c)
-    L7, h7, c = odom_ops.yawrate_evidence(
-        omega_avg[2], scan.odom_omega_body[2], cfg.odom_twist_wz_sigma, dt)
-    certs.update(c)
-    sig_w = cfg.odom_twist_wz_sigma ** 2 * jnp.eye(3, dtype=dt)
-    L8, h8, r_tr, r_rt, c = odom_ops.pose_twist_consistency(
-        pose_prev, pose_pred, scan.odom_vel_body, scan.odom_omega_body,
-        dt_sec, sig_v, sig_w, eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
-    certs.update(c)
-    s_odom = (odom_ops.dependence_inflation_scale(r_tr, r_rt, cfg.eps_mass)
-              * cfg.odom_twist_weight)
-    w_kin = cfg.odom_kinematic_weight
-    L_io = L_io + s_odom * (L6 + L7 + w_kin * L8)
-    h_io = h_io + s_odom * (h6 + h7 + w_kin * h8)
-    certs["odom.dependence_scale"] = s_odom
+        L4, h4, c = prior_ops.planar_z_prior(pose_pred[2], cfg.planar_z_ref,
+                                             cfg.planar_z_sigma, dt)
+        L_io = L_io + cfg.planar_weight * L4
+        h_io = h_io + cfg.planar_weight * h4
+        k_certs.update(c)
+        L5, h5, c = prior_ops.velocity_z_prior(vel_pred[2],
+                                               cfg.planar_vz_sigma, dt)
+        L_io = L_io + cfg.planar_weight * L5
+        h_io = h_io + cfg.planar_weight * h5
+        k_certs.update(c)
 
-    # Every factor above encodes h = L * r with r the residual measured AT the
-    # prediction; information fusion needs the absolute chart target
-    # h = L * (mu_pred + r). (The reference adds L*r directly — benign only
-    # while the in-chart means stay near zero; with a mechanized prediction it
-    # would cancel the predicted motion every scan.)
-    h_io = h_io + L_io @ mu_pred
+        sig_v = cfg.odom_twist_vel_sigma ** 2 * jnp.eye(3, dtype=dt)
+        L6, h6, c = odom_ops.velocity_evidence(
+            vel_pred, pose_pred[3:6], scan.odom_vel_body, sig_v,
+            eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+        k_certs.update(c)
+        L7, h7, c = odom_ops.yawrate_evidence(
+            omega_avg[2], scan.odom_omega_body[2], cfg.odom_twist_wz_sigma, dt)
+        k_certs.update(c)
+        sig_w = cfg.odom_twist_wz_sigma ** 2 * jnp.eye(3, dtype=dt)
+        L8, h8, r_tr, r_rt, c = odom_ops.pose_twist_consistency(
+            pose_prev, pose_pred, scan.odom_vel_body, scan.odom_omega_body,
+            dt_sec, sig_v, sig_w, eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+        k_certs.update(c)
+        s_odom = (odom_ops.dependence_inflation_scale(r_tr, r_rt, cfg.eps_mass)
+                  * cfg.odom_twist_weight)
+        w_kin = cfg.odom_kinematic_weight
+        L_io = L_io + s_odom * (L6 + L7 + w_kin * L8)
+        h_io = h_io + s_odom * (h6 + h7 + w_kin * h8)
+        k_certs["odom.dependence_scale"] = s_odom
 
-    # Linearization point (IMU+odom-informed; invariant of
-    # docs/PIPELINE_ORDER_AND_EVIDENCE.md:19-22).
-    z_lin, _ = spd_solve_lifted(belief_pred.L + L_io, belief_pred.h + h_io,
-                                cfg.eps_lift)
-    z_lin_pose = se3.se3_plus(belief_pred.anchor, z_lin[IDX_POSE])
+        # Every factor above encodes h = L * r with r the residual measured AT
+        # the prediction; information fusion needs the absolute chart target
+        # h = L * (mu_pred + r). (The reference adds L*r directly — benign
+        # only while the in-chart means stay near zero; with a mechanized
+        # prediction it would cancel the predicted motion every scan.)
+        h_io = h_io + L_io @ mu_pred
 
-    # ---- step 7: map branch (surfels -> view -> association) ----------------
+        # Linearization point (IMU+odom-informed; invariant of
+        # docs/PIPELINE_ORDER_AND_EVIDENCE.md:19-22).
+        z_lin, _ = spd_solve_lifted(belief_pred.L + L_io,
+                                    belief_pred.h + h_io, cfg.eps_lift)
+        return belief_pred, L_io, h_io, z_lin, dz_odom, k_certs
+
+    (beliefs_pred, L_io_k, h_io_k, z_lin_k, dz_odom_k,
+     certsA) = jax.vmap(predict_and_evidence)(state.belief)
+    certs.update(jax.tree.map(lambda a: a[0], certsA))
+
+    bel0_pred = jax.tree.map(lambda a: a[0], beliefs_pred)
+    z_lin0 = z_lin_k[0]
+    z_lin_pose = se3.se3_plus(bel0_pred.anchor, z_lin0[IDX_POSE])
+
+    # accel IW suffstats at the hyp-0 predicted rotation
+    dpsi_accel = imu_ops.accel_iw_suffstats(
+        world_pose(bel0_pred, cfg.eps_lift)[3:6], scan.imu_accel, w_int,
+        accel_bias, gravity_w, dt_imu, eps_mass=cfg.eps_mass,
+        eps_psd=cfg.eps_psd)
+
+    # ---- step 7 (shared): map branch ------------------------------------------
     surf, c = surfel_ops.extract_surfels(points_dsk, w_dsk, cfg)
     certs.update(c)
     batch = mb.with_lidar_surfels(
         mb.empty_batch(cfg), cfg, Lambdas=surf["Lambdas"],
         thetas=surf["thetas"], etas=surf["etas"], weights=surf["weights"],
         valid=surf["valid"])
+    # Camera slice [0, n_feat): RGB-D features staged by the io layer
+    # (zeros = no camera; every consumer masks on valid).
+    batch = mb.with_camera_features(
+        batch, cfg, Lambdas=scan.cam_Lambdas, thetas=scan.cam_thetas,
+        etas=scan.cam_etas, weights=scan.cam_weights,
+        valid=scan.cam_valid > 0.5, colors=scan.cam_colors)
     batch_w = mb.transform_to_world(batch, z_lin_pose, eps_lift=cfg.eps_lift)
 
     offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
@@ -324,9 +375,13 @@ def process_scan(state: PipelineState, scan: ScanInput,
     active_keys = stencil_tile_keys(q, r, z, offs)
     atlas, slots, c = atlas_ops.activate_tiles(state.atlas, active_keys, seq)
     certs.update(c)
-    atlas, c = atlas_ops.recency_inflate(atlas, slots, seq, cfg)
+    # Slab execution: ONE gather of the active tiles, all map ops on the
+    # (S, M) slabs, ONE scatter back after the map update (fused full-pool
+    # updates measured 190 ms vs 42 ms per scan; see structures/atlas.py).
+    slabs = atlas_ops.gather_slabs(atlas, slots)
+    slabs, c = atlas_ops.slab_recency_inflate(slabs, seq, cfg)
     certs.update(c)
-    view = atlas_ops.extract_view(atlas, slots, cfg)
+    view = atlas_ops.slab_extract_view(slabs, cfg)
 
     mu_w = mb.mean_positions(batch_w, cfg.eps_lift)
     dir_w = mb.mean_directions(batch_w, cfg.eps_mass)
@@ -335,19 +390,17 @@ def process_scan(state: PipelineState, scan: ScanInput,
                                    seq, cfg)
     certs.update(c)
 
-    # ---- step 8: visual pose evidence at z_lin -------------------------------
-    L_vis, h_vis, c = visual_pose_evidence(
+    # ---- step 8 (shared residuals): visual pose evidence at z_lin[0] ----------
+    L_vis, h_vis_rel, c = visual_pose_evidence(
         mu_w, batch_w.Lambdas, dir_w, kap, batch_w.valid, assoc, view,
         z_lin_pose, cfg)
-    # Residuals are measured at z_lin: lift to the absolute chart target.
-    h_vis = h_vis + L_vis @ z_lin
-    L_vis = cfg.visual_evidence_weight * L_vis
-    h_vis = cfg.visual_evidence_weight * h_vis
     certs.update(c)
     # Diagnostics: correction the visual evidence alone would apply at z_lin.
     dz_vis, _ = spd_solve_lifted(L_vis[IDX_POSE, IDX_POSE],
-                                 h_vis[IDX_POSE], 1e-9)
-    dz_vis_rel = dz_vis - z_lin[IDX_POSE]
+                                 h_vis_rel[IDX_POSE]
+                                 + L_vis[IDX_POSE, IDX_POSE] @ z_lin0[IDX_POSE],
+                                 1e-9)
+    dz_vis_rel = dz_vis - z_lin0[IDX_POSE]
     certs["visual.implied_dtrans_norm"] = jnp.linalg.norm(dz_vis_rel[:3])
     certs["visual.implied_dz"] = dz_vis_rel[2]
     certs["visual.implied_drot_norm"] = jnp.linalg.norm(dz_vis_rel[3:6])
@@ -360,85 +413,120 @@ def process_scan(state: PipelineState, scan: ScanInput,
     dpsi_lidar = noise_ops.lidar_iw_suffstats(
         r_lidar / row_m[:, None], assoc.row_masses, cfg.eps_mass, cfg.eps_psd)
 
-    # ---- step 9-10: evidence sum + tempering + excitation + alpha ------------
-    L_ev = L_io + L_vis
-    h_ev = h_io + h_vis
-    ess_total = pre_int["ess"] + certs["ot.ess"]
-    s_dt, s_ex = fusion_ops.excitation_scales(L_ev, belief_pred.L, cfg.exc_eps)
-    exc_total = s_dt + s_ex
-    beta, c = fusion_ops.power_tempering_beta(
-        L_ev, ess_total, exc_total, power_beta_min=cfg.power_beta_min,
-        power_beta_z_c=cfg.power_beta_z_c,
-        power_beta_exc_c=cfg.power_beta_exc_c, eps_mass=cfg.eps_mass)
-    certs.update(c)
-    L_ev, h_ev = beta * L_ev, beta * h_ev
+    ot_ess = certs["ot.ess"]
+    ot_cost = certs["ot.total_cost"]
 
-    L_prior, h_prior = fusion_ops.apply_excitation_prior_scaling(
-        belief_pred.L, belief_pred.h, s_dt, s_ex)
-    belief_pred = belief_pred._replace(L=L_prior, h=h_prior)
-    certs["exc.s_dt"] = s_dt
-    certs["exc.s_ex"] = s_ex
+    # ---- steps 9-13 per hypothesis: temper + fuse + recompose + drift ----------
+    def fuse_and_recompose(belief_pred: Belief, L_io, h_io, z_lin):
+        k_certs: dict = {}
+        # Residuals are measured at z_lin: lift to the absolute chart target,
+        # then temper (scan-to-map evidence is overconfident by construction;
+        # see GCConfig.visual_evidence_weight).
+        h_vis = h_vis_rel + L_vis @ z_lin
+        L_v = cfg.visual_evidence_weight * L_vis
+        h_v = cfg.visual_evidence_weight * h_vis
 
-    cond_p6 = fusion_ops.pose6_conditioning(L_ev, cfg.eps_psd)
-    nll_per_ess = certs["ot.total_cost"] / jnp.maximum(ess_total, cfg.eps_mass)
-    alpha = fusion_ops.fusion_alpha(
-        cond_p6, ess_total, nll_per_ess, certs["temper.dt_asymmetry"],
-        certs["temper.z_to_xy"], exc_total, beta, alpha_min=cfg.alpha_min,
-        alpha_max=cfg.alpha_max, c0_cond=cfg.c0_cond, eps_mass=cfg.eps_mass)
-    certs["fusion.cond_pose6"] = cond_p6
+        L_ev = L_io + L_v
+        h_ev = h_io + h_v
+        ess_total = pre_int["ess"] + ot_ess
+        s_dt, s_ex = fusion_ops.excitation_scales(L_ev, belief_pred.L,
+                                                  cfg.exc_eps)
+        exc_total = s_dt + s_ex
+        beta, c = fusion_ops.power_tempering_beta(
+            L_ev, ess_total, exc_total, power_beta_min=cfg.power_beta_min,
+            power_beta_z_c=cfg.power_beta_z_c,
+            power_beta_exc_c=cfg.power_beta_exc_c, eps_mass=cfg.eps_mass)
+        k_certs.update(c)
+        L_ev, h_ev = beta * L_ev, beta * h_ev
 
-    # ---- step 11: additive info fusion ---------------------------------------
-    belief_post, c = fusion_ops.info_fusion_additive(
-        belief_pred, L_ev, h_ev, alpha, eps_psd=cfg.eps_psd)
-    certs.update(c)
+        L_prior, h_prior = fusion_ops.apply_excitation_prior_scaling(
+            belief_pred.L, belief_pred.h, s_dt, s_ex)
+        belief_pred = belief_pred._replace(L=L_prior, h=h_prior)
+        k_certs["exc.s_dt"] = s_dt
+        k_certs["exc.s_ex"] = s_ex
 
-    # ---- step 12: Frobenius recompose ----------------------------------------
-    trigger_mag = (certs["fusion.psd_projection"]
-                   + certs["predict.psd_projection"]
-                   + certs["imu_grav.psd_projection"])
-    belief_rec, z_lin_new, delta_pose, c = recompose_ops.frobenius_recompose(
-        belief_post, z_lin, trigger_mag, c_frob=cfg.c_frob,
-        eps_lift=cfg.eps_lift)
-    certs.update(c)
-    z_t = belief_rec.anchor  # recompose absorbed the pose increment
+        cond_p6 = fusion_ops.pose6_conditioning(L_ev, cfg.eps_psd)
+        nll_per_ess = ot_cost / jnp.maximum(ess_total, cfg.eps_mass)
+        alpha = fusion_ops.fusion_alpha(
+            cond_p6, ess_total, nll_per_ess, c["temper.dt_asymmetry"],
+            c["temper.z_to_xy"], exc_total, beta, alpha_min=cfg.alpha_min,
+            alpha_max=cfg.alpha_max, c0_cond=cfg.c0_cond,
+            eps_mass=cfg.eps_mass)
+        k_certs["fusion.cond_pose6"] = cond_p6
 
-    # Process-noise IW suffstats (pred vs post), plus the ODOM INNOVATION on
-    # the pose blocks. Pred-vs-post alone underestimates Q by the filter gain
-    # (small gain -> small updates -> small learned Q -> small gain: the
-    # filter can never loosen an overconfident prior). The innovation
-    # xi_err = Log(T_pred^-1 T_odom) measures the actual per-scan prediction
-    # error (plus odom noise) independent of the gain.
-    dpsi_q, dnu_q = noise_ops.process_suffstats(
-        belief_pred.L, belief_pred.h, belief_post.L, belief_post.h,
-        cfg.eps_lift)
-    xi_err = dz_odom[IDX_POSE]
+        belief_post, c = fusion_ops.info_fusion_additive(
+            belief_pred, L_ev, h_ev, alpha, eps_psd=cfg.eps_psd)
+        k_certs.update(c)
+
+        trigger_mag = (k_certs["fusion.psd_projection"]
+                       + certs["imu_grav.psd_projection"])
+        belief_rec, z_lin_new, delta_pose, c = recompose_ops.frobenius_recompose(
+            belief_post, z_lin, trigger_mag, c_frob=cfg.c_frob,
+            eps_lift=cfg.eps_lift)
+        k_certs.update(c)
+        z_t = belief_rec.anchor
+
+        # Process-noise IW suffstats (pred vs post), plus the ODOM INNOVATION
+        # on the pose blocks. Pred-vs-post alone underestimates Q by the
+        # filter gain (small gain -> small updates -> small learned Q: the
+        # filter can never loosen an overconfident prior); the innovation
+        # measures the actual per-scan prediction error independent of gain.
+        dpsi_q, dnu_q = noise_ops.process_suffstats(
+            belief_pred.L, belief_pred.h, belief_post.L, belief_post.h,
+            cfg.eps_lift)
+        return belief_rec, z_lin_new, z_t, dpsi_q, dnu_q, k_certs
+
+    (beliefs_rec, z_lin_new_k, z_t_k, dpsi_q_k, dnu_q_k,
+     certsB) = jax.vmap(fuse_and_recompose)(beliefs_pred, L_io_k, h_io_k,
+                                            z_lin_k)
+    certs.update(jax.tree.map(lambda a: a[0], certsB))
+
+    w_hyp = floor_and_normalize_weights(state.hyp_weights, cfg.hyp_weight_floor)
+    dpsi_q = jnp.einsum("k,kabc->abc", w_hyp, dpsi_q_k)
+    dnu_q = jnp.einsum("k,ka->a", w_hyp, dnu_q_k)
+    xi_err = dz_odom_k[0][IDX_POSE]
     dpsi_q = dpsi_q.at[0, :3, :3].add(jnp.outer(xi_err[:3], xi_err[:3]))
     dpsi_q = dpsi_q.at[1, :3, :3].add(jnp.outer(xi_err[3:6], xi_err[3:6]))
 
-    # ---- step 12b: map update at z_t ------------------------------------------
-    batch_t = mb.transform_to_world(batch, z_t, eps_lift=cfg.eps_lift)
-    atlas, c = atlas_ops.fuse(atlas, batch_t, assoc.responsibilities,
-                              assoc.cand_global_idx, assoc.cand_valid, seq, cfg)
+    # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
+    z_t0 = z_t_k[0]
+    batch_t = mb.transform_to_world(batch, z_t0, eps_lift=cfg.eps_lift)
+    slabs, c = atlas_ops.slab_fuse(slabs, batch_t, assoc.responsibilities,
+                                   assoc.cand_slab_idx, assoc.cand_valid,
+                                   seq, cfg)
     certs.update(c)
     nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
-    atlas, c = atlas_ops.insert(atlas, batch_t, nov, meas_keys, active_keys,
-                                slots, seq, cfg)
+    slabs, c = atlas_ops.slab_insert(slabs, batch_t, nov, meas_keys,
+                                     active_keys, seq, cfg)
     certs.update(c)
-    atlas, c = atlas_ops.cull(atlas, slots, cfg)
+    slabs, c = atlas_ops.slab_cull(slabs, cfg)
     certs.update(c)
-    atlas = atlas_ops.forget(atlas, slots, cfg)
-    atlas, c = atlas_ops.merge_reduce(atlas, slots, cfg)
+    slabs = atlas_ops.slab_forget(slabs, cfg)
+    slabs, c = atlas_ops.slab_merge_reduce(slabs, cfg)
     certs.update(c)
+    atlas = atlas_ops.scatter_slabs(atlas, slots, slabs)
 
-    # ---- step 13: anchor drift -------------------------------------------------
-    belief_final, _, c = recompose_ops.anchor_drift_update(
-        belief_rec, z_lin_new, m0=cfg.anchor_drift_m0, r0=cfg.anchor_drift_r0,
+    # ---- step 13 per hypothesis: anchor drift ----------------------------------
+    def drift(bel, z_lin_new):
+        return recompose_ops.anchor_drift_update(
+            bel, z_lin_new, m0=cfg.anchor_drift_m0, r0=cfg.anchor_drift_r0,
+            eps_lift=cfg.eps_lift)
+    beliefs_final, _, certsC = jax.vmap(drift)(beliefs_rec, z_lin_new_k)
+    certs.update(jax.tree.map(lambda a: a[0], certsC))
+
+    # ---- step 15: hypothesis barycenter (published pose) ------------------------
+    L_bar, h_bar, z_lin_bar, w_norm, c = hyp_ops.barycenter_projection(
+        beliefs_final.L, beliefs_final.h, z_lin_new_k, w_hyp,
+        weight_floor=cfg.hyp_weight_floor, eps_psd=cfg.eps_psd,
         eps_lift=cfg.eps_lift)
     certs.update(c)
+    bel_bar = Belief(L=L_bar, h=h_bar,
+                     anchor=jax.tree.map(lambda a: a[0], beliefs_final).anchor)
+    pose_out = world_pose(bel_bar, cfg.eps_lift)
 
-    # ---- IW apply (once per scan) ----------------------------------------------
+    # ---- IW apply (once per scan) ------------------------------------------------
     proc_noise, c = noise_ops.process_apply_suffstats(
         state.process_noise, dpsi_q, dnu_q, cfg)
     certs.update(c)
@@ -449,15 +537,15 @@ def process_scan(state: PipelineState, scan: ScanInput,
     certs.update(c)
 
     new_state = PipelineState(
-        belief=belief_final,
+        belief=beliefs_final,
+        hyp_weights=w_norm,
         process_noise=proc_noise,
         meas_noise=meas_noise,
         atlas=atlas,
         scan_seq=seq + 1,
         prev_scan_t=scan.scan_start,
     )
-    out = ScanOutput(pose=world_pose(belief_final, cfg.eps_lift),
-                     stamp=scan.scan_start, certs=certs)
+    out = ScanOutput(pose=pose_out, stamp=scan.scan_start, certs=certs)
     return new_state, out
 
 

@@ -1,0 +1,122 @@
+"""Camera path tests: ORB feature extraction on a synthetic RGBD render,
+lidar-depth fusion, camera-slice fields, and the e2e camera-enabled replay."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fl_slam_tpu.camera.depth_fusion import (camera_slice_fields,
+                                             lidar_depth_evidence,
+                                             splat_prep_fused)
+from fl_slam_tpu.camera.features import (PinholeIntrinsics,
+                                         backprojection_cov,
+                                         extract_features)
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.io.synthetic import (T_BASE_CAM, _R_to_rotvec, _rotvec_R,
+                                      render_rgbd, simulate)
+
+CFG = GCConfig.small()
+INTR = PinholeIntrinsics(fx=192.0, fy=192.0, cx=160.0, cy=120.0,
+                         width=320, height=240)
+
+
+@pytest.fixture(scope="module")
+def rgbd():
+    ds = simulate(CFG, n_scans=2, seed=0)
+    pose_b = ds.gt_poses[0]
+    Tb = np.eye(4)
+    Tb[:3, :3] = _rotvec_R(pose_b[3:6])
+    Tb[:3, 3] = pose_b[:3]
+    Tc = Tb @ T_BASE_CAM
+    pose_c = np.concatenate([Tc[:3, 3], _R_to_rotvec(Tc[:3, :3])])
+    rgb, depth = render_rgbd(pose_c, INTR, ds.planes)
+    return rgb, depth, pose_c, ds
+
+
+class TestFeatures:
+    def test_extract_features_consistent_backprojection(self, rgbd):
+        rgb, depth, _, _ = rgbd
+        feats = extract_features(rgb, depth, INTR, CFG.n_feat)
+        assert feats.valid.sum() >= 5
+        v = feats.valid
+        # depth naturals consistent: theta = lambda * z
+        np.testing.assert_allclose(feats.depth_theta[v],
+                                   feats.depth_lambda[v] * feats.z[v],
+                                   rtol=1e-9)
+        # backprojection matches the measured depth image within the local fit
+        for i in np.flatnonzero(v)[:10]:
+            u, vv_ = feats.uv[i]
+            z_img = depth[int(round(vv_)), int(round(u))]
+            assert abs(feats.z[i] - z_img) < 0.3
+        # covariance grows with depth^2 in x/y
+        cov_xy = feats.cov_cam[v][:, 0, 0]
+        assert np.all(cov_xy > 0)
+
+    def test_backprojection_cov_formula(self):
+        cov = backprojection_cov(200.0, 140.0, 2.0, INTR, 1.0, 0.01)
+        # dz variance passes through
+        assert cov[2, 2] == pytest.approx(1e-4)
+        # x variance: (z/fx)^2 sigma_px^2 + ((u-cx)/fx)^2 sigma_z^2
+        exp = (2.0 / 192.0) ** 2 + ((200 - 160) / 192.0) ** 2 * 1e-4
+        assert cov[0, 0] == pytest.approx(exp, rel=1e-9)
+
+
+class TestDepthFusion:
+    def test_lidar_route_recovers_depth(self, rgbd):
+        rgb, depth, pose_c, ds = rgbd
+        feats = extract_features(rgb, depth, INTR, CFG.n_feat)
+        v = np.flatnonzero(feats.valid)
+        # synthesize lidar points exactly on the observed surfaces
+        iu = feats.uv[v].round().astype(int)
+        z_true = depth[iu[:, 1], iu[:, 0]]
+        rays = np.stack([(feats.uv[v, 0] - INTR.cx) / INTR.fx,
+                         (feats.uv[v, 1] - INTR.cy) / INTR.fy,
+                         np.ones(len(v))], axis=1)
+        pts_cam = rays * z_true[:, None]
+        # jitter into a neighborhood cloud
+        rng = np.random.default_rng(0)
+        cloud = np.concatenate([
+            pts_cam + rng.normal(0, 0.01, pts_cam.shape) for _ in range(5)])
+        lam, the, sup = lidar_depth_evidence(feats.uv, feats.valid, cloud,
+                                             INTR)
+        got = lam[v] > 0
+        assert got.mean() > 0.5
+        z_est = the[v][got] / lam[v][got]
+        assert np.median(np.abs(z_est - z_true[got])) < 0.1
+
+    def test_fused_slice_fields_shapes(self, rgbd):
+        rgb, depth, _, _ = rgbd
+        feats = extract_features(rgb, depth, INTR, CFG.n_feat)
+        fused = splat_prep_fused(feats, INTR, None)
+        fields = camera_slice_fields(fused, T_BASE_CAM, CFG.vmf_n_lobes)
+        N = CFG.n_feat
+        assert fields["Lambdas"].shape == (N, 3, 3)
+        assert fields["etas"].shape == (N, CFG.vmf_n_lobes, 3)
+        ok = fields["valid"]
+        assert ok.sum() >= 5
+        # info form consistent: mu = Lambda^-1 theta finite and in front of
+        # the robot (camera looks along +x body)
+        mu = np.linalg.solve(fields["Lambdas"][ok] + 1e-12 * np.eye(3),
+                             fields["thetas"][ok][..., None])[..., 0]
+        assert np.isfinite(mu).all()
+        assert (mu[:, 0] > 0).mean() > 0.9
+
+
+class TestCameraE2E:
+    def test_camera_slice_enters_pipeline(self):
+        from fl_slam_tpu.io.synthetic import to_scan_inputs
+        from fl_slam_tpu.pipeline import init_state, process_scan
+        ds = simulate(CFG, n_scans=2, seed=1, with_camera=True)
+        assert ds.scans["cam_valid"].sum() > 0
+        scans = to_scan_inputs(ds, CFG)
+        anchor0 = jnp.asarray(ds.gt_poses[0], dtype=CFG.jdtype)
+        state = init_state(CFG, anchor0=anchor0,
+                           t0=float(ds.gt_stamps[0]) - 0.1)
+        import jax
+        state, out = process_scan(state, jax.tree.map(lambda a: a[0], scans),
+                                  CFG)
+        state, out = process_scan(state, jax.tree.map(lambda a: a[1], scans),
+                                  CFG)
+        assert np.isfinite(np.asarray(out.pose)).all()
+        # camera mass reached the map (color provenance)
+        assert float(jnp.sum(state.atlas.cam_mass)) > 0.0

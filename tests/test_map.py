@@ -154,8 +154,8 @@ class TestAtlas:
         mkap = mb.kappas(batch)
         assoc, _ = associate(mu, mdir, mkap, batch.valid, view, 1, CFG)
         atlas, fcerts = atlas_mod.fuse(atlas, batch, assoc.responsibilities,
-                                       assoc.cand_global_idx, assoc.cand_valid,
-                                       1, CFG)
+                                       assoc.cand_slab_idx, assoc.cand_valid,
+                                       1, CFG, slots=slots)
         assert float(jnp.sum(atlas.weights)) > w_before
         assert float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1))) > tr_before
         assert float(fcerts["map.fused_mass"]) > 0.0

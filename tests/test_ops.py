@@ -268,10 +268,11 @@ def test_anchor_drift_small_and_large():
 def test_iw_q_matches_priors():
     st = noise.init_process_noise(CFG)
     Q = noise.process_noise_to_Q(st, CFG.eps_psd)
-    np.testing.assert_allclose(float(Q[0, 0]), CFG.q_trans, rtol=1e-6)
-    np.testing.assert_allclose(float(Q[3, 3]), CFG.q_rot, rtol=1e-6)
-    np.testing.assert_allclose(float(Q[15, 15]), CFG.q_dt, rtol=1e-6)
-    np.testing.assert_allclose(float(Q[16, 16]), CFG.q_ex, rtol=1e-6)
+    # atol absorbs the eps_psd diagonal guard lift (1e-12).
+    np.testing.assert_allclose(float(Q[0, 0]), CFG.q_trans, rtol=1e-6, atol=2e-12)
+    np.testing.assert_allclose(float(Q[3, 3]), CFG.q_rot, rtol=1e-6, atol=2e-12)
+    np.testing.assert_allclose(float(Q[15, 15]), CFG.q_dt, rtol=1e-6, atol=2e-12)
+    np.testing.assert_allclose(float(Q[16, 16]), CFG.q_ex, rtol=1e-6, atol=2e-12)
     # off-block couplings are zero
     assert float(Q[0, 3]) == 0.0
 

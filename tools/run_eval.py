@@ -1,0 +1,186 @@
+"""THE evaluation entry point (parity: reference ``tools/run_and_evaluate_gc.sh``
+stage structure + ``tools/evaluate_slam.py`` metrics + ``slam_dashboard.py``).
+
+Stages: stage data (synthetic or a ROS 2 bag) -> single jitted lax.scan replay
+-> audit-invariant gates (cert finiteness, budget shapes) -> ATE/RPE metrics
+-> artifacts (TUM trajectory, metrics.json, diagnostics npz, splat export,
+runtime manifest, HTML dashboard when plotly is available).
+
+Usage:
+  python tools/run_eval.py --out runs/eval1 [--scans 100] [--seed 3]
+      [--drift] [--camera] [--cpu] [--small]
+  python tools/run_eval.py --bag /path/to/bag --lidar /topic ... --out runs/x
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--scans", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--drift", action="store_true",
+                    help="drifting wheel odometry (the SLAM stress case)")
+    ap.add_argument("--camera", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced test budgets (default on CPU)")
+    ap.add_argument("--bag", default=None, help="ROS 2 bag directory")
+    ap.add_argument("--lidar", default="/gc/sensors/lidar_points")
+    ap.add_argument("--imu", default="/imu")
+    ap.add_argument("--odom", default="/odom")
+    ap.add_argument("--gt", default=None, help="TUM ground-truth file")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fl_slam_tpu.config import GCConfig
+    from fl_slam_tpu.eval.metrics import ate, rpe, save_tum
+    from fl_slam_tpu.pipeline import init_state, replay_jit
+    from fl_slam_tpu.render.export import (save_diagnostics,
+                                           save_runtime_manifest,
+                                           save_splat_export)
+
+    os.makedirs(args.out, exist_ok=True)
+    on_cpu = jax.default_backend() == "cpu"
+    cfg = GCConfig.small() if (args.small or on_cpu) else GCConfig.tpu()
+    print(f"[stage] backend={jax.default_backend()} "
+          f"config={'small' if (args.small or on_cpu) else 'tpu'}")
+
+    # ---- stage data -----------------------------------------------------------
+    gt_poses = gt_stamps = None
+    if args.bag:
+        from fl_slam_tpu.io.rosbag import BagTopics, load_scan_records
+        from fl_slam_tpu.io.rosbag import to_scan_inputs as bag_to_inputs
+        recs = load_scan_records(args.bag,
+                                 BagTopics(args.lidar, args.imu, args.odom),
+                                 cfg, max_scans=args.scans)
+        scans = bag_to_inputs(recs, cfg)
+        stamps = recs["scan_start"]
+        anchor0 = jnp.asarray(recs["odom_pose"][0], dtype=cfg.jdtype)
+        t0 = float(stamps[0]) - 0.1
+    else:
+        from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
+        kw = dict(odom_drift_vel_scale=1.03, odom_drift_yaw_rate=0.01) \
+            if args.drift else {}
+        ds = simulate(cfg, n_scans=args.scans, seed=args.seed,
+                      with_camera=args.camera, **kw)
+        scans = to_scan_inputs(ds, cfg)
+        stamps = ds.gt_stamps
+        gt_poses, gt_stamps = ds.gt_poses, ds.gt_stamps
+        anchor0 = jnp.asarray(ds.gt_poses[0], dtype=cfg.jdtype)
+        t0 = float(ds.gt_stamps[0]) - 0.1
+
+    # ---- replay (one compiled program over the whole bag) ----------------------
+    state = init_state(cfg, anchor0=anchor0, t0=t0)
+    run = replay_jit(cfg)
+    print("[replay] compiling + running...")
+    t_start = time.perf_counter()
+    final_state, outs = run(state, scans)
+    jax.block_until_ready(outs.pose)
+    wall = time.perf_counter() - t_start
+    poses = np.asarray(outs.pose)
+    n = poses.shape[0]
+    print(f"[replay] {n} scans in {wall:.1f}s "
+          f"({n / wall:.2f} scans/s incl. compile)")
+
+    # ---- audit gates (parity: test_audit_invariants as a run gate) -------------
+    gates = {
+        "poses_finite": bool(np.isfinite(poses).all()),
+        "certs_finite": all(bool(np.isfinite(np.asarray(v)).all())
+                            for v in outs.certs.values()),
+        "scan_seq_advanced": int(final_state.scan_seq) == n,
+    }
+    if not all(gates.values()):
+        print("[FAIL] audit gates:", gates)
+        sys.exit(2)
+    print("[gates] all pass:", gates)
+
+    # ---- metrics ----------------------------------------------------------------
+    metrics = {"wall_s": wall, "scans": n, "scans_per_sec": n / wall,
+               "backend": jax.default_backend()}
+    if args.gt:
+        gt = np.loadtxt(args.gt)
+        # TUM: stamp tx ty tz qx qy qz qw -> align by nearest stamps
+        from fl_slam_tpu.io.rosbag import quat_xyzw_to_rotvec
+        idx = np.argmin(np.abs(gt[:, 0][None, :]
+                               - np.asarray(stamps)[:, None]), axis=1)
+        gtp = np.stack([np.concatenate([
+            gt[i, 1:4], quat_xyzw_to_rotvec(gt[i, 4:8])]) for i in idx])
+        gt_poses = gtp
+    if gt_poses is not None:
+        m_ate = ate(poses, gt_poses, align="initial")
+        m_rpe = rpe(poses, gt_poses, delta_m=1.0)
+        metrics["ate"] = m_ate
+        metrics["rpe_1m"] = m_rpe
+        odom = np.asarray(scans.odom_pose)
+        metrics["ate_raw_odom"] = ate(odom, gt_poses, align="initial")
+        print(f"[metrics] ATE trans {m_ate['trans']['rmse']:.4f} m, "
+              f"rot {m_ate['rot_deg']['rmse']:.3f} deg | raw odom "
+              f"{metrics['ate_raw_odom']['trans']['rmse']:.4f} m")
+
+    # ---- artifacts ----------------------------------------------------------------
+    save_tum(os.path.join(args.out, "trajectory.tum"), np.asarray(stamps),
+             poses)
+    with open(os.path.join(args.out, "metrics.json"), "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    save_diagnostics(os.path.join(args.out, "diagnostics.npz"),
+                     {k: np.asarray(v) for k, v in outs.certs.items()},
+                     stamps=np.asarray(stamps))
+    save_splat_export(os.path.join(args.out, "splat_export.npz"),
+                      final_state.atlas, cfg, poses=poses,
+                      stamps=np.asarray(stamps))
+    save_runtime_manifest(os.path.join(args.out, "runtime_manifest.json"),
+                          cfg, extra={"metrics": {"wall_s": wall}})
+    _dashboard(args.out, outs, poses, gt_poses, stamps)
+    print(f"[done] artifacts in {args.out}")
+
+
+def _dashboard(out_dir, outs, poses, gt_poses, stamps):
+    try:
+        import plotly.graph_objects as go
+        from plotly.subplots import make_subplots
+    except Exception:
+        print("[dashboard] plotly unavailable; skipped")
+        return
+    import numpy as np
+    certs = {k: np.asarray(v) for k, v in outs.certs.items()}
+    fig = make_subplots(rows=2, cols=2, subplot_titles=(
+        "trajectory (xy)", "odom residual", "map size/insertions",
+        "tempering / trust"))
+    fig.add_trace(go.Scatter(x=poses[:, 0], y=poses[:, 1], name="est"),
+                  row=1, col=1)
+    if gt_poses is not None:
+        fig.add_trace(go.Scatter(x=gt_poses[:, 0], y=gt_poses[:, 1],
+                                 name="gt"), row=1, col=1)
+    t = np.asarray(stamps)
+    fig.add_trace(go.Scatter(x=t, y=certs["odom_pose.residual_norm"],
+                             name="|odom residual|"), row=1, col=2)
+    fig.add_trace(go.Scatter(x=t, y=np.cumsum(certs["map.inserted_count"]),
+                             name="cum inserted"), row=2, col=1)
+    fig.add_trace(go.Scatter(x=t, y=certs["map.merged_pairs"],
+                             name="merged/scan"), row=2, col=1)
+    fig.add_trace(go.Scatter(x=t, y=certs["temper.beta"], name="beta"),
+                  row=2, col=2)
+    fig.add_trace(go.Scatter(x=t, y=certs["fusion.alpha"], name="alpha"),
+                  row=2, col=2)
+    path = f"{out_dir}/dashboard.html"
+    fig.write_html(path)
+    print(f"[dashboard] {path}")
+
+
+if __name__ == "__main__":
+    main()
