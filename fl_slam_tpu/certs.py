@@ -1,0 +1,144 @@
+"""Certificate system: numeric per-scan audit scalars (parity: reference
+``common/certificates.py`` CertBundle/ExpectedEffect + ``aggregate_certificates``
++ ``MinimalScanTape`` + ``common/runtime_counters.py``).
+
+TPU-first redesign (SURVEY.md section 7.1 delta 4): the reference's CertBundle
+is a Python object tree whose fields are pulled to the host with ``float()``
+mid-scan — the single biggest structural performance bug the survey flags.
+Here every operator already returns a flat dict of DEVICE scalars with
+namespaced keys ("odom_pose.nll_proxy", "map.fused_mass", ...); this module
+gives that stream the reference's audit semantics:
+
+  - a fixed CATEGORY schema mapping key prefixes to the reference's cert
+    families (conditioning / support / mismatch / influence / compute / ot /
+    map_update / excitation / approximation-triggers);
+  - ``aggregate``: per-scan reductions (device-side, jit-safe) mirroring
+    ``aggregate_certificates``;
+  - ``compute_budget``: STATIC shape/alloc declarations derived from the
+    config — the fixed-cost contract checked by budget-assertion tests
+    (parity: spec section 12.9.1 / test_budget_assertions.py). Since budgets
+    are compile-time constants here, the "runtime counters" of the reference
+    (transfer bytes, recompiles) are compile-time facts: one H2D staging
+    transfer per replay, one compiled program, zero in-loop syncs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fl_slam_tpu.config import D_Z, GCConfig
+
+# Key-prefix -> cert family (reference CertBundle sub-certs).
+CATEGORY_OF_PREFIX = {
+    "predict": "conditioning",
+    "fusion": "conditioning",
+    "hyp": "conditioning",
+    "iw_process": "conditioning",
+    "iw_meas": "conditioning",
+    "odom_pose": "mismatch",
+    "odom_vel": "mismatch",
+    "odom_wz": "mismatch",
+    "odom_kin": "mismatch",
+    "odom": "influence",
+    "planar_z": "mismatch",
+    "planar_vz": "mismatch",
+    "imu_grav": "support",
+    "imu_gyro": "mismatch",
+    "imu_preint": "mismatch",
+    "imu_ba": "mismatch",
+    "imu": "support",
+    "deskew": "influence",
+    "point_budget": "support",
+    "surfel": "support",
+    "ot": "ot",
+    "visual": "mismatch",
+    "map": "map_update",
+    "atlas": "map_update",
+    "temper": "influence",
+    "exc": "excitation",
+    "recompose": "influence",
+    "anchor": "influence",
+}
+
+# Keys whose magnitudes are approximation TRIGGERS (reference:
+# approximation_triggers != empty => frobenius_applied).
+TRIGGER_KEYS = (
+    "predict.psd_projection",
+    "fusion.psd_projection",
+    "imu_grav.psd_projection",
+    "hyp.psd_projection",
+    "recompose.bch_norm",
+    "iw_process.psd_projection",
+    "iw_meas.psd_projection",
+)
+
+NLL_SUFFIX = ".nll_proxy"
+
+
+def category(key: str) -> str:
+    return CATEGORY_OF_PREFIX.get(key.split(".", 1)[0], "other")
+
+
+def aggregate(certs: dict) -> dict:
+    """Per-scan aggregate scalars (device-side; parity:
+    aggregate_certificates, certificates.py:511)."""
+    z = jnp.zeros(())
+    trig = sum((certs[k] for k in TRIGGER_KEYS if k in certs), z)
+    nll = sum((v for k, v in certs.items() if k.endswith(NLL_SUFFIX)), z)
+    lift = sum((v for k, v in certs.items() if k.endswith(".lift")), z)
+    proj = sum((v for k, v in certs.items()
+                if k.endswith(".psd_projection")), z)
+    out = {
+        "agg.trigger_magnitude": trig,
+        "agg.nll_total": nll,
+        "agg.lift_total": lift,
+        "agg.psd_projection_total": proj,
+        "agg.frobenius_applied": (trig > 0).astype(jnp.float32),
+    }
+    if "predict.cond" in certs:
+        out["agg.cond_max"] = jnp.maximum(certs["predict.cond"],
+                                          certs.get("fusion.cond_pose6", z))
+    if "ot.ess" in certs:
+        out["agg.ess_total"] = certs["ot.ess"] + certs.get("imu.ess_int", z)
+    return out
+
+
+def compute_budget(cfg: GCConfig) -> dict:
+    """STATIC compute/allocation declarations (the fixed-cost contract).
+
+    Every entry is a compile-time constant; budget-assertion tests pin these
+    (parity: test_budget_assertions.py asserting ComputeCert shapes/allocs).
+    """
+    itemsize = jnp.dtype(cfg.jdtype).itemsize
+    n_meas = cfg.n_meas
+    view = cfg.n_active_tiles * cfg.m_tile_view
+    pool_prims = cfg.n_tiles_pool * cfg.m_tile
+    slab_prims = cfg.n_active_tiles * cfg.m_tile
+    atlas_bytes = pool_prims * (
+        9 + 3 + 3 * cfg.vmf_n_lobes + 1 + 1 + 1 + 3 + 1 + 3) * itemsize \
+        + pool_prims * (4 + 4 + 8 + 1)
+    return {
+        "largest_tensor_shape": (cfg.n_tiles_pool, cfg.m_tile, 3, 3),
+        "assoc_cost_shape": (n_meas, view),
+        "assoc_cost_bytes": n_meas * view * itemsize,
+        "slab_bytes_per_field9": slab_prims * 9 * itemsize,
+        "atlas_bytes_est": int(atlas_bytes),
+        "segment_sum_k": cfg.k_assoc,
+        "sinkhorn_iters": cfg.k_sinkhorn,
+        "points_cap": cfg.n_points,
+        "imu_len": cfg.imu_len,
+        "merge_pairs_per_scan": cfg.k_merge_pairs * cfg.n_active_tiles,
+        "merge_pairwise_shape": (cfg.n_active_tiles,
+                                 min(cfg.merge_max_tile, cfg.m_tile),
+                                 min(cfg.merge_max_tile, cfg.m_tile)),
+        "state_dim": D_Z,
+        "h2d_transfers_per_replay": 1,   # single staged device_put
+        "host_syncs_per_scan": 0,        # certs stay on device
+        "jit_programs": 1,               # one lax.scan over the bag
+    }
+
+
+def tape_schema(certs: dict) -> tuple:
+    """Stable, sorted key schema of a scan's cert dict (parity:
+    MinimalScanTape field list; tested for schema stability)."""
+    return tuple(sorted(certs.keys()))

@@ -131,7 +131,15 @@ def empty_atlas(cfg: GCConfig) -> AtlasMap:
 
 
 def gather_slabs(atlas: AtlasMap, slots: jnp.ndarray) -> Slabs:
-    """ONE gather of the active tiles' working set."""
+    """ONE gather of the active tiles' working set.
+
+    NOTE (profiled): inside the replay ``lax.scan`` XLA copies each pool
+    array once per scan around the scatter (~7 ms/scan total at production
+    size) — per-tile dynamic-update-slice chains were tried and are WORSE
+    (sequential DUS chains, +4 ms and 4x compile time). Eliminating the
+    copies needs slab-resident carry (scatter only on tile-set change);
+    tracked as future work.
+    """
     return Slabs(**{f: getattr(atlas, f)[slots] for f in _PRIM_FIELDS},
                  next_prim_id=atlas.next_prim_id)
 
@@ -363,7 +371,9 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     tgt = (base + evict_slot.astype(jnp.int32)).reshape(-1)
 
     do_f = do_insert.reshape(-1)
-    prefix = jnp.cumsum(do_f.astype(jnp.int64)) - 1
+    # int32 prefix sum: int64 cumsum lowers to u32-pair reduce-windows that
+    # blow the TPU scoped-vmem budget inside the replay lax.scan.
+    prefix = (jnp.cumsum(do_f.astype(jnp.int32)) - 1).astype(jnp.int64)
     new_ids = jnp.where(do_f, sl.next_prim_id + prefix, jnp.int64(-1))
 
     gi = ins_idx.reshape(-1)                                 # (S*K,) meas rows
@@ -480,8 +490,11 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
                                                   0.0) + 1e-24))
         D = quad + logt
         pair_ok = v[:, None] & v[None, :]
-        iu = jnp.triu_indices(Sm, k=1)
-        mask = jnp.zeros((Sm, Sm), dtype=bool).at[iu].set(True)
+        # Static upper-triangle mask: jnp.triu_indices builds 32k/65k-element
+        # int64 device cumsums that blow the TPU scoped-vmem budget inside
+        # the replay lax.scan; the mask is a compile-time constant.
+        import numpy as _np
+        mask = jnp.asarray(_np.triu(_np.ones((Sm, Sm), dtype=bool), 1))
         D = jnp.where(pair_ok & mask, D, jnp.inf)
 
         def body(_, carry):

@@ -1,0 +1,82 @@
+"""Certificate schema + budget assertion tests (parity: the reference's
+test_cert_schema.py and test_budget_assertions.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fl_slam_tpu import certs as C
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
+from fl_slam_tpu.pipeline import init_state, process_scan
+
+CFG = GCConfig.small()
+
+
+def _one_scan_certs():
+    ds = simulate(CFG, n_scans=2, seed=0)
+    scans = to_scan_inputs(ds, CFG)
+    state = init_state(CFG, anchor0=jnp.asarray(ds.gt_poses[0], CFG.jdtype),
+                       t0=float(ds.gt_stamps[0]) - 0.1)
+    state, out = process_scan(state, jax.tree.map(lambda a: a[0], scans), CFG)
+    return out.certs
+
+
+class TestCertSchema:
+    def test_every_key_categorized(self):
+        certs = _one_scan_certs()
+        uncat = [k for k in certs if C.category(k) == "other"]
+        assert not uncat, f"uncategorized cert keys: {uncat}"
+
+    def test_schema_deterministic(self):
+        s1 = C.tape_schema(_one_scan_certs())
+        s2 = C.tape_schema(_one_scan_certs())
+        assert s1 == s2 and len(s1) > 40
+
+    def test_aggregate_semantics(self):
+        certs = _one_scan_certs()
+        agg = C.aggregate(certs)
+        assert float(agg["agg.nll_total"]) >= 0.0
+        assert float(agg["agg.psd_projection_total"]) >= 0.0
+        # triggers nonnegative; frobenius flag consistent with triggers
+        t = float(agg["agg.trigger_magnitude"])
+        assert t >= 0.0
+        assert float(agg["agg.frobenius_applied"]) == (1.0 if t > 0 else 0.0)
+
+    def test_aggregate_is_jittable(self):
+        certs = _one_scan_certs()
+        agg = jax.jit(C.aggregate)(certs)
+        assert np.isfinite(float(agg["agg.nll_total"]))
+
+
+class TestBudgetAssertions:
+    """The fixed-cost contract: declared budgets are compile-time facts
+    (spec section 12.9.1)."""
+
+    def test_small_budget_declarations(self):
+        b = C.compute_budget(CFG)
+        assert b["largest_tensor_shape"] == (CFG.n_tiles_pool, CFG.m_tile,
+                                             3, 3)
+        assert b["assoc_cost_shape"] == (CFG.n_meas,
+                                         CFG.n_active_tiles * CFG.m_tile_view)
+        assert b["segment_sum_k"] == CFG.k_assoc
+        assert b["host_syncs_per_scan"] == 0
+        assert b["jit_programs"] == 1
+
+    def test_production_budgets_within_hbm(self):
+        cfg = GCConfig.tpu()
+        b = C.compute_budget(cfg)
+        # atlas pool must fit comfortably in a v5e's 16 GB HBM
+        assert b["atlas_bytes_est"] < 2 * 1024 ** 3, b["atlas_bytes_est"]
+        # dense association cost matrix stays small (MXU-friendly)
+        assert b["assoc_cost_bytes"] < 64 * 1024 ** 2
+        # merge pairwise work is bounded by the subset cap
+        S, a, bb = b["merge_pairwise_shape"]
+        assert a <= cfg.merge_max_tile and a * bb <= 256 * 256
+
+    def test_budget_change_is_recompile(self):
+        """Configs are hashable statics: different budgets => different
+        config objects (the by-construction fixed-cost contract)."""
+        c1, c2 = GCConfig.small(), GCConfig.small(n_points=512)
+        assert hash(c1) != hash(c2)
+        assert c1 != c2

@@ -1,0 +1,71 @@
+"""Multi-chip batched replay tests on the 8-virtual-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
+from fl_slam_tpu.parallel.replicas import (batched_replay, batched_step,
+                                           init_states_batched, make_mesh,
+                                           shard_scan_inputs)
+
+CFG = GCConfig.small(n_points=64, imu_len=32, n_surfel=32, m_tile=128,
+                     n_tiles_pool=16, m_tile_view=64, merge_max_tile=64,
+                     k_insert=8, k_hyp=2)
+
+
+def _instances(n, T):
+    """n independent datasets stacked on a leading instance axis."""
+    dss = [simulate(CFG, n_scans=T, seed=100 + i) for i in range(n)]
+    scans = [to_scan_inputs(ds, CFG) for ds in dss]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    anchors = [jnp.asarray(ds.gt_poses[0], CFG.jdtype) for ds in dss]
+    return dss, stacked, anchors
+
+
+class TestBatchedReplay:
+    def test_eight_instances_sharded(self):
+        n = jax.device_count()
+        assert n == 8, "conftest should provide 8 virtual devices"
+        dss, scans, anchors = _instances(n, T=3)
+        mesh = make_mesh()
+        states = init_states_batched(CFG, n, anchors0=anchors)
+        shard = jax.sharding.NamedSharding(mesh,
+                                           jax.sharding.PartitionSpec("inst"))
+        states = jax.tree.map(lambda a: jax.device_put(a, shard), states)
+        scans = shard_scan_inputs(scans, mesh)
+
+        run = batched_replay(CFG, mesh)
+        fs, outs = run(states, scans)
+        poses = np.asarray(outs.pose)
+        assert poses.shape == (n, 3, 6)
+        assert np.isfinite(poses).all()
+        assert int(np.asarray(fs.scan_seq).min()) == 3
+        # Instances have different seeds: trajectories must differ.
+        assert np.abs(poses[0] - poses[1]).max() > 1e-6
+
+    def test_batched_matches_single(self):
+        """Instance 0 of the batched run == a plain single replay."""
+        from fl_slam_tpu.pipeline import init_state, replay
+        n = jax.device_count()
+        dss, scans, anchors = _instances(n, T=3)
+        mesh = make_mesh()
+        states = init_states_batched(CFG, n, anchors0=anchors)
+        run = batched_replay(CFG, mesh)
+        fs, outs = run(jax.tree.map(
+            lambda a: jax.device_put(
+                a, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("inst"))), states),
+            shard_scan_inputs(scans, mesh))
+
+        s0 = init_state(CFG, anchor0=anchors[0],
+                        t0=float(dss[0].gt_stamps[0]) - 0.1)
+        # batched init uses t0=0.0 default; re-run batched with same t0 path:
+        # compare against single replay with the same default t0.
+        s0 = init_state(CFG, anchor0=anchors[0])
+        _, outs_single = replay(s0, jax.tree.map(lambda a: a[0], scans), CFG)
+        np.testing.assert_allclose(np.asarray(outs.pose)[0],
+                                   np.asarray(outs_single.pose),
+                                   rtol=1e-5, atol=1e-7)

@@ -155,3 +155,38 @@ class TestExport:
         save_diagnostics(dpath, {"a.b": np.arange(5.0)},
                          stamps=np.arange(5.0))
         assert np.load(dpath)["a.b"].shape == (5,)
+
+
+class TestSplatPallas:
+    def test_interpret_matches_scene_semantics(self):
+        """Pallas kernel (interpret mode on CPU) reproduces the scene checks
+        of the XLA rasterizer (different tiling => not bit-equal)."""
+        from fl_slam_tpu.render.splat_pallas import render_pallas
+        d = jnp.float32
+        pos, Lam, etas, col, w, val = _simple_scene(d)
+        cam = _camera(d)
+        img, depth = render_pallas(pos, Lam, etas, col, w, val, cam,
+                                   interpret=True)
+        img = np.asarray(img)
+        assert img.shape == (96, 128, 3) and np.isfinite(img).all()
+        red = img[48, 44]
+        blue = img[48, 78]
+        assert red[0] > red[2] + 0.2, red
+        assert blue[2] > blue[0] + 0.2, blue
+        assert img[5, 5].min() > 0.9
+        assert abs(float(np.asarray(depth)[48, 44]) - 3.0) < 0.2
+
+    def test_occlusion(self):
+        from fl_slam_tpu.render.splat_pallas import render_pallas
+        d = jnp.float32
+        pos = jnp.asarray([[0.0, 0.0, 3.0], [0.0, 0.0, 6.0]], d)
+        Lam = jnp.stack([jnp.eye(3, dtype=d) * 60.0] * 2)
+        etas = jnp.zeros((2, 3, 3), d).at[:, 0, 2].set(-8.0)
+        col = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], d)
+        w = jnp.asarray([50.0, 50.0], d)
+        val = jnp.asarray([True, True])
+        cam = _camera(d)
+        img, _ = render_pallas(pos, Lam, etas, col, w, val, cam,
+                               interpret=True)
+        center = np.asarray(img)[48, 64]
+        assert center[0] > 0.5 and center[2] < 0.4, center
