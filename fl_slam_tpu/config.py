@@ -109,6 +109,20 @@ class GCConfig:
     # ---- OU damping (constants.py:252-266) ----------------------------------
     ou_lambda: float = 0.1
 
+    # Physical ceilings for the ADAPTIVE process noise (per-axis variance
+    # rate). The IW adaptation is a positive-feedback loop (looser prior ->
+    # larger residuals -> larger suffstats); without a ceiling Q_rot_z was
+    # observed to inflate 5 orders of magnitude and walk the yaw away. The
+    # ceilings encode the platform envelope (a ground robot cannot diffuse
+    # faster than ~0.5 m/sqrt(s) or ~3 deg/sqrt(s)).
+    q_max_trans: float = 0.25     # m^2/s
+    q_max_rot: float = 2.5e-3     # rad^2/s
+    q_max_vel: float = 0.25
+    q_max_bg: float = 1e-6
+    q_max_ba: float = 1e-4
+    q_max_dt: float = 1e-4
+    q_max_ex: float = 1e-6
+
     # ---- IW retention (constants.py:267-283) --------------------------------
     iw_nu_weak_add: float = 0.5
     iw_rho_trans: float = 0.99
@@ -180,6 +194,20 @@ class GCConfig:
     # Kept as an operator; off in the default pipeline.
     odom_kinematic_weight: float = 0.0
 
+    # Innovation feed into adaptive Q, per pose sub-block. Both feeds are
+    # needed (pred-vs-post alone can never loosen an overconfident prior;
+    # gating the rotation feed was tried on the drifting-odometry benchmark
+    # and degrades rotation 6.9 -> 15.9 deg by freezing the yaw prior).
+    innovation_q_trans: float = 1.0
+    innovation_q_rot: float = 1.0
+    # Component-wise clip on the fed innovation: an unbounded feed is a
+    # positive-feedback loop (larger Q -> looser prior -> larger wander ->
+    # larger innovation -> larger Q; observed as Q_rot_z inflating from
+    # 8.7e-7 to 0.12 rad^2/s and a pure-yaw runaway after ~150 scans). The
+    # clip bounds the learned per-scan prediction-error scale.
+    innovation_clip_trans: float = 0.30   # m (loose; Q is bounded below)
+    innovation_clip_rot: float = 0.10     # rad
+
     # ---- ablation knobs (pipeline.py:138-146) --------------------------------
     imu_gravity_scale: float = 1.0
     deskew_rotation_only: bool = False
@@ -214,7 +242,13 @@ class GCConfig:
     # merging never runs at production size); 256 keeps merge active at ~2 ms
     # instead of ~340 ms on a v5e chip (the profiled top cost of the scan).
     merge_max_tile: int = 256
-    cull_weight_threshold: float = 1e-4
+    # Cull threshold sized to the novelty-insertion mass scale: a genuinely
+    # novel measurement inserts with weight ~ (1/N_valid) * surfel_mass
+    # (~0.05 at production budgets); residual-novelty slivers land 10-100x
+    # lower and must die, or the map grows by ~170 near-duplicates per scan
+    # (observed: 20k primitives after 200 scans, degraded pose evidence).
+    # The reference's 1e-4 keeps the slivers.
+    cull_weight_threshold: float = 0.01
     kappa_min: float = 1e-3
     kappa_max: float = 1e4
     vmf_n_lobes: int = 3

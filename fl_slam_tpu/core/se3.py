@@ -73,7 +73,21 @@ def so3_exp(w):
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
 
+def _promote(x):
+    """f32 -> f64 for conditioning-critical log-map chains (see so3_log)."""
+    return x.astype(jnp.float64) if x.dtype == jnp.float32 else x
+
+
 def so3_log(R):
+    """f32-safe wrapper: the log map's conditioning degrades as |theta| -> pi
+    (arccos + 1/sin amplification); at theta ~ 3 rad the f32 chain loses
+    ~4 digits, which walked the yaw estimate by degrees over a long arc.
+    The matrices are 3x3: computing in (emulated) f64 is free."""
+    out = _so3_log_impl(_promote(R))
+    return out.astype(R.dtype)
+
+
+def _so3_log_impl(R):
     """(..., 3, 3) rotation -> (..., 3) rotvec; stable near 0 and pi.
 
     Near pi the antisymmetric part vanishes; there we recover the axis from
@@ -169,19 +183,23 @@ def se3_exp(xi):
 
 
 def se3_log(pose):
-    """(..., 6) pose -> (..., 6) twist."""
-    t, w = pose[..., 0:3], pose[..., 3:6]
+    """(..., 6) pose -> (..., 6) twist (f64-internal; V_inv has the same
+    near-pi conditioning cliff as the rotation log)."""
+    p = _promote(pose)
+    t, w = p[..., 0:3], p[..., 3:6]
     rho = jnp.einsum("...ij,...j->...i", so3_V_inv(w), t)
-    return jnp.concatenate([rho, w], axis=-1)
+    return jnp.concatenate([rho, w], axis=-1).astype(pose.dtype)
 
 
 def se3_compose(a, b):
-    """a ∘ b for 6-vector poses: R = Ra Rb, t = Ra tb + ta."""
-    Ra, ta = pose_rt(a)
-    Rb = so3_exp(b[..., 3:6])
-    t = jnp.einsum("...ij,...j->...i", Ra, b[..., 0:3]) + ta
-    w = so3_log(Ra @ Rb)
-    return jnp.concatenate([t, w], axis=-1)
+    """a ∘ b for 6-vector poses: R = Ra Rb, t = Ra tb + ta (f64-internal:
+    exp -> matmul -> log round-trips amplify f32 error near |rotvec| ~ pi)."""
+    a64, b64 = _promote(a), _promote(b)
+    Ra, ta = pose_rt(a64)
+    Rb = so3_exp(b64[..., 3:6])
+    t = jnp.einsum("...ij,...j->...i", Ra, b64[..., 0:3]) + ta
+    w = _so3_log_impl(Ra @ Rb)
+    return jnp.concatenate([t, w], axis=-1).astype(a.dtype)
 
 
 def se3_inverse(pose):

@@ -82,12 +82,25 @@ def _softplus_positive(x, eps: float = 1e-12, beta: float = 50.0):
     return jax.nn.softplus(beta * x) / beta + eps
 
 
-def process_noise_to_Q(state: ProcessNoiseIW, eps_psd: float):
-    """Q = blockdiag of E[Sigma_i] = Psi_i / softplus(nu_i - p_i - 1), PSD."""
+def process_noise_to_Q(state: ProcessNoiseIW, eps_psd: float,
+                       cfg: GCConfig | None = None):
+    """Q = blockdiag of E[Sigma_i] = Psi_i / softplus(nu_i - p_i - 1), PSD,
+    with per-block PHYSICAL CEILINGS when cfg is given: the IW adaptation is
+    a positive-feedback loop and must not exceed the platform envelope (a
+    continuous scale-down of the whole block preserves its shape)."""
     dtype = state.psi.dtype
     dims = jnp.asarray(_BLOCK_DIMS, dtype)
     denom = _softplus_positive(state.nu - dims - 1.0)
     blocks = state.psi / denom[:, None, None] * _block_masks(dtype)
+    if cfg is not None:
+        qmax = jnp.asarray([cfg.q_max_trans, cfg.q_max_rot, cfg.q_max_vel,
+                            cfg.q_max_bg, cfg.q_max_ba, cfg.q_max_dt,
+                            cfg.q_max_ex], dtype)
+        eye6 = jnp.eye(6, dtype=dtype)
+        lam_max = jnp.max(jnp.abs(blocks) * eye6, axis=(-2, -1)) \
+            + jnp.sum(jnp.abs(blocks) * (1.0 - eye6), axis=(-2, -1)) / 2.0
+        scale = jnp.minimum(1.0, qmax / jnp.maximum(lam_max, 1e-30))
+        blocks = blocks * scale[:, None, None]
     Q = jnp.zeros((D_Z, D_Z), dtype)
     for i, (d, start) in enumerate(zip(_BLOCK_DIMS, _BLOCK_STARTS)):
         Q = Q.at[start:start + d, start:start + d].set(blocks[i, :d, :d])

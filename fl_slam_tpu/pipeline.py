@@ -219,7 +219,7 @@ def process_scan(state: PipelineState, scan: ScanInput,
         delta_v_body=pre_int["delta_v"] * cover)
     certs["predict.window_coverage_scale"] = cover
 
-    Q = noise_ops.process_noise_to_Q(state.process_noise, cfg.eps_psd)
+    Q = noise_ops.process_noise_to_Q(state.process_noise, cfg.eps_psd, cfg)
     sigma_g = noise_ops.measurement_noise_mean(state.meas_noise, 0, cfg.eps_psd)
     sigma_a = noise_ops.measurement_noise_mean(state.meas_noise, 1, cfg.eps_psd)
 
@@ -485,8 +485,14 @@ def process_scan(state: PipelineState, scan: ScanInput,
     dpsi_q = jnp.einsum("k,kabc->abc", w_hyp, dpsi_q_k)
     dnu_q = jnp.einsum("k,ka->a", w_hyp, dnu_q_k)
     xi_err = dz_odom_k[0][IDX_POSE]
-    dpsi_q = dpsi_q.at[0, :3, :3].add(jnp.outer(xi_err[:3], xi_err[:3]))
-    dpsi_q = dpsi_q.at[1, :3, :3].add(jnp.outer(xi_err[3:6], xi_err[3:6]))
+    xi_t = jnp.clip(xi_err[:3], -cfg.innovation_clip_trans,
+                    cfg.innovation_clip_trans)
+    xi_r = jnp.clip(xi_err[3:6], -cfg.innovation_clip_rot,
+                    cfg.innovation_clip_rot)
+    dpsi_q = dpsi_q.at[0, :3, :3].add(
+        cfg.innovation_q_trans * jnp.outer(xi_t, xi_t))
+    dpsi_q = dpsi_q.at[1, :3, :3].add(
+        cfg.innovation_q_rot * jnp.outer(xi_r, xi_r))
 
     # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
     z_t0 = z_t_k[0]

@@ -232,14 +232,30 @@ def slab_recency_inflate(sl: Slabs, scan_seq, cfg: GCConfig):
 # ---------------------------------------------------------------------------
 
 def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
-    """Top ``m_tile_view`` primitives by weight per active slab, stitched."""
+    """Stitched candidate view: per active slab, half the ``m_tile_view``
+    budget goes to the top primitives BY WEIGHT and half to the MOST RECENTLY
+    created ones.
+
+    Weight-only selection (the reference policy) starves young primitives
+    once a tile holds more than m_tile_view mature ones: fresh geometry never
+    becomes matchable, every scan re-inserts duplicates of it, and the map
+    bloats until the pose evidence degrades (observed at production budgets:
+    ~200 re-insertions/scan and 2-rad rotation residuals). The recency half
+    keeps the insertion->associate->fuse loop closed. Duplicated rows between
+    the two halves are harmless (they compete as candidates).
+    """
     S, M = sl.weights.shape
     V = cfg.m_tile_view
     dt = sl.weights.dtype
     neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
-    score = jnp.where(sl.valid, sl.weights, neg_inf)
-    k = min(V, M)
-    _, idx = jax.lax.top_k(score, k)                         # (S, k)
+    kw = min(V - V // 2, M)
+    kr = min(V // 2, M)
+    score_w = jnp.where(sl.valid, sl.weights, neg_inf)
+    _, idx_w = jax.lax.top_k(score_w, kw)                    # (S, kw)
+    score_r = jnp.where(sl.valid, sl.created_seq.astype(dt), neg_inf)
+    _, idx_r = jax.lax.top_k(score_r, kr)                    # (S, kr)
+    idx = jnp.concatenate([idx_w, idx_r], axis=1)            # (S, kw+kr)
+    k = idx.shape[1]
     if k < V:  # tiny-config safety: pad with repeats of slot 0
         idx = jnp.pad(idx, ((0, 0), (0, V - k)))
     base = (jnp.arange(S, dtype=jnp.int32) * M)[:, None]
