@@ -172,7 +172,17 @@ class GCConfig:
     # the pose rigidly to the map and the map->insert->associate loop echoes
     # estimate bias (observable as a z random walk). Tempering keeps it
     # informative but subordinate to the kinematic evidence.
-    visual_evidence_weight: float = 0.2
+    # 0.3 post shape-aware WLS: with the transported mass hard-capped and the
+    # pair weights plane-projected the evidence is no longer overconfident,
+    # so it earns a larger share (swept 0.2/0.3/0.5/0.8 over clean/drift x
+    # turn-rate 0.05/0.15: 0.3 wins 3 of 4 scenarios).
+    visual_evidence_weight: float = 0.3
+
+    # Translation WLS pair weighting: (1-f) * point-to-plane + f * point-to-
+    # point. Pure point-to-plane (f=0) kills the along-wall aperture bias but
+    # surrenders the in-plane pull that corrects drifting odometry between
+    # differently-oriented surfaces; a small isotropic floor keeps both.
+    p2p_shape_floor: float = 0.1
 
     # Relative-IMU factor weight (gyro rotation + preint velocity/position
     # factors). With the mechanized prediction these factors re-state the

@@ -161,7 +161,13 @@ def eigvalsh3x3(A):
     """Eigenvalues of symmetric (..., 3, 3), ascending, closed form.
 
     Trigonometric method (Smith 1961): exact for symmetric 3x3, no iteration.
+    Scale-normalized first: the method forms p^3, which overflows float32
+    once entries pass ~1e6 (seen with heavily-fused map precisions) — inf/inf
+    then poisons arccos with NaN. Eigenvalues scale linearly, so divide by
+    the max |entry| and multiply back.
     """
+    s = jnp.maximum(jnp.max(jnp.abs(A), axis=(-2, -1)), 1e-30)
+    A = A / s[..., None, None]
     a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
     a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
     q = (a00 + a11 + a22) / 3.0
@@ -185,7 +191,7 @@ def eigvalsh3x3(A):
     lam0 = jnp.where(degen, q, lam0)
     lam1 = jnp.where(degen, q, lam1)
     lam2 = jnp.where(degen, q, lam2)
-    return jnp.stack([lam0, lam1, lam2], axis=-1)
+    return jnp.stack([lam0, lam1, lam2], axis=-1) * s[..., None]
 
 
 def eigvec3x3(A, lam):

@@ -150,6 +150,17 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     pi = jnp.where(jnp.isfinite(log_pi), jnp.exp(log_pi), 0.0)
     pi = pi * a_mask[:, None] * cand_valid.astype(dt)
 
+    # Hard per-row mass cap: a measurement can never transport MORE than its
+    # declared budget a_i. The soft unbalanced exponents keep the marginals
+    # only approximately; when the candidate field is dense and ambiguous
+    # (long planar walls, mature map) the plan overshoots — observed 2.7x the
+    # scan budget at 200 scans / low turn rate, which inflates the downstream
+    # pose evidence and diverges the filter. Transporting LESS than a_i stays
+    # allowed (that remainder is novelty mass).
+    row_raw = jnp.sum(pi, axis=1)
+    row_cap = jnp.minimum(1.0, a / jnp.maximum(row_raw, cfg.eps_mass))
+    pi = pi * row_cap[:, None]
+
     row_masses = jnp.sum(pi, axis=1)
     col_masses = jnp.sum(pi, axis=0)
     b = jnp.exp(log_b)

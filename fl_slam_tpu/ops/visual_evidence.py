@@ -42,14 +42,36 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     map_dir = view.directions[idx]
     map_kap = view.kappas[idx]
 
-    # ---- translation WLS ----------------------------------------------------
-    pi_row = jnp.sum(pi, axis=1)                                # (N,)
-    L_t_w = jnp.einsum("n,nij->ij", pi_row, meas_prec_w)
+    # ---- translation WLS (soft point-to-plane) -------------------------------
+    # Pair residual d = map_center - point. Its in-plane component is NOT pose
+    # error — it is which part of the patch the point sampled. Weighting d
+    # isotropically (point-to-point) therefore drags the pose toward patch
+    # centers along planar surfaces; on a long corridor wall that injects a
+    # systematic along-track bias (observed: ~1.2 m x-drift over 200 scans at
+    # low turn rate). Weight instead through the surfel's SHAPE precision:
+    # Lambda_hat = Lambda / lambda_max(Lambda) has eigenvalues in (0, 1] —
+    # ~1 along the patch normal, ~sigma_n^2/extent^2 in-plane — so each match
+    # constrains the pose only along directions the patch actually measures.
+    # The measurement's scalar precision sets the overall strength.
+    # Normalize by the trace, not the exact lambda_max: for the plane-like
+    # precisions this weighting exists for, trace ~= lambda_max (the normal
+    # eigenvalue dominates), and the trace avoids a V-sized eigen sweep in
+    # the hot loop.
+    lam_max = (view.Lambdas[:, 0, 0] + view.Lambdas[:, 1, 1]
+               + view.Lambdas[:, 2, 2])                         # (V,)
+    shape_hat = view.Lambdas / jnp.maximum(lam_max, cfg.eps_lift)[:, None, None]
+    f = cfg.p2p_shape_floor
+    shape_hat = ((1.0 - f) * shape_hat
+                 + f * jnp.eye(3, dtype=dt) * (lam_max > cfg.eps_lift
+                                               )[:, None, None].astype(dt))
+    shape_nk = shape_hat[idx]                                   # (N, K, 3, 3)
+    s_meas = (jnp.trace(meas_prec_w, axis1=-2, axis2=-1) / 3.0)  # (N,)
+    W = pi * s_meas[:, None]                                    # (N, K)
+    L_t_w = jnp.einsum("nk,nkij->ij", W, shape_nk)
     target = map_pos - meas_pos_w[:, None, :]                   # (N, K, 3)
-    tgt_i = jnp.einsum("nk,nkj->nj", pi, target)
-    h_t_w = jnp.einsum("nij,nj->i", meas_prec_w, tgt_i)
-    res_cost = jnp.einsum("nij,nkj,nki->nk", meas_prec_w, target, target)
-    trans_cost = jnp.sum(pi * res_cost)
+    h_t_w = jnp.einsum("nk,nkij,nkj->i", W, shape_nk, target)
+    res_cost = jnp.einsum("nkij,nkj,nki->nk", shape_nk, target, target)
+    trans_cost = jnp.sum(W * res_cost)
 
     # ---- rotation vMF scatter ----------------------------------------------
     kw = jnp.sqrt(meas_kappa[:, None] * map_kap + 1e-12)

@@ -98,6 +98,8 @@ class MapView(NamedTuple):
     """
 
     positions: jnp.ndarray       # (V, 3) world-frame means
+    Lambdas: jnp.ndarray         # (V, 3, 3) accumulated patch precisions
+                                 #   (arbitrary scale; eigenstructure = shape)
     directions: jnp.ndarray      # (V, 3) primary vMF directions
     kappas: jnp.ndarray          # (V,)
     weights: jnp.ndarray         # (V,)
@@ -276,7 +278,8 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     dirs = jnp.where(kap[:, None] > cfg.eps_mass,
                      eta0 / jnp.maximum(kap[:, None], cfg.eps_mass), ez)
     return MapView(
-        positions=pos, directions=dirs, kappas=kap, weights=wv, valid=val,
+        positions=pos, Lambdas=Lam, directions=dirs, kappas=kap, weights=wv,
+        valid=val,
         last_supported=flat(sl.last_supported)[gidx],
         prim_ids=flat(sl.prim_ids)[gidx],
         slab_idx=gidx.astype(jnp.int32),

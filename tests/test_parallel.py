@@ -66,6 +66,8 @@ class TestBatchedReplay:
         # compare against single replay with the same default t0.
         s0 = init_state(CFG, anchor0=anchors[0])
         _, outs_single = replay(s0, jax.tree.map(lambda a: a[0], scans), CFG)
+        # vmapped and single traces fuse reductions differently; the
+        # eigen-based pair weighting amplifies that to ~1e-5 relative.
         np.testing.assert_allclose(np.asarray(outs.pose)[0],
                                    np.asarray(outs_single.pose),
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-4, atol=1e-6)
