@@ -266,6 +266,15 @@ class GCConfig:
     assoc_block: int = 256
     k_insert: int = 64
 
+    # TPU-optimized approximate top-k (jax.lax.approx_max_k, recall ~0.95
+    # per element) for the three large per-scan selections: map-view top-by-
+    # weight/recency over (S, m_tile), insert-eviction lowest-retention, and
+    # association candidate top-K over the dense cost. Deterministic; the
+    # selections feed SOFT machinery (Sinkhorn responsibilities, retention
+    # eviction) so a ~5% tail miss is semantically benign. Exact top_k
+    # remains the default for CPU parity tests.
+    approx_topk: bool = False
+
     # ------------------------------------------------------------------
     @property
     def jdtype(self):
@@ -318,7 +327,7 @@ class GCConfig:
     @staticmethod
     def tpu(**overrides) -> "GCConfig":
         """Production budgets, float32 compute."""
-        base = dict(dtype="float32")
+        base = dict(dtype="float32", approx_topk=True)
         base.update(overrides)
         return GCConfig(**base)
 

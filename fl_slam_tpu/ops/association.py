@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.core.linalg import top_k_maybe_approx
 from fl_slam_tpu.structures.atlas import MapView
 
 COST_BETA = 0.5          # direction weight in cost (AssociationConfig.beta)
@@ -100,7 +101,8 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
 
     # ---- top-K candidates per measurement (cost ascending) ----------------
     k_eff = min(K, C_full.shape[1])
-    neg_cost, cand_view_idx = jax.lax.top_k(-C_full, k_eff)
+    neg_cost, cand_view_idx = top_k_maybe_approx(-C_full, k_eff,
+                                                 cfg.approx_topk)
     if k_eff < K:
         neg_cost = jnp.pad(neg_cost, ((0, 0), (0, K - k_eff)),
                            constant_values=-COST_INVALID)

@@ -55,9 +55,10 @@ def atlas_bev(atlas, cfg, proj, max_prims: int = 16384):
     w = jnp.where(atlas.valid, atlas.weights, -jnp.inf).reshape(-1)
     k = min(max_prims, P_ * M)
     _, idx = jax.lax.top_k(w, k)
+    from fl_slam_tpu.structures.atlas import dense_Lambdas, dense_rgb, dense_thetas
     flat = lambda a: a.reshape((P_ * M,) + a.shape[2:])
-    Lam = flat(atlas.Lambdas)[idx]
+    Lam = flat(dense_Lambdas(atlas))[idx]
     Sig = inv3x3(Lam, cfg.eps_lift)
-    mu = jnp.einsum("nij,nj->ni", Sig, flat(atlas.thetas)[idx])
+    mu = jnp.einsum("nij,nj->ni", Sig, flat(dense_thetas(atlas))[idx])
     mu2, S2 = pushforward_gaussians(proj, mu, Sig)
-    return mu2, S2, flat(atlas.weights)[idx], flat(atlas.rgb)[idx]
+    return mu2, S2, flat(atlas.weights)[idx], flat(dense_rgb(atlas))[idx]

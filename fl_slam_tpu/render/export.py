@@ -16,21 +16,23 @@ from fl_slam_tpu.core.linalg import inv3x3
 def atlas_to_arrays(atlas, cfg):
     """Compact valid primitives to numpy arrays for export."""
     import jax.numpy as jnp
+    from fl_slam_tpu.structures.atlas import (
+        dense_Lambdas, dense_etas, dense_rgb, dense_thetas)
     valid = np.asarray(atlas.valid)
     flat = lambda a: np.asarray(a).reshape((-1,) + np.asarray(a).shape[2:])
     v = valid.reshape(-1)
-    Lam = flat(atlas.Lambdas)[v]
-    the = flat(atlas.thetas)[v]
+    Lam = flat(dense_Lambdas(atlas))[v]
+    the = flat(dense_thetas(atlas))[v]
     Sig = np.asarray(inv3x3(jnp.asarray(Lam), cfg.eps_lift))
     mu = np.einsum("nij,nj->ni", Sig, the)
-    etas = flat(atlas.etas)[v]
+    etas = flat(dense_etas(atlas))[v]
     return {
         "positions": mu,
         "covariances": Sig,
         "Lambdas": Lam,
         "etas": etas,
         "weights": flat(atlas.weights)[v],
-        "rgb": flat(atlas.rgb)[v],
+        "rgb": flat(dense_rgb(atlas))[v],
         "cam_mass": flat(atlas.cam_mass)[v],
         "lidar_mass": flat(atlas.lidar_mass)[v],
         "created_seq": flat(atlas.created_seq)[v],

@@ -199,10 +199,12 @@ def render_atlas(atlas, cam: Camera, cfg, max_prims: int = 16384):
     w = jnp.where(atlas.valid, atlas.weights, -jnp.inf).reshape(-1)
     k = min(max_prims, P * M)
     _, idx = jax.lax.top_k(w, k)
+    from fl_slam_tpu.structures.atlas import (
+        dense_Lambdas, dense_etas, dense_rgb, dense_thetas)
     flat = lambda a: a.reshape((P * M,) + a.shape[2:])
-    Lam = flat(atlas.Lambdas)[idx]
-    the = flat(atlas.thetas)[idx]
+    Lam = flat(dense_Lambdas(atlas))[idx]
+    the = flat(dense_thetas(atlas))[idx]
     pos = jnp.einsum("nij,nj->ni", inv3x3(Lam, cfg.eps_lift), the)
-    return render(pos, Lam, flat(atlas.etas)[idx], flat(atlas.rgb)[idx],
+    return render(pos, Lam, flat(dense_etas(atlas))[idx], flat(dense_rgb(atlas))[idx],
                   flat(atlas.weights)[idx], flat(atlas.valid)[idx], cam,
                   eps_lift=cfg.eps_lift)

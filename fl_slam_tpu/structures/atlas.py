@@ -5,15 +5,24 @@ The reference keeps a Python dict ``tile_id -> PrimitiveMapTile`` and loops
 over ``n_blocks x active_tiles`` on the host every scan (its own docs flag this
 as the dominant wall-clock cost, ``pipeline.py:1272-1447``). Here the atlas is
 a **fixed pool**: ``n_tiles_pool`` tile slabs of ``m_tile`` primitive slots
-each, stored as SoA arrays with leading shape ``(P, M)``, plus an int64
-tile-key directory.
+each, stored as SoA arrays plus an int64 tile-key directory.
 
 Slab execution model (the perf-critical design): per scan the active tiles'
-slabs are gathered ONCE into ``Slabs`` arrays of shape ``(S, M, ...)``; every
-map operator (inflate/view/fuse/insert/cull/forget/merge) runs on the slabs;
-the result is scattered back ONCE. Running the operators directly on the
-``(P, M)`` pool costs a full-pool read/write per operator — measured 190 ms
-vs 42 ms per scan on a v5e chip for a 64x50k pool.
+slabs are gathered ONCE into ``Slabs`` arrays, every map operator
+(inflate/view/fuse/insert/cull/forget/merge) runs on the slabs, and the result
+is scattered back ONCE. Running the operators directly on the pool costs a
+full-pool read/write per operator — measured 190 ms vs 42 ms per scan on a
+v5e chip for a 64x50k pool.
+
+TPU layout discipline (profiled): bulk per-primitive tensors are stored as
+**component planes** with the large axes minor — symmetric 3x3 precisions as
+``(6, P, M)`` (packed xx,xy,xz,yy,yz,zz), vectors as ``(3, P, M)``, vMF lobes
+as ``(B*3, P, M)``. Arrays shaped ``(P, M, 3, 3)`` put two tiny dims
+minor-most, the TPU tiler pads them to (8, 128) — a 42x bandwidth blowup —
+and XLA then spends ~1 ms/scan per array on {2,1,0}<->{0,2,1} layout-change
+copies of the 350k-row slabs (the dominant cost of the whole scan before this
+refactor). Dense (..., 3, 3) matrices appear only on small gathered working
+sets (views, candidates, merge subsets).
 
 Semantics preserved from the reference (cited per function):
   - PoE fuse: ``Lambda += sum_k pi*Lambda_meas`` etc. (primitive_map.py:992+)
@@ -35,7 +44,8 @@ import jax
 import jax.numpy as jnp
 
 from fl_slam_tpu.config import GCConfig
-from fl_slam_tpu.core.linalg import inv3x3
+from fl_slam_tpu.core.linalg import (
+    inv3x3, mat33_to_sym6, sym6_to_mat33, top_k_maybe_approx)
 from fl_slam_tpu.structures.measurement_batch import MeasurementBatch
 
 EMPTY_KEY = jnp.int64(-1)
@@ -43,19 +53,24 @@ _GRAY = (0.5, 0.5, 0.5)
 
 
 class AtlasMap(NamedTuple):
-    """Fixed-pool tile atlas. P = n_tiles_pool, M = m_tile, B = vmf_n_lobes."""
+    """Fixed-pool tile atlas. P = n_tiles_pool, M = m_tile, B = vmf_n_lobes.
+
+    Plane fields carry their component axis FIRST (see module docstring):
+    ``lam6 (6, P, M)``, ``theta (3, P, M)``, ``eta (B*3, P, M)``,
+    ``rgb_acc/rgb (3, P, M)``. Scalar per-primitive fields are ``(P, M)``.
+    """
 
     tile_keys: jnp.ndarray       # (P,) int64 packed hex keys; -1 = free
     tile_touch_seq: jnp.ndarray  # (P,) int32 last scan this tile was active
-    Lambdas: jnp.ndarray         # (P, M, 3, 3)
-    thetas: jnp.ndarray          # (P, M, 3)
-    etas: jnp.ndarray            # (P, M, B, 3)
+    lam6: jnp.ndarray            # (6, P, M) packed symmetric precision
+    theta: jnp.ndarray           # (3, P, M) information mean
+    eta: jnp.ndarray             # (B*3, P, M) vMF naturals, lobe-major
     weights: jnp.ndarray         # (P, M)
     cam_mass: jnp.ndarray        # (P, M)
     lidar_mass: jnp.ndarray      # (P, M)
-    rgb_accum: jnp.ndarray       # (P, M, 3) camera-color accumulator
+    rgb_acc: jnp.ndarray         # (3, P, M) camera-color accumulator
     rgb_denom: jnp.ndarray       # (P, M)
-    rgb: jnp.ndarray             # (P, M, 3) resolved color (camera-dominant)
+    rgb: jnp.ndarray             # (3, P, M) resolved color (camera-dominant)
     created_seq: jnp.ndarray     # (P, M) int32
     last_supported: jnp.ndarray  # (P, M) int32 last scan with OT support
     prim_ids: jnp.ndarray        # (P, M) int64 global primitive ids; -1 empty
@@ -63,22 +78,23 @@ class AtlasMap(NamedTuple):
     next_prim_id: jnp.ndarray    # () int64
 
 
-_PRIM_FIELDS = ("Lambdas", "thetas", "etas", "weights", "cam_mass",
-                "lidar_mass", "rgb_accum", "rgb_denom", "rgb", "created_seq",
-                "last_supported", "prim_ids", "valid")
+_PLANE_FIELDS = ("lam6", "theta", "eta", "rgb_acc", "rgb")
+_SCALAR_FIELDS = ("weights", "cam_mass", "lidar_mass", "rgb_denom",
+                  "created_seq", "last_supported", "prim_ids", "valid")
+_PRIM_FIELDS = _PLANE_FIELDS + _SCALAR_FIELDS
 
 
 class Slabs(NamedTuple):
-    """Active-tile working set: the per-primitive fields with shape (S, M, ...)
+    """Active-tile working set: plane fields ``(C, S, M)``, scalars ``(S, M)``,
     plus a running primitive-id counter."""
 
-    Lambdas: jnp.ndarray
-    thetas: jnp.ndarray
-    etas: jnp.ndarray
+    lam6: jnp.ndarray
+    theta: jnp.ndarray
+    eta: jnp.ndarray
     weights: jnp.ndarray
     cam_mass: jnp.ndarray
     lidar_mass: jnp.ndarray
-    rgb_accum: jnp.ndarray
+    rgb_acc: jnp.ndarray
     rgb_denom: jnp.ndarray
     rgb: jnp.ndarray
     created_seq: jnp.ndarray
@@ -86,6 +102,27 @@ class Slabs(NamedTuple):
     prim_ids: jnp.ndarray
     valid: jnp.ndarray
     next_prim_id: jnp.ndarray    # () int64
+
+
+def _plane_gather(fplane, gidx):
+    """Rows (n, C) gathered from flat planes (C, L) at 1D indices.
+
+    One 1D gather per component: a fused column-gather ``plane[:, gidx]``
+    lowers to a serialized per-row dynamic-slice while-loop on TPU (profiled
+    at 10 ms/scan in the view extraction)."""
+    return jnp.stack([fplane[c][gidx] for c in range(fplane.shape[0])],
+                     axis=-1)
+
+
+def _plane_scatter_add(fplane, idx, vals):
+    """fplane (C, L) += scatter of vals (n, C) at idx; per-component 1D."""
+    return jnp.stack([fplane[c].at[idx].add(vals[..., c])
+                      for c in range(fplane.shape[0])], axis=0)
+
+
+def _plane_scatter_set(fplane, idx, vals):
+    return jnp.stack([fplane[c].at[idx].set(vals[..., c])
+                      for c in range(fplane.shape[0])], axis=0)
 
 
 class MapView(NamedTuple):
@@ -109,21 +146,43 @@ class MapView(NamedTuple):
     slab_idx: jnp.ndarray        # (V,) int32 flat index s*M + m into slabs
 
 
+# ---------------------------------------------------------------------------
+# Dense accessors (export / tests; NOT for the per-scan hot path).
+# ---------------------------------------------------------------------------
+
+def dense_Lambdas(x):
+    """(6, A, M) planes -> (A, M, 3, 3) dense symmetric matrices."""
+    return sym6_to_mat33(jnp.moveaxis(x.lam6, 0, -1))
+
+
+def dense_thetas(x):
+    return jnp.moveaxis(x.theta, 0, -1)                      # (A, M, 3)
+
+
+def dense_etas(x):
+    e = jnp.moveaxis(x.eta, 0, -1)                           # (A, M, B*3)
+    return e.reshape(e.shape[:-1] + (e.shape[-1] // 3, 3))   # (A, M, B, 3)
+
+
+def dense_rgb(x):
+    return jnp.moveaxis(x.rgb, 0, -1)                        # (A, M, 3)
+
+
 def empty_atlas(cfg: GCConfig) -> AtlasMap:
     P, M, B = cfg.n_tiles_pool, cfg.m_tile, cfg.vmf_n_lobes
     dt = cfg.jdtype
     return AtlasMap(
         tile_keys=jnp.full((P,), -1, dtype=jnp.int64),
         tile_touch_seq=jnp.full((P,), -1, dtype=jnp.int32),
-        Lambdas=jnp.zeros((P, M, 3, 3), dtype=dt),
-        thetas=jnp.zeros((P, M, 3), dtype=dt),
-        etas=jnp.zeros((P, M, B, 3), dtype=dt),
+        lam6=jnp.zeros((6, P, M), dtype=dt),
+        theta=jnp.zeros((3, P, M), dtype=dt),
+        eta=jnp.zeros((B * 3, P, M), dtype=dt),
         weights=jnp.zeros((P, M), dtype=dt),
         cam_mass=jnp.zeros((P, M), dtype=dt),
         lidar_mass=jnp.zeros((P, M), dtype=dt),
-        rgb_accum=jnp.zeros((P, M, 3), dtype=dt),
+        rgb_acc=jnp.zeros((3, P, M), dtype=dt),
         rgb_denom=jnp.zeros((P, M), dtype=dt),
-        rgb=jnp.full((P, M, 3), 0.5, dtype=dt),
+        rgb=jnp.full((3, P, M), 0.5, dtype=dt),
         created_seq=jnp.full((P, M), -1, dtype=jnp.int32),
         last_supported=jnp.full((P, M), -1, dtype=jnp.int32),
         prim_ids=jnp.full((P, M), -1, dtype=jnp.int64),
@@ -133,25 +192,19 @@ def empty_atlas(cfg: GCConfig) -> AtlasMap:
 
 
 def gather_slabs(atlas: AtlasMap, slots: jnp.ndarray) -> Slabs:
-    """ONE gather of the active tiles' working set.
-
-    NOTE (profiled): inside the replay ``lax.scan`` XLA copies each pool
-    array once per scan around the scatter (~7 ms/scan total at production
-    size) — per-tile dynamic-update-slice chains were tried and are WORSE
-    (sequential DUS chains, +4 ms and 4x compile time). Eliminating the
-    copies needs slab-resident carry (scatter only on tile-set change);
-    tracked as future work.
-    """
-    return Slabs(**{f: getattr(atlas, f)[slots] for f in _PRIM_FIELDS},
-                 next_prim_id=atlas.next_prim_id)
+    """ONE gather of the active tiles' working set."""
+    vals = {f: getattr(atlas, f)[:, slots] for f in _PLANE_FIELDS}
+    vals.update({f: getattr(atlas, f)[slots] for f in _SCALAR_FIELDS})
+    return Slabs(**vals, next_prim_id=atlas.next_prim_id)
 
 
 def scatter_slabs(atlas: AtlasMap, slots: jnp.ndarray, sl: Slabs) -> AtlasMap:
     """ONE scatter of the updated slabs back into the pool."""
-    return atlas._replace(
-        **{f: getattr(atlas, f).at[slots].set(getattr(sl, f))
-           for f in _PRIM_FIELDS},
-        next_prim_id=sl.next_prim_id)
+    vals = {f: getattr(atlas, f).at[:, slots].set(getattr(sl, f))
+            for f in _PLANE_FIELDS}
+    vals.update({f: getattr(atlas, f).at[slots].set(getattr(sl, f))
+                 for f in _SCALAR_FIELDS})
+    return atlas._replace(**vals, next_prim_id=sl.next_prim_id)
 
 
 # ---------------------------------------------------------------------------
@@ -219,8 +272,8 @@ def slab_recency_inflate(sl: Slabs, scan_seq, cfg: GCConfig):
     decay = jnp.clip(jnp.exp(-cfg.recency_decay_lambda * ds),
                      cfg.recency_min_scale, 1.0)
     decay = jnp.where(sl.valid, decay, 1.0)
-    sl = sl._replace(Lambdas=sl.Lambdas * decay[..., None, None],
-                     thetas=sl.thetas * decay[..., None])
+    sl = sl._replace(lam6=sl.lam6 * decay[None],
+                     theta=sl.theta * decay[None])
     n_valid = jnp.maximum(jnp.sum(sl.valid.astype(dt)), 1.0)
     certs = {
         "map.staleness_downscale_total": jnp.sum((1.0 - decay) * sl.valid),
@@ -253,9 +306,9 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     kw = min(V - V // 2, M)
     kr = min(V // 2, M)
     score_w = jnp.where(sl.valid, sl.weights, neg_inf)
-    _, idx_w = jax.lax.top_k(score_w, kw)                    # (S, kw)
+    _, idx_w = top_k_maybe_approx(score_w, kw, cfg.approx_topk)  # (S, kw)
     score_r = jnp.where(sl.valid, sl.created_seq.astype(dt), neg_inf)
-    _, idx_r = jax.lax.top_k(score_r, kr)                    # (S, kr)
+    _, idx_r = top_k_maybe_approx(score_r, kr, cfg.approx_topk)  # (S, kr)
     idx = jnp.concatenate([idx_w, idx_r], axis=1)            # (S, kw+kr)
     k = idx.shape[1]
     if k < V:  # tiny-config safety: pad with repeats of slot 0
@@ -263,12 +316,18 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     base = (jnp.arange(S, dtype=jnp.int32) * M)[:, None]
     gidx = (base + idx.astype(jnp.int32)).reshape(-1)
 
-    flat = lambda a: a.reshape((-1,) + a.shape[2:])
-    Lam = flat(sl.Lambdas)[gidx]
-    the = flat(sl.thetas)[gidx]
-    eta0 = flat(sl.etas)[gidx][:, 0, :]
-    wv = flat(sl.weights)[gidx]
-    val = flat(sl.valid)[gidx]
+    # Per-component 1D gathers: a single column-gather ``plane[:, gidx]``
+    # lowers to a serialized while loop of per-row dynamic-slices on TPU
+    # (profiled at 10 ms/scan); C separate 1D gathers lower to real gather
+    # ops and fuse.
+    fplane = lambda a: a.reshape(a.shape[0], S * M)          # (C, S*M)
+    fscal = lambda a: a.reshape((-1,) + a.shape[2:])         # (S*M, ...)
+    gcols = lambda f, cs: jnp.stack([f[c][gidx] for c in cs], axis=-1)
+    Lam = sym6_to_mat33(gcols(fplane(sl.lam6), range(6)))    # (V', 3, 3)
+    the = gcols(fplane(sl.theta), range(3))                  # (V', 3)
+    eta0 = gcols(fplane(sl.eta), range(3))                   # (V', 3) lobe 0
+    wv = fscal(sl.weights)[gidx]
+    val = fscal(sl.valid)[gidx]
     if k < V:
         pad_col = jnp.arange(V, dtype=jnp.int32) >= k
         val = val & ~jnp.tile(pad_col, (S,))
@@ -280,8 +339,8 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     return MapView(
         positions=pos, Lambdas=Lam, directions=dirs, kappas=kap, weights=wv,
         valid=val,
-        last_supported=flat(sl.last_supported)[gidx],
-        prim_ids=flat(sl.prim_ids)[gidx],
+        last_supported=fscal(sl.last_supported)[gidx],
+        prim_ids=fscal(sl.prim_ids)[gidx],
         slab_idx=gidx.astype(jnp.int32),
     )
 
@@ -307,45 +366,50 @@ def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
     rf = r.reshape(-1)
 
     rep = lambda a: jnp.repeat(a, K, axis=0)                 # (N*K, ...)
-    Lam_m, the_m, eta_m = rep(batch_w.Lambdas), rep(batch_w.thetas), rep(batch_w.etas)
+    lam6_m = rep(mat33_to_sym6(batch_w.Lambdas))             # (N*K, 6)
+    the_m = rep(batch_w.thetas)                              # (N*K, 3)
+    eta_m = rep(batch_w.etas.reshape(N, -1))                 # (N*K, B*3)
     w_m = rep(batch_w.weights)
     col_m = jnp.clip(rep(batch_w.colors), 0.0, 1.0)
     src_m = rep(batch_w.sources)
     is_cam = (src_m == 0).astype(dt)
     is_lid = (src_m == 1).astype(dt)
 
-    flat = lambda a: a.reshape((S * M,) + a.shape[2:])
-    Lambdas = flat(sl.Lambdas).at[idx].add(rf[:, None, None] * Lam_m)
-    thetas = flat(sl.thetas).at[idx].add(rf[:, None] * the_m)
-    etas = flat(sl.etas).at[idx].add(rf[:, None, None] * eta_m)
-    weights = flat(sl.weights).at[idx].add(rf * w_m)
-    cam_mass = flat(sl.cam_mass).at[idx].add(rf * w_m * is_cam)
-    lidar_mass = flat(sl.lidar_mass).at[idx].add(rf * w_m * is_lid)
-    rgb_accum = flat(sl.rgb_accum).at[idx].add(col_m * (rf * w_m * is_cam)[:, None])
-    rgb_denom = flat(sl.rgb_denom).at[idx].add(rf * w_m * is_cam)
+    fplane = lambda a: a.reshape(a.shape[0], S * M)
+    fscal = lambda a: a.reshape((S * M,) + a.shape[2:])
+    padd = lambda pl, vals: _plane_scatter_add(fplane(pl), idx,
+                                               vals).reshape(pl.shape)
+    lam6 = padd(sl.lam6, rf[:, None] * lam6_m)
+    theta = padd(sl.theta, rf[:, None] * the_m)
+    eta = padd(sl.eta, rf[:, None] * eta_m)
+    rgb_acc = padd(sl.rgb_acc, (rf * w_m * is_cam)[:, None] * col_m)
+    weights = fscal(sl.weights).at[idx].add(rf * w_m)
+    cam_mass = fscal(sl.cam_mass).at[idx].add(rf * w_m * is_cam)
+    lidar_mass = fscal(sl.lidar_mass).at[idx].add(rf * w_m * is_lid)
+    rgb_denom = fscal(sl.rgb_denom).at[idx].add(rf * w_m * is_cam)
 
     seq32 = jnp.asarray(scan_seq, dtype=jnp.int32)
     supported = jnp.where(rf > 0, seq32, jnp.int32(-1))
-    last_supported = flat(sl.last_supported).at[idx].max(supported)
+    last_supported = fscal(sl.last_supported).at[idx].max(supported)
 
     gray = jnp.asarray(_GRAY, dtype=dt)
-    rgb = jnp.where((cam_mass > 0)[:, None],
-                    jnp.clip(rgb_accum / jnp.maximum(rgb_denom[:, None],
-                                                     cfg.eps_mass), 0.0, 1.0),
-                    gray)
+    rgb = jnp.where((cam_mass > 0)[None],
+                    jnp.clip(rgb_acc.reshape(3, S * M)
+                             / jnp.maximum(rgb_denom[None], cfg.eps_mass),
+                             0.0, 1.0),
+                    gray[:, None])
 
-    shp = lambda a, ref: a.reshape(ref.shape)
     sl = sl._replace(
-        Lambdas=shp(Lambdas, sl.Lambdas),
-        thetas=shp(thetas, sl.thetas),
-        etas=shp(etas, sl.etas),
-        weights=shp(weights, sl.weights),
-        cam_mass=shp(cam_mass, sl.cam_mass),
-        lidar_mass=shp(lidar_mass, sl.lidar_mass),
-        rgb_accum=shp(rgb_accum, sl.rgb_accum),
-        rgb_denom=shp(rgb_denom, sl.rgb_denom),
-        rgb=shp(rgb, sl.rgb),
-        last_supported=shp(last_supported, sl.last_supported),
+        lam6=lam6,
+        theta=theta,
+        eta=eta,
+        weights=weights.reshape(sl.weights.shape),
+        cam_mass=cam_mass.reshape(sl.cam_mass.shape),
+        lidar_mass=lidar_mass.reshape(sl.lidar_mass.shape),
+        rgb_acc=rgb_acc,
+        rgb_denom=rgb_denom.reshape(sl.rgb_denom.shape),
+        rgb=rgb.reshape(sl.rgb.shape),
+        last_supported=last_supported.reshape(sl.last_supported.shape),
     )
     certs = {
         "map.fused_mass": jnp.sum(rf * w_m),
@@ -370,6 +434,7 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     S, M = sl.weights.shape
     dt = sl.weights.dtype
     K = cfg.k_insert
+    N = batch_w.weights.shape[0]
     seq32 = jnp.asarray(scan_seq, dtype=jnp.int32)
 
     score = novelty * batch_w.weights
@@ -385,7 +450,7 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     retention = jnp.where(sl.valid,
                           sl.weights * jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
-    _, evict_slot = jax.lax.top_k(-retention, K)             # (S, K)
+    _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
     base = (jnp.arange(S, dtype=jnp.int32) * M)[:, None]
     tgt = (base + evict_slot.astype(jnp.int32)).reshape(-1)
 
@@ -405,28 +470,35 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     gray = jnp.asarray(_GRAY, dtype=dt)
     rgb_new = jnp.where((cam_m > 0)[:, None], col_new, gray)
 
-    flat = lambda a: a.reshape((S * M,) + a.shape[2:])
-    sel = lambda new, prev: jnp.where(
-        do_f.reshape((-1,) + (1,) * (new.ndim - 1)), new, prev)
+    fplane = lambda a: a.reshape(a.shape[0], S * M)
+    fscal = lambda a: a.reshape((S * M,) + a.shape[2:])
 
-    def put(slab, new_vals):
-        f = flat(slab)
-        return f.at[tgt].set(sel(new_vals, f[tgt])).reshape(slab.shape)
+    def putp(plane, new_vals):                               # new_vals (S*K, C)
+        f = fplane(plane)
+        cur = _plane_gather(f, tgt)
+        return _plane_scatter_set(
+            f, tgt, jnp.where(do_f[:, None], new_vals, cur)).reshape(plane.shape)
+
+    def puts(slab, new_vals):                                # new_vals (S*K, …)
+        f = fscal(slab)
+        sel = jnp.where(do_f.reshape((-1,) + (1,) * (new_vals.ndim - 1)),
+                        new_vals, f[tgt])
+        return f.at[tgt].set(sel).reshape(slab.shape)
 
     sl = sl._replace(
-        Lambdas=put(sl.Lambdas, batch_w.Lambdas[gi]),
-        thetas=put(sl.thetas, batch_w.thetas[gi]),
-        etas=put(sl.etas, batch_w.etas[gi]),
-        weights=put(sl.weights, w_new),
-        cam_mass=put(sl.cam_mass, cam_m),
-        lidar_mass=put(sl.lidar_mass, lid_m),
-        rgb_accum=put(sl.rgb_accum, col_new * cam_m[:, None]),
-        rgb_denom=put(sl.rgb_denom, cam_m),
-        rgb=put(sl.rgb, rgb_new),
-        created_seq=put(sl.created_seq, jnp.full((S * K,), seq32)),
-        last_supported=put(sl.last_supported, jnp.full((S * K,), seq32)),
-        prim_ids=put(sl.prim_ids, new_ids),
-        valid=put(sl.valid, jnp.ones((S * K,), dtype=bool)),
+        lam6=putp(sl.lam6, mat33_to_sym6(batch_w.Lambdas[gi])),
+        theta=putp(sl.theta, batch_w.thetas[gi]),
+        eta=putp(sl.eta, batch_w.etas[gi].reshape(S * K, -1)),
+        weights=puts(sl.weights, w_new),
+        cam_mass=puts(sl.cam_mass, cam_m),
+        lidar_mass=puts(sl.lidar_mass, lid_m),
+        rgb_acc=putp(sl.rgb_acc, col_new * cam_m[:, None]),
+        rgb_denom=puts(sl.rgb_denom, cam_m),
+        rgb=putp(sl.rgb, rgb_new),
+        created_seq=puts(sl.created_seq, jnp.full((S * K,), seq32)),
+        last_supported=puts(sl.last_supported, jnp.full((S * K,), seq32)),
+        prim_ids=puts(sl.prim_ids, new_ids),
+        valid=puts(sl.valid, jnp.ones((S * K,), dtype=bool)),
         next_prim_id=sl.next_prim_id + jnp.sum(do_f.astype(jnp.int64)),
     )
     certs = {
@@ -481,18 +553,19 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
     eps_psd = cfg.eps_psd
     thr = cfg.merge_threshold
 
-    def one_tile(Lam_t, the_t, eta_t, w_all, v_all, cm_t, lm_t, ra_t, rd_t):
+    def one_tile(lam6_t, the_t, eta_t, w_all, v_all, cm_t, lm_t, ra_t, rd_t):
+        # lam6_t (6, M), the_t (3, M), eta_t (B*3, M); scalars (M,)
         sc = jnp.where(v_all, w_all, -jnp.inf)
         _, sub = jax.lax.top_k(sc, Sm)                       # (Sm,) local slots
 
-        Lam = Lam_t[sub]
-        the = the_t[sub]
-        eta = eta_t[sub]
+        Lam = sym6_to_mat33(_plane_gather(lam6_t, sub))      # (Sm, 3, 3)
+        the = _plane_gather(the_t, sub)
+        eta = _plane_gather(eta_t, sub)                      # (Sm, B*3)
         w = w_all[sub]
         v = v_all[sub]
         cm = cm_t[sub]
         lm = lm_t[sub]
-        ra = ra_t[sub]
+        ra = _plane_gather(ra_t, sub)                        # (Sm, 3)
         rd = rd_t[sub]
 
         Sig = inv3x3(Lam, eps_lift)
@@ -567,15 +640,16 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
         return sub, Lam, the, eta, w, v, cm, lm, ra, rd, n_merged
 
     (subs, Lams, thes, etas, ws, vs, cms, lms, ras, rds,
-     n_merged) = jax.vmap(one_tile)(sl.Lambdas, sl.thetas, sl.etas,
-                                    sl.weights, sl.valid, sl.cam_mass,
-                                    sl.lidar_mass, sl.rgb_accum, sl.rgb_denom)
+     n_merged) = jax.vmap(
+        one_tile, in_axes=(1, 1, 1, 0, 0, 0, 0, 1, 0),
+    )(sl.lam6, sl.theta, sl.eta, sl.weights, sl.valid, sl.cam_mass,
+      sl.lidar_mass, sl.rgb_acc, sl.rgb_denom)
 
     # Scatter subsets back (disjoint across tiles; disjoint slots within tile).
     base = (jnp.arange(S, dtype=jnp.int32) * M)[:, None]
     gidx = (base + subs.astype(jnp.int32)).reshape(-1)
-    flat = lambda a: a.reshape((S * M,) + a.shape[2:])
-    fl = lambda a: a.reshape((-1,) + a.shape[2:])
+    fplane = lambda a: a.reshape(a.shape[0], S * M)
+    fscal = lambda a: a.reshape((S * M,) + a.shape[2:])
 
     gray = jnp.asarray(_GRAY, dtype=dt)
     rgb_sub = jnp.where((cms > 0)[..., None],
@@ -583,17 +657,25 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
                                                    cfg.eps_mass), 0.0, 1.0),
                         gray)
 
+    def setp(plane, vals_sm):  # vals_sm (S, Sm, C) -> plane (C, S, M)
+        return _plane_scatter_set(fplane(plane), gidx,
+                                  vals_sm.reshape(S * Sm, -1)) \
+            .reshape(plane.shape)
+
+    def sets(slab, vals_sm):
+        return fscal(slab).at[gidx].set(vals_sm.reshape(-1)).reshape(slab.shape)
+
     sl = sl._replace(
-        Lambdas=flat(sl.Lambdas).at[gidx].set(fl(Lams)).reshape(sl.Lambdas.shape),
-        thetas=flat(sl.thetas).at[gidx].set(fl(thes)).reshape(sl.thetas.shape),
-        etas=flat(sl.etas).at[gidx].set(fl(etas)).reshape(sl.etas.shape),
-        weights=flat(sl.weights).at[gidx].set(ws.reshape(-1)).reshape(sl.weights.shape),
-        valid=flat(sl.valid).at[gidx].set(vs.reshape(-1)).reshape(sl.valid.shape),
-        cam_mass=flat(sl.cam_mass).at[gidx].set(cms.reshape(-1)).reshape(sl.cam_mass.shape),
-        lidar_mass=flat(sl.lidar_mass).at[gidx].set(lms.reshape(-1)).reshape(sl.lidar_mass.shape),
-        rgb_accum=flat(sl.rgb_accum).at[gidx].set(fl(ras)).reshape(sl.rgb_accum.shape),
-        rgb_denom=flat(sl.rgb_denom).at[gidx].set(rds.reshape(-1)).reshape(sl.rgb_denom.shape),
-        rgb=flat(sl.rgb).at[gidx].set(fl(rgb_sub)).reshape(sl.rgb.shape),
+        lam6=setp(sl.lam6, mat33_to_sym6(Lams)),
+        theta=setp(sl.theta, thes),
+        eta=setp(sl.eta, etas),
+        weights=sets(sl.weights, ws),
+        valid=sets(sl.valid, vs),
+        cam_mass=sets(sl.cam_mass, cms),
+        lidar_mass=sets(sl.lidar_mass, lms),
+        rgb_acc=setp(sl.rgb_acc, ras),
+        rgb_denom=sets(sl.rgb_denom, rds),
+        rgb=setp(sl.rgb, rgb_sub),
     )
     certs = {"map.merged_pairs": jnp.sum(n_merged).astype(dt)}
     return sl, certs
@@ -649,8 +731,8 @@ def merge_reduce(atlas, slots, cfg):
 
 def decode_positions(atlas: AtlasMap, eps_lift: float = 1e-9):
     """World positions (P, M, 3) of all primitives (invalid rows undefined)."""
-    return jnp.einsum("pmij,pmj->pmi", inv3x3(atlas.Lambdas, eps_lift),
-                      atlas.thetas)
+    return jnp.einsum("pmij,pmj->pmi", inv3x3(dense_Lambdas(atlas), eps_lift),
+                      dense_thetas(atlas))
 
 
 def total_count(atlas: AtlasMap):

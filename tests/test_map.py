@@ -15,6 +15,7 @@ from fl_slam_tpu.core.hexgrid import (
 from fl_slam_tpu.ops.association import associate, novelty_mass
 from fl_slam_tpu.ops.surfels import extract_surfels
 from fl_slam_tpu.ops.visual_evidence import visual_pose_evidence
+from fl_slam_tpu.core.linalg import sym6_trace
 from fl_slam_tpu.structures import atlas as atlas_mod
 from fl_slam_tpu.structures import measurement_batch as mb
 
@@ -150,7 +151,7 @@ class TestAtlas:
         atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys, keys,
                                     slots, 0, CFG)
         w_before = float(jnp.sum(atlas.weights))
-        tr_before = float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1)))
+        tr_before = float(jnp.sum(sym6_trace(atlas.lam6, axis=0)))
 
         view = atlas_mod.extract_view(atlas, slots, CFG)
         mdir = mb.mean_directions(batch, CFG.eps_mass)
@@ -160,7 +161,7 @@ class TestAtlas:
                                        assoc.cand_slab_idx, assoc.cand_valid,
                                        1, CFG, slots=slots)
         assert float(jnp.sum(atlas.weights)) > w_before
-        assert float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1))) > tr_before
+        assert float(jnp.sum(sym6_trace(atlas.lam6, axis=0))) > tr_before
         assert float(fcerts["map.fused_mass"]) > 0.0
         # Supported primitives got stamped with the new scan seq.
         assert int(jnp.max(atlas.last_supported)) == 1
@@ -181,9 +182,9 @@ class TestAtlas:
             w0 * CFG.forgetting_factor, rel=1e-6)
 
         # Recency inflate at a much later scan downscales precision.
-        tr0 = float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1)))
+        tr0 = float(jnp.sum(sym6_trace(atlas.lam6, axis=0)))
         atlas, rcerts = atlas_mod.recency_inflate(atlas, slots, 200, CFG)
-        tr1 = float(jnp.sum(jnp.trace(atlas.Lambdas, axis1=-2, axis2=-1)))
+        tr1 = float(jnp.sum(sym6_trace(atlas.lam6, axis=0)))
         assert tr1 < tr0
         assert float(rcerts["map.staleness_strength"]) > 0.0
 

@@ -60,9 +60,10 @@ def main():
 
     # predict
     Q = NO.process_noise_to_Q(state.process_noise, cfg.eps_psd)
+    belief0 = jax.tree.map(lambda a: a[0], state.belief)  # hypothesis 0
     bench_fn("predict", lambda b: PR.predict_diffusion(
         b, Q, 0.1, lambda_ou=cfg.ou_lambda, eps_psd=cfg.eps_psd,
-        eps_lift=cfg.eps_lift)[0].L, state.belief)
+        eps_lift=cfg.eps_lift)[0].L, belief0)
 
     # preintegration (512-step lax.scan)
     bench_fn("preintegrate x1", lambda g: IM.preintegrate(
@@ -88,7 +89,7 @@ def main():
     keys = stencil_tile_keys(q, r, z, offs)
     bench_fn("atlas.activate", lambda a: A.activate_tiles(a, keys, 0)[0].tile_keys, atlas)
     atlas, slots, _ = A.activate_tiles(atlas, keys, 0)
-    bench_fn("atlas.recency_inflate", lambda a: A.recency_inflate(a, slots, 1, cfg)[0].Lambdas, atlas)
+    bench_fn("atlas.recency_inflate", lambda a: A.recency_inflate(a, slots, 1, cfg)[0].lam6, atlas)
     bench_fn("atlas.extract_view", lambda a: A.extract_view(a, slots, cfg).positions, atlas)
     view = A.extract_view(atlas, slots, cfg)
 
@@ -108,8 +109,8 @@ def main():
         jnp.zeros(6, f), cfg)[0], mu)
 
     bench_fn("atlas.fuse", lambda a: A.fuse(
-        a, batch, assoc.responsibilities, assoc.cand_global_idx,
-        assoc.cand_valid, 0, cfg)[0].weights, atlas)
+        a, batch, assoc.responsibilities, assoc.cand_slab_idx,
+        assoc.cand_valid, 0, cfg, slots=slots)[0].weights, atlas)
     nov = AS.novelty_mass(assoc, batch.valid, cfg.eps_mass)
     mk = tile_keys_from_xyz(mu, cfg.h_tile)
     bench_fn("atlas.insert", lambda a: A.insert(
