@@ -21,6 +21,12 @@ jax.config.update("jax_enable_x64", True)
 # Never preallocate the whole device memory pool (useful on shared TPU hosts).
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
+# Persistent compilation cache: the full-replay program takes minutes to
+# compile; cache it across processes (dev loop + bench + eval tools).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("GC_COMPILE_CACHE", "/tmp/gc_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def backend_name() -> str:
     return jax.default_backend()

@@ -5,7 +5,7 @@ The reference keeps a Python dict ``tile_id -> PrimitiveMapTile`` and loops
 over ``n_blocks x active_tiles`` on the host every scan (its own docs flag this
 as the dominant wall-clock cost, ``pipeline.py:1272-1447``). Here the atlas is
 a **fixed pool**: ``n_tiles_pool`` tile slabs of ``m_tile`` primitive slots
-each, stored as SoA arrays plus an int64 tile-key directory.
+each, stored as a fused field block plus an int64 tile-key directory.
 
 Slab execution model (the perf-critical design): per scan the active tiles'
 slabs are gathered ONCE into ``Slabs`` arrays, every map operator
@@ -14,15 +14,37 @@ is scattered back ONCE. Running the operators directly on the pool costs a
 full-pool read/write per operator — measured 190 ms vs 42 ms per scan on a
 v5e chip for a 64x50k pool.
 
-TPU layout discipline (profiled): bulk per-primitive tensors are stored as
-**component planes** with the large axes minor — symmetric 3x3 precisions as
-``(6, P, M)`` (packed xx,xy,xz,yy,yz,zz), vectors as ``(3, P, M)``, vMF lobes
-as ``(B*3, P, M)``. Arrays shaped ``(P, M, 3, 3)`` put two tiny dims
-minor-most, the TPU tiler pads them to (8, 128) — a 42x bandwidth blowup —
-and XLA then spends ~1 ms/scan per array on {2,1,0}<->{0,2,1} layout-change
-copies of the 350k-row slabs (the dominant cost of the whole scan before this
-refactor). Dense (..., 3, 3) matrices appear only on small gathered working
-sets (views, candidates, merge subsets).
+TPU layout discipline (profiled, three times):
+  1. ALL float per-primitive fields live in ONE fused block rather than
+     per-field arrays: TPU gather/scatter cost is row-serialized (~8 ns per
+     indexed row, INDEPENDENT of the window width), so any indexed op pays
+     per-array, not per-byte — per-field scatters cost CF serialized passes
+     (profiled 26 x 98 us/scan in fuse), a single fused one costs one.
+  2. The fused block is **tile-row-major** ``(A, CF, M)`` (A = pool/slab
+     axis), NOT component-major ``(CF, A, M)``: the pool->slab gather
+     ``fdata[slots]`` and the slab->pool scatter then index the MAJOR axis and
+     lower to ONE gather/scatter of S big (CF, M) windows. Indexing a
+     non-major axis lowers to a serialized per-row dynamic-slice while loop
+     (profiled: 28 x ~80 us of while.* per gather+scatter = ~2.5 ms/scan).
+     Candidate/view row access composes both axes as ``fdata[s, :, m]`` — one
+     gather of (CF,) windows. M stays minor-most: a small minor dim would
+     make the (8, 128) tiler pad it (42x bandwidth blowup for (P, M, 3, 3)).
+
+Field layout along ``CF`` (CF = 19 + 3B rows; B = vMF lobes):
+  rows [0, 6)           lam6     packed symmetric precision (xx,xy,xz,yy,yz,zz)
+  rows [6, 9)           theta    information mean
+  rows [9, 9+3B)        eta      vMF naturals, lobe-major
+  rows [9+3B, 12+3B)    rgb_acc  camera-color accumulator
+  row  o+0 (o = 12+3B)  weights
+  row  o+1              cam_mass
+  row  o+2              lidar_mass
+  row  o+3              rgb_denom
+  row  o+4              created_seq    (float; exact for seq < 2^24)
+  row  o+5              last_supported (float; exact for seq < 2^24)
+  row  o+6              valid          (float 0.0/1.0)
+``prim_ids`` (int64) stays a separate array. Resolved rgb is DERIVED from the
+accumulators on read (the reference stores and recomputes it every fuse,
+primitive_map.py:1100+; the per-scan pipeline never reads it).
 
 Semantics preserved from the reference (cited per function):
   - PoE fuse: ``Lambda += sum_k pi*Lambda_meas`` etc. (primitive_map.py:992+)
@@ -42,6 +64,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fl_slam_tpu.config import GCConfig
 from fl_slam_tpu.core.linalg import (
@@ -51,78 +74,90 @@ from fl_slam_tpu.structures.measurement_batch import MeasurementBatch
 EMPTY_KEY = jnp.int64(-1)
 _GRAY = (0.5, 0.5, 0.5)
 
+# Fixed scalar-row offsets relative to o = 12 + 3B (see module docstring).
+_ROW_W, _ROW_CM, _ROW_LM, _ROW_RD, _ROW_CS, _ROW_LS, _ROW_V = range(7)
+_N_SCALAR_ROWS = 7
 
-class AtlasMap(NamedTuple):
-    """Fixed-pool tile atlas. P = n_tiles_pool, M = m_tile, B = vmf_n_lobes.
 
-    Plane fields carry their component axis FIRST (see module docstring):
-    ``lam6 (6, P, M)``, ``theta (3, P, M)``, ``eta (B*3, P, M)``,
-    ``rgb_acc/rgb (3, P, M)``. Scalar per-primitive fields are ``(P, M)``.
+def _n_lobes(cf: int) -> int:
+    return (cf - 12 - _N_SCALAR_ROWS) // 3
+
+
+def _scalar_base(cf: int) -> int:
+    return 12 + 3 * _n_lobes(cf)
+
+
+class _FieldView:
+    """Shared float-field accessors for AtlasMap / Slabs (pool axis P or slab
+    axis S transparently). Block fields are returned component-major
+    ``(C, A, M)`` (moveaxis view) for the dense helpers; scalar rows are
+    ``(A, M)``. Views, not copies, until sliced."""
+
+    @property
+    def _o(self):
+        return _scalar_base(self.fdata.shape[1])
+
+    @property
+    def lam6(self):
+        return jnp.moveaxis(self.fdata[:, 0:6], 1, 0)
+
+    @property
+    def theta(self):
+        return jnp.moveaxis(self.fdata[:, 6:9], 1, 0)
+
+    @property
+    def eta(self):
+        return jnp.moveaxis(self.fdata[:, 9:self._o - 3], 1, 0)
+
+    @property
+    def rgb_acc(self):
+        return jnp.moveaxis(self.fdata[:, self._o - 3:self._o], 1, 0)
+
+    @property
+    def weights(self):
+        return self.fdata[:, self._o + _ROW_W]
+
+    @property
+    def cam_mass(self):
+        return self.fdata[:, self._o + _ROW_CM]
+
+    @property
+    def lidar_mass(self):
+        return self.fdata[:, self._o + _ROW_LM]
+
+    @property
+    def rgb_denom(self):
+        return self.fdata[:, self._o + _ROW_RD]
+
+    @property
+    def created_seq(self):
+        return self.fdata[:, self._o + _ROW_CS].astype(jnp.int32)
+
+    @property
+    def last_supported(self):
+        return self.fdata[:, self._o + _ROW_LS].astype(jnp.int32)
+
+    @property
+    def valid(self):
+        return self.fdata[:, self._o + _ROW_V] > 0.5
+
+
+class AtlasMap(NamedTuple("AtlasMapBase", [
+        ("tile_keys", jnp.ndarray), ("tile_touch_seq", jnp.ndarray),
+        ("fdata", jnp.ndarray), ("prim_ids", jnp.ndarray),
+        ("next_prim_id", jnp.ndarray)]), _FieldView):
+    """Fixed-pool tile atlas. P = n_tiles_pool, M = m_tile.
+
+    ``tile_keys (P,)`` int64 packed hex keys (-1 = free); ``tile_touch_seq
+    (P,)`` int32 last-active scan; ``fdata (P, CF, M)`` fused float fields;
+    ``prim_ids (P, M)`` int64 global ids (-1 empty); ``next_prim_id ()``.
     """
 
-    tile_keys: jnp.ndarray       # (P,) int64 packed hex keys; -1 = free
-    tile_touch_seq: jnp.ndarray  # (P,) int32 last scan this tile was active
-    lam6: jnp.ndarray            # (6, P, M) packed symmetric precision
-    theta: jnp.ndarray           # (3, P, M) information mean
-    eta: jnp.ndarray             # (B*3, P, M) vMF naturals, lobe-major
-    weights: jnp.ndarray         # (P, M)
-    cam_mass: jnp.ndarray        # (P, M)
-    lidar_mass: jnp.ndarray      # (P, M)
-    rgb_acc: jnp.ndarray         # (3, P, M) camera-color accumulator
-    rgb_denom: jnp.ndarray       # (P, M)
-    rgb: jnp.ndarray             # (3, P, M) resolved color (camera-dominant)
-    created_seq: jnp.ndarray     # (P, M) int32
-    last_supported: jnp.ndarray  # (P, M) int32 last scan with OT support
-    prim_ids: jnp.ndarray        # (P, M) int64 global primitive ids; -1 empty
-    valid: jnp.ndarray           # (P, M) bool
-    next_prim_id: jnp.ndarray    # () int64
 
-
-_PLANE_FIELDS = ("lam6", "theta", "eta", "rgb_acc", "rgb")
-_SCALAR_FIELDS = ("weights", "cam_mass", "lidar_mass", "rgb_denom",
-                  "created_seq", "last_supported", "prim_ids", "valid")
-_PRIM_FIELDS = _PLANE_FIELDS + _SCALAR_FIELDS
-
-
-class Slabs(NamedTuple):
-    """Active-tile working set: plane fields ``(C, S, M)``, scalars ``(S, M)``,
-    plus a running primitive-id counter."""
-
-    lam6: jnp.ndarray
-    theta: jnp.ndarray
-    eta: jnp.ndarray
-    weights: jnp.ndarray
-    cam_mass: jnp.ndarray
-    lidar_mass: jnp.ndarray
-    rgb_acc: jnp.ndarray
-    rgb_denom: jnp.ndarray
-    rgb: jnp.ndarray
-    created_seq: jnp.ndarray
-    last_supported: jnp.ndarray
-    prim_ids: jnp.ndarray
-    valid: jnp.ndarray
-    next_prim_id: jnp.ndarray    # () int64
-
-
-def _plane_gather(fplane, gidx):
-    """Rows (n, C) gathered from flat planes (C, L) at 1D indices.
-
-    One 1D gather per component: a fused column-gather ``plane[:, gidx]``
-    lowers to a serialized per-row dynamic-slice while-loop on TPU (profiled
-    at 10 ms/scan in the view extraction)."""
-    return jnp.stack([fplane[c][gidx] for c in range(fplane.shape[0])],
-                     axis=-1)
-
-
-def _plane_scatter_add(fplane, idx, vals):
-    """fplane (C, L) += scatter of vals (n, C) at idx; per-component 1D."""
-    return jnp.stack([fplane[c].at[idx].add(vals[..., c])
-                      for c in range(fplane.shape[0])], axis=0)
-
-
-def _plane_scatter_set(fplane, idx, vals):
-    return jnp.stack([fplane[c].at[idx].set(vals[..., c])
-                      for c in range(fplane.shape[0])], axis=0)
+class Slabs(NamedTuple("SlabsBase", [
+        ("fdata", jnp.ndarray), ("prim_ids", jnp.ndarray),
+        ("next_prim_id", jnp.ndarray)]), _FieldView):
+    """Active-tile working set: ``fdata (S, CF, M)``, ``prim_ids (S, M)``."""
 
 
 class MapView(NamedTuple):
@@ -146,6 +181,11 @@ class MapView(NamedTuple):
     slab_idx: jnp.ndarray        # (V,) int32 flat index s*M + m into slabs
 
 
+def _pair_gather(fd: jnp.ndarray, s_idx: jnp.ndarray, m_idx: jnp.ndarray):
+    """(A, CF, M)[(n,) s, :, (n,) m] -> (n, CF): ONE gather of CF-wide rows."""
+    return fd[s_idx, :, m_idx]
+
+
 # ---------------------------------------------------------------------------
 # Dense accessors (export / tests; NOT for the per-scan hot path).
 # ---------------------------------------------------------------------------
@@ -164,47 +204,43 @@ def dense_etas(x):
     return e.reshape(e.shape[:-1] + (e.shape[-1] // 3, 3))   # (A, M, B, 3)
 
 
-def dense_rgb(x):
-    return jnp.moveaxis(x.rgb, 0, -1)                        # (A, M, 3)
+def dense_rgb(x, eps_mass: float = 1e-12):
+    """Resolved camera-dominant color, derived from the accumulators."""
+    acc = jnp.moveaxis(x.rgb_acc, 0, -1)                     # (A, M, 3)
+    den = x.rgb_denom[..., None]
+    gray = jnp.asarray(_GRAY, dtype=acc.dtype)
+    return jnp.where(x.cam_mass[..., None] > 0,
+                     jnp.clip(acc / jnp.maximum(den, eps_mass), 0.0, 1.0),
+                     gray)
 
 
 def empty_atlas(cfg: GCConfig) -> AtlasMap:
     P, M, B = cfg.n_tiles_pool, cfg.m_tile, cfg.vmf_n_lobes
     dt = cfg.jdtype
+    cf = 12 + 3 * B + _N_SCALAR_ROWS
+    o = 12 + 3 * B
+    fdata = jnp.zeros((P, cf, M), dtype=dt)
+    fdata = fdata.at[:, o + _ROW_CS].set(-1.0).at[:, o + _ROW_LS].set(-1.0)
     return AtlasMap(
         tile_keys=jnp.full((P,), -1, dtype=jnp.int64),
         tile_touch_seq=jnp.full((P,), -1, dtype=jnp.int32),
-        lam6=jnp.zeros((6, P, M), dtype=dt),
-        theta=jnp.zeros((3, P, M), dtype=dt),
-        eta=jnp.zeros((B * 3, P, M), dtype=dt),
-        weights=jnp.zeros((P, M), dtype=dt),
-        cam_mass=jnp.zeros((P, M), dtype=dt),
-        lidar_mass=jnp.zeros((P, M), dtype=dt),
-        rgb_acc=jnp.zeros((3, P, M), dtype=dt),
-        rgb_denom=jnp.zeros((P, M), dtype=dt),
-        rgb=jnp.full((3, P, M), 0.5, dtype=dt),
-        created_seq=jnp.full((P, M), -1, dtype=jnp.int32),
-        last_supported=jnp.full((P, M), -1, dtype=jnp.int32),
+        fdata=fdata,
         prim_ids=jnp.full((P, M), -1, dtype=jnp.int64),
-        valid=jnp.zeros((P, M), dtype=bool),
         next_prim_id=jnp.int64(0),
     )
 
 
 def gather_slabs(atlas: AtlasMap, slots: jnp.ndarray) -> Slabs:
-    """ONE gather of the active tiles' working set."""
-    vals = {f: getattr(atlas, f)[:, slots] for f in _PLANE_FIELDS}
-    vals.update({f: getattr(atlas, f)[slots] for f in _SCALAR_FIELDS})
-    return Slabs(**vals, next_prim_id=atlas.next_prim_id)
+    """ONE gather of the active tiles' working set (S major-axis rows)."""
+    return Slabs(fdata=atlas.fdata[slots], prim_ids=atlas.prim_ids[slots],
+                 next_prim_id=atlas.next_prim_id)
 
 
 def scatter_slabs(atlas: AtlasMap, slots: jnp.ndarray, sl: Slabs) -> AtlasMap:
     """ONE scatter of the updated slabs back into the pool."""
-    vals = {f: getattr(atlas, f).at[:, slots].set(getattr(sl, f))
-            for f in _PLANE_FIELDS}
-    vals.update({f: getattr(atlas, f).at[slots].set(getattr(sl, f))
-                 for f in _SCALAR_FIELDS})
-    return atlas._replace(**vals, next_prim_id=sl.next_prim_id)
+    return atlas._replace(fdata=atlas.fdata.at[slots].set(sl.fdata),
+                          prim_ids=atlas.prim_ids.at[slots].set(sl.prim_ids),
+                          next_prim_id=sl.next_prim_id)
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +257,8 @@ def activate_tiles(atlas: AtlasMap, keys: jnp.ndarray,
     slots are never read downstream). Returns (atlas', slots (S,) int32, certs).
     """
     P = atlas.tile_keys.shape[0]
+    dt = atlas.fdata.dtype
+    o = _scalar_base(atlas.fdata.shape[1])
     eq = keys[:, None] == atlas.tile_keys[None, :]          # (S, P)
     found = jnp.any(eq, axis=1)
     slot_found = jnp.argmax(eq, axis=1).astype(jnp.int32)
@@ -238,23 +276,30 @@ def activate_tiles(atlas: AtlasMap, keys: jnp.ndarray,
     slot_alloc = order[jnp.clip(rank, 0, P - 1)]
     slots = jnp.where(missing, slot_alloc, slot_found).astype(jnp.int32)
 
-    # Clear evicted/new slabs (weights + validity suffice: all readers mask).
-    clear = jnp.zeros((P,), dtype=bool).at[slots].set(missing, mode="drop")
-    n_evicted = jnp.sum(clear & ~is_free)
-    valid = jnp.where(clear[:, None], False, atlas.valid)
-    weights = jnp.where(clear[:, None], 0.0, atlas.weights)
-    last_supported = jnp.where(clear[:, None], jnp.int32(-1),
-                               atlas.last_supported)
+    # Clear evicted/new slabs with ONE window scatter on the major axis
+    # (weights + validity + last_supported suffice: all readers mask).
+    clear_rows = jnp.stack([
+        jnp.zeros_like(keys, dtype=dt),                      # weights
+        jnp.zeros_like(keys, dtype=dt),                      # last_supported
+        jnp.zeros_like(keys, dtype=dt),                      # valid
+    ], axis=-1) + jnp.asarray([0.0, -1.0, 0.0], dtype=dt)
+    M = atlas.fdata.shape[2]
+    upd = jnp.broadcast_to(clear_rows[:, :, None],
+                           (keys.shape[0], 3, M))            # (S, 3, M)
+    slots_put = jnp.where(missing, slots, jnp.int32(P))      # drop kept tiles
+    rows3 = jnp.asarray([o + _ROW_W, o + _ROW_LS, o + _ROW_V], jnp.int32)
+    fdata = atlas.fdata.at[slots_put[:, None], rows3[None, :]].set(
+        upd, mode="drop")
 
+    n_evicted = jnp.sum(missing & ~is_free[slots])
     tile_keys = atlas.tile_keys.at[slots].set(keys)
     seq32 = jnp.asarray(scan_seq, dtype=jnp.int32)
     touch = atlas.tile_touch_seq.at[slots].set(seq32)
     atlas = atlas._replace(tile_keys=tile_keys, tile_touch_seq=touch,
-                           valid=valid, weights=weights,
-                           last_supported=last_supported)
+                           fdata=fdata)
     certs = {
-        "atlas.tiles_allocated": jnp.sum(missing).astype(atlas.weights.dtype),
-        "atlas.tiles_evicted": n_evicted.astype(atlas.weights.dtype),
+        "atlas.tiles_allocated": jnp.sum(missing).astype(dt),
+        "atlas.tiles_evicted": n_evicted.astype(dt),
     }
     return atlas, slots, certs
 
@@ -266,18 +311,21 @@ def activate_tiles(atlas: AtlasMap, keys: jnp.ndarray,
 def slab_recency_inflate(sl: Slabs, scan_seq, cfg: GCConfig):
     """Downscale precision of stale primitives (decay = clip(exp(-lambda dt),
     min_scale, 1)); scales Lambda AND theta together (mean-preserving)."""
-    dt = sl.weights.dtype
-    seq = jnp.asarray(scan_seq, dtype=jnp.int32)
-    ds = jnp.maximum(seq - sl.last_supported, 0).astype(dt)
+    fd = sl.fdata
+    dt = fd.dtype
+    o = _scalar_base(fd.shape[1])
+    seqf = jnp.asarray(scan_seq, dtype=dt)
+    vmask = fd[:, o + _ROW_V] > 0.5                          # (S, M)
+    ds = jnp.maximum(seqf - fd[:, o + _ROW_LS], 0.0)
     decay = jnp.clip(jnp.exp(-cfg.recency_decay_lambda * ds),
                      cfg.recency_min_scale, 1.0)
-    decay = jnp.where(sl.valid, decay, 1.0)
-    sl = sl._replace(lam6=sl.lam6 * decay[None],
-                     theta=sl.theta * decay[None])
-    n_valid = jnp.maximum(jnp.sum(sl.valid.astype(dt)), 1.0)
+    decay = jnp.where(vmask, decay, 1.0)
+    fd = fd.at[:, 0:9].multiply(decay[:, None, :])           # lam6 + theta
+    sl = sl._replace(fdata=fd)
+    n_valid = jnp.maximum(jnp.sum(vmask.astype(dt)), 1.0)
     certs = {
-        "map.staleness_downscale_total": jnp.sum((1.0 - decay) * sl.valid),
-        "map.staleness_strength": jnp.sum((1.0 - decay) * sl.valid) / n_valid,
+        "map.staleness_downscale_total": jnp.sum((1.0 - decay) * vmask),
+        "map.staleness_strength": jnp.sum((1.0 - decay) * vmask) / n_valid,
     }
     return sl, certs
 
@@ -299,35 +347,32 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     keeps the insertion->associate->fuse loop closed. Duplicated rows between
     the two halves are harmless (they compete as candidates).
     """
-    S, M = sl.weights.shape
+    fd = sl.fdata
+    S, cf, M = fd.shape
+    o = _scalar_base(cf)
     V = cfg.m_tile_view
-    dt = sl.weights.dtype
+    dt = fd.dtype
     neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
+    vmask = fd[:, o + _ROW_V] > 0.5                          # (S, M)
     kw = min(V - V // 2, M)
     kr = min(V // 2, M)
-    score_w = jnp.where(sl.valid, sl.weights, neg_inf)
+    score_w = jnp.where(vmask, fd[:, o + _ROW_W], neg_inf)
     _, idx_w = top_k_maybe_approx(score_w, kw, cfg.approx_topk)  # (S, kw)
-    score_r = jnp.where(sl.valid, sl.created_seq.astype(dt), neg_inf)
+    score_r = jnp.where(vmask, fd[:, o + _ROW_CS], neg_inf)
     _, idx_r = top_k_maybe_approx(score_r, kr, cfg.approx_topk)  # (S, kr)
     idx = jnp.concatenate([idx_w, idx_r], axis=1)            # (S, kw+kr)
     k = idx.shape[1]
     if k < V:  # tiny-config safety: pad with repeats of slot 0
         idx = jnp.pad(idx, ((0, 0), (0, V - k)))
-    base = (jnp.arange(S, dtype=jnp.int32) * M)[:, None]
-    gidx = (base + idx.astype(jnp.int32)).reshape(-1)
+    s_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), idx.shape[1])
+    m_idx = idx.reshape(-1).astype(jnp.int32)
 
-    # Per-component 1D gathers: a single column-gather ``plane[:, gidx]``
-    # lowers to a serialized while loop of per-row dynamic-slices on TPU
-    # (profiled at 10 ms/scan); C separate 1D gathers lower to real gather
-    # ops and fuse.
-    fplane = lambda a: a.reshape(a.shape[0], S * M)          # (C, S*M)
-    fscal = lambda a: a.reshape((-1,) + a.shape[2:])         # (S*M, ...)
-    gcols = lambda f, cs: jnp.stack([f[c][gidx] for c in cs], axis=-1)
-    Lam = sym6_to_mat33(gcols(fplane(sl.lam6), range(6)))    # (V', 3, 3)
-    the = gcols(fplane(sl.theta), range(3))                  # (V', 3)
-    eta0 = gcols(fplane(sl.eta), range(3))                   # (V', 3) lobe 0
-    wv = fscal(sl.weights)[gidx]
-    val = fscal(sl.valid)[gidx]
+    g = _pair_gather(fd, s_idx, m_idx)                       # (V', CF)
+    Lam = sym6_to_mat33(g[:, 0:6])                           # (V', 3, 3)
+    the = g[:, 6:9]                                          # (V', 3)
+    eta0 = g[:, 9:12]                                        # (V', 3) lobe 0
+    wv = g[:, o + _ROW_W]
+    val = g[:, o + _ROW_V] > 0.5
     if k < V:
         pad_col = jnp.arange(V, dtype=jnp.int32) >= k
         val = val & ~jnp.tile(pad_col, (S,))
@@ -339,14 +384,14 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     return MapView(
         positions=pos, Lambdas=Lam, directions=dirs, kappas=kap, weights=wv,
         valid=val,
-        last_supported=fscal(sl.last_supported)[gidx],
-        prim_ids=fscal(sl.prim_ids)[gidx],
-        slab_idx=gidx.astype(jnp.int32),
+        last_supported=g[:, o + _ROW_LS].astype(jnp.int32),
+        prim_ids=sl.prim_ids[s_idx, m_idx],
+        slab_idx=(s_idx * M + m_idx).astype(jnp.int32),
     )
 
 
 # ---------------------------------------------------------------------------
-# PoE fuse (parity: primitive_map_fuse, :992-1163) — one slab scatter-add.
+# PoE fuse (parity: primitive_map_fuse, :992-1163) — ONE window scatter-add.
 # ---------------------------------------------------------------------------
 
 def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
@@ -357,62 +402,56 @@ def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
     resp: (N, K); cand_slab_idx: (N, K) slab-flat indices; cand_valid: (N, K).
     Lambda += pi*Lambda_m, theta += pi*theta_m, eta += pi*eta_m,
     weight += pi*w_m; supported slots stamp ``last_supported = scan_seq``.
+
+    Every add-contribution is linear in the responsibility, so the update is
+    built as a per-measurement base row (N, CF) broadcast over K and applied
+    with ONE pair-indexed scatter-add (one row-serialized scatter pass instead
+    of CF of them — the single largest cost of the scan before this fusion).
+    The last-supported stamp rides the same scatter as a marker row (the
+    scatter adds support mass into the LS row; a dense pass then rewrites it
+    as ``where(mass arrived, seq, previous)``).
     """
-    S, M = sl.weights.shape
-    dt = sl.weights.dtype
+    fd = sl.fdata
+    S, cf, M = fd.shape
+    o = _scalar_base(cf)
+    dt = fd.dtype
     N, K = resp.shape
     r = resp * batch_w.valid[:, None].astype(dt) * cand_valid.astype(dt)
     idx = cand_slab_idx.reshape(-1).astype(jnp.int32)        # (N*K,)
+    s_i = idx // M
+    m_i = idx % M
     rf = r.reshape(-1)
 
-    rep = lambda a: jnp.repeat(a, K, axis=0)                 # (N*K, ...)
-    lam6_m = rep(mat33_to_sym6(batch_w.Lambdas))             # (N*K, 6)
-    the_m = rep(batch_w.thetas)                              # (N*K, 3)
-    eta_m = rep(batch_w.etas.reshape(N, -1))                 # (N*K, B*3)
-    w_m = rep(batch_w.weights)
-    col_m = jnp.clip(rep(batch_w.colors), 0.0, 1.0)
-    src_m = rep(batch_w.sources)
-    is_cam = (src_m == 0).astype(dt)
-    is_lid = (src_m == 1).astype(dt)
+    is_cam = (batch_w.sources == 0).astype(dt)               # (N,)
+    is_lid = (batch_w.sources == 1).astype(dt)
+    w = batch_w.weights
+    col = jnp.clip(batch_w.colors, 0.0, 1.0)
+    base = jnp.concatenate([
+        mat33_to_sym6(batch_w.Lambdas),                      # (N, 6)
+        batch_w.thetas,                                      # (N, 3)
+        batch_w.etas.reshape(N, -1),                         # (N, 3B)
+        (w * is_cam)[:, None] * col,                         # (N, 3) rgb_acc
+        w[:, None],                                          # weights
+        (w * is_cam)[:, None],                               # cam_mass
+        (w * is_lid)[:, None],                               # lidar_mass
+        (w * is_cam)[:, None],                               # rgb_denom
+        jnp.zeros((N, 1), dtype=dt),                         # created_seq
+        jnp.ones((N, 1), dtype=dt),                          # LS support marker
+        jnp.zeros((N, 1), dtype=dt),                         # valid
+    ], axis=1)                                               # (N, CF)
+    vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 
-    fplane = lambda a: a.reshape(a.shape[0], S * M)
-    fscal = lambda a: a.reshape((S * M,) + a.shape[2:])
-    padd = lambda pl, vals: _plane_scatter_add(fplane(pl), idx,
-                                               vals).reshape(pl.shape)
-    lam6 = padd(sl.lam6, rf[:, None] * lam6_m)
-    theta = padd(sl.theta, rf[:, None] * the_m)
-    eta = padd(sl.eta, rf[:, None] * eta_m)
-    rgb_acc = padd(sl.rgb_acc, (rf * w_m * is_cam)[:, None] * col_m)
-    weights = fscal(sl.weights).at[idx].add(rf * w_m)
-    cam_mass = fscal(sl.cam_mass).at[idx].add(rf * w_m * is_cam)
-    lidar_mass = fscal(sl.lidar_mass).at[idx].add(rf * w_m * is_lid)
-    rgb_denom = fscal(sl.rgb_denom).at[idx].add(rf * w_m * is_cam)
+    ls_prev = fd[:, o + _ROW_LS]                             # (S, M)
+    fd = fd.at[s_i, :, m_i].add(vals)
 
-    seq32 = jnp.asarray(scan_seq, dtype=jnp.int32)
-    supported = jnp.where(rf > 0, seq32, jnp.int32(-1))
-    last_supported = fscal(sl.last_supported).at[idx].max(supported)
+    # Dense rewrite of the LS row: support mass arrived => stamp scan_seq.
+    seqf = jnp.asarray(scan_seq, dtype=dt)
+    ls_tmp = fd[:, o + _ROW_LS]
+    fd = fd.at[:, o + _ROW_LS].set(jnp.where(ls_tmp > ls_prev, seqf, ls_prev))
 
-    gray = jnp.asarray(_GRAY, dtype=dt)
-    rgb = jnp.where((cam_mass > 0)[None],
-                    jnp.clip(rgb_acc.reshape(3, S * M)
-                             / jnp.maximum(rgb_denom[None], cfg.eps_mass),
-                             0.0, 1.0),
-                    gray[:, None])
-
-    sl = sl._replace(
-        lam6=lam6,
-        theta=theta,
-        eta=eta,
-        weights=weights.reshape(sl.weights.shape),
-        cam_mass=cam_mass.reshape(sl.cam_mass.shape),
-        lidar_mass=lidar_mass.reshape(sl.lidar_mass.shape),
-        rgb_acc=rgb_acc,
-        rgb_denom=rgb_denom.reshape(sl.rgb_denom.shape),
-        rgb=rgb.reshape(sl.rgb.shape),
-        last_supported=last_supported.reshape(sl.last_supported.shape),
-    )
+    sl = sl._replace(fdata=fd)
     certs = {
-        "map.fused_mass": jnp.sum(rf * w_m),
+        "map.fused_mass": jnp.sum(rf * jnp.repeat(w, K)),
         "map.fuse_resp_total": jnp.sum(rf),
     }
     return sl, certs
@@ -431,11 +470,12 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     novelty * meas weight. Eviction per tile: invalid slots first, then lowest
     retention = weight * exp(-lambda * staleness).
     """
-    S, M = sl.weights.shape
-    dt = sl.weights.dtype
+    fd = sl.fdata
+    S, cf, M = fd.shape
+    o = _scalar_base(cf)
+    dt = fd.dtype
     K = cfg.k_insert
-    N = batch_w.weights.shape[0]
-    seq32 = jnp.asarray(scan_seq, dtype=jnp.int32)
+    seqf = jnp.asarray(scan_seq, dtype=dt)
 
     score = novelty * batch_w.weights
     score = jnp.where(batch_w.valid, score, -1e30)
@@ -446,15 +486,15 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     do_insert = jnp.take_along_axis(in_tile, ins_idx, axis=1) & (top_score > -1e20)
 
     # Eviction targets: K lowest-retention slots per active tile.
-    stale = jnp.maximum(seq32 - sl.last_supported, 0).astype(dt)
-    retention = jnp.where(sl.valid,
-                          sl.weights * jnp.exp(-cfg.recency_decay_lambda * stale),
+    vmask = fd[:, o + _ROW_V] > 0.5
+    stale = jnp.maximum(seqf - fd[:, o + _ROW_LS], 0.0)
+    retention = jnp.where(vmask,
+                          fd[:, o + _ROW_W] *
+                          jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
-    base = (jnp.arange(S, dtype=jnp.int32) * M)[:, None]
-    tgt = (base + evict_slot.astype(jnp.int32)).reshape(-1)
 
-    do_f = do_insert.reshape(-1)
+    do_f = do_insert.reshape(-1)                             # (S*K,)
     # int32 prefix sum: int64 cumsum lowers to u32-pair reduce-windows that
     # blow the TPU scoped-vmem budget inside the replay lax.scan.
     prefix = (jnp.cumsum(do_f.astype(jnp.int32)) - 1).astype(jnp.int64)
@@ -467,38 +507,27 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     is_cam = (batch_w.sources[gi] == 0).astype(dt)
     cam_m = w_new * is_cam
     lid_m = w_new * (1.0 - is_cam)
-    gray = jnp.asarray(_GRAY, dtype=dt)
-    rgb_new = jnp.where((cam_m > 0)[:, None], col_new, gray)
+    SK = gi.shape[0]
+    ones = jnp.ones((SK, 1), dtype=dt)
+    vals = jnp.concatenate([
+        mat33_to_sym6(batch_w.Lambdas[gi]),                  # (SK, 6)
+        batch_w.thetas[gi],                                  # (SK, 3)
+        batch_w.etas[gi].reshape(SK, -1),                    # (SK, 3B)
+        cam_m[:, None] * col_new,                            # (SK, 3) rgb_acc
+        w_new[:, None], cam_m[:, None], lid_m[:, None], cam_m[:, None],
+        seqf * ones, seqf * ones, ones,                      # created/ls/valid
+    ], axis=1)                                               # (SK, CF)
 
-    fplane = lambda a: a.reshape(a.shape[0], S * M)
-    fscal = lambda a: a.reshape((S * M,) + a.shape[2:])
-
-    def putp(plane, new_vals):                               # new_vals (S*K, C)
-        f = fplane(plane)
-        cur = _plane_gather(f, tgt)
-        return _plane_scatter_set(
-            f, tgt, jnp.where(do_f[:, None], new_vals, cur)).reshape(plane.shape)
-
-    def puts(slab, new_vals):                                # new_vals (S*K, …)
-        f = fscal(slab)
-        sel = jnp.where(do_f.reshape((-1,) + (1,) * (new_vals.ndim - 1)),
-                        new_vals, f[tgt])
-        return f.at[tgt].set(sel).reshape(slab.shape)
+    # Drop-mode pair scatter: rows not inserting point the MAJOR index out of
+    # bounds and are skipped by the scatter itself — no gather, ONE pass.
+    s_t = jnp.repeat(jnp.arange(S, dtype=jnp.int32), K)
+    m_t = evict_slot.reshape(-1).astype(jnp.int32)
+    s_put = jnp.where(do_f, s_t, jnp.int32(S))
+    fd = fd.at[s_put, :, m_t].set(vals, mode="drop")
+    prim_ids = sl.prim_ids.at[s_put, m_t].set(new_ids, mode="drop")
 
     sl = sl._replace(
-        lam6=putp(sl.lam6, mat33_to_sym6(batch_w.Lambdas[gi])),
-        theta=putp(sl.theta, batch_w.thetas[gi]),
-        eta=putp(sl.eta, batch_w.etas[gi].reshape(S * K, -1)),
-        weights=puts(sl.weights, w_new),
-        cam_mass=puts(sl.cam_mass, cam_m),
-        lidar_mass=puts(sl.lidar_mass, lid_m),
-        rgb_acc=putp(sl.rgb_acc, col_new * cam_m[:, None]),
-        rgb_denom=puts(sl.rgb_denom, cam_m),
-        rgb=putp(sl.rgb, rgb_new),
-        created_seq=puts(sl.created_seq, jnp.full((S * K,), seq32)),
-        last_supported=puts(sl.last_supported, jnp.full((S * K,), seq32)),
-        prim_ids=puts(sl.prim_ids, new_ids),
-        valid=puts(sl.valid, jnp.ones((S * K,), dtype=bool)),
+        fdata=fd, prim_ids=prim_ids,
         next_prim_id=sl.next_prim_id + jnp.sum(do_f.astype(jnp.int64)),
     )
     certs = {
@@ -514,20 +543,27 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
 
 def slab_cull(sl: Slabs, cfg: GCConfig):
     """Invalidate primitives with weight below threshold."""
-    below = sl.valid & (sl.weights < cfg.cull_weight_threshold)
-    dt = sl.weights.dtype
+    fd = sl.fdata
+    o = _scalar_base(fd.shape[1])
+    dt = fd.dtype
+    w = fd[:, o + _ROW_W]
+    v = fd[:, o + _ROW_V]
+    below = (v > 0.5) & (w < cfg.cull_weight_threshold)
     certs = {
         "map.culled_count": jnp.sum(below.astype(dt)),
-        "map.culled_mass": jnp.sum(sl.weights * below.astype(dt)),
+        "map.culled_mass": jnp.sum(w * below.astype(dt)),
     }
-    sl = sl._replace(valid=sl.valid & ~below,
-                     weights=jnp.where(below, 0.0, sl.weights))
-    return sl, certs
+    fd = fd.at[:, o + _ROW_V].set(jnp.where(below, 0.0, v))
+    fd = fd.at[:, o + _ROW_W].set(jnp.where(below, 0.0, w))
+    return sl._replace(fdata=fd), certs
 
 
 def slab_forget(sl: Slabs, cfg: GCConfig) -> Slabs:
     """weights *= gamma (continuous forgetting, every scan)."""
-    return sl._replace(weights=sl.weights * cfg.forgetting_factor)
+    fd = sl.fdata
+    o = _scalar_base(fd.shape[1])
+    return sl._replace(
+        fdata=fd.at[:, o + _ROW_W].multiply(cfg.forgetting_factor))
 
 
 # ---------------------------------------------------------------------------
@@ -544,29 +580,40 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
     Merge: moment matching (mean/cov), natural-param add for vMF, mass add.
     """
     if cfg.k_merge_pairs <= 0:  # static ablation switch
-        return sl, {"map.merged_pairs": jnp.zeros((), sl.weights.dtype)}
-    S, M = sl.weights.shape
+        return sl, {"map.merged_pairs": jnp.zeros((), sl.fdata.dtype)}
+    fd = sl.fdata
+    S, cf, M = fd.shape
+    o = _scalar_base(cf)
     Sm = min(cfg.merge_max_tile, M)
     P = cfg.k_merge_pairs
-    dt = sl.weights.dtype
+    dt = fd.dtype
     eps_lift = cfg.eps_lift
     eps_psd = cfg.eps_psd
     thr = cfg.merge_threshold
+    nB3 = o - 12                                             # 3B
 
-    def one_tile(lam6_t, the_t, eta_t, w_all, v_all, cm_t, lm_t, ra_t, rd_t):
-        # lam6_t (6, M), the_t (3, M), eta_t (B*3, M); scalars (M,)
-        sc = jnp.where(v_all, w_all, -jnp.inf)
-        _, sub = jax.lax.top_k(sc, Sm)                       # (Sm,) local slots
+    # Top-Sm-by-weight subset per tile, fetched with ONE pair gather.
+    w_all = fd[:, o + _ROW_W]
+    v_all = fd[:, o + _ROW_V] > 0.5
+    sc = jnp.where(v_all, w_all, -jnp.inf)
+    _, subs = jax.lax.top_k(sc, Sm)                          # (S, Sm)
+    s_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), Sm)
+    m_idx = subs.reshape(-1).astype(jnp.int32)
+    g = _pair_gather(fd, s_idx, m_idx).reshape(S, Sm, cf)    # (S, Sm, CF)
 
-        Lam = sym6_to_mat33(_plane_gather(lam6_t, sub))      # (Sm, 3, 3)
-        the = _plane_gather(the_t, sub)
-        eta = _plane_gather(eta_t, sub)                      # (Sm, B*3)
-        w = w_all[sub]
-        v = v_all[sub]
-        cm = cm_t[sub]
-        lm = lm_t[sub]
-        ra = _plane_gather(ra_t, sub)                        # (Sm, 3)
-        rd = rd_t[sub]
+    def one_tile(gt):
+        # gt (Sm, CF): one tile's top-by-weight rows.
+        Lam = sym6_to_mat33(gt[:, 0:6])                      # (Sm, 3, 3)
+        the = gt[:, 6:9]
+        eta = gt[:, 9:9 + nB3]                               # (Sm, 3B)
+        ra = gt[:, o - 3:o]                                  # (Sm, 3)
+        w = gt[:, o + _ROW_W]
+        v = gt[:, o + _ROW_V] > 0.5
+        cm = gt[:, o + _ROW_CM]
+        lm = gt[:, o + _ROW_LM]
+        rd = gt[:, o + _ROW_RD]
+        cs_k = gt[:, o + _ROW_CS]
+        ls_k = gt[:, o + _ROW_LS]
 
         Sig = inv3x3(Lam, eps_lift)
         mu = jnp.einsum("nij,nj->ni", Sig, the)
@@ -585,8 +632,7 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
         # Static upper-triangle mask: jnp.triu_indices builds 32k/65k-element
         # int64 device cumsums that blow the TPU scoped-vmem budget inside
         # the replay lax.scan; the mask is a compile-time constant.
-        import numpy as _np
-        mask = jnp.asarray(_np.triu(_np.ones((Sm, Sm), dtype=bool), 1))
+        mask = jnp.asarray(np.triu(np.ones((Sm, Sm), dtype=bool), 1))
         D = jnp.where(pair_ok & mask, D, jnp.inf)
 
         def body(_, carry):
@@ -637,46 +683,20 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
         init = (D, Lam, the, eta, w, v, cm, lm, ra, rd, jnp.int32(0))
         (_, Lam, the, eta, w, v, cm, lm, ra, rd, n_merged) = jax.lax.fori_loop(
             0, P, body, init)
-        return sub, Lam, the, eta, w, v, cm, lm, ra, rd, n_merged
+        # Reassemble the fused-field row block (Sm, CF) for write-back;
+        # created_seq / last_supported pass through unchanged.
+        out = jnp.concatenate([
+            mat33_to_sym6(Lam), the, eta, ra,
+            w[:, None], cm[:, None], lm[:, None], rd[:, None],
+            cs_k[:, None], ls_k[:, None], v.astype(dt)[:, None],
+        ], axis=1)                                           # (Sm, CF)
+        return out, n_merged
 
-    (subs, Lams, thes, etas, ws, vs, cms, lms, ras, rds,
-     n_merged) = jax.vmap(
-        one_tile, in_axes=(1, 1, 1, 0, 0, 0, 0, 1, 0),
-    )(sl.lam6, sl.theta, sl.eta, sl.weights, sl.valid, sl.cam_mass,
-      sl.lidar_mass, sl.rgb_acc, sl.rgb_denom)
+    outs, n_merged = jax.vmap(one_tile)(g)                   # (S, Sm, CF)
 
-    # Scatter subsets back (disjoint across tiles; disjoint slots within tile).
-    base = (jnp.arange(S, dtype=jnp.int32) * M)[:, None]
-    gidx = (base + subs.astype(jnp.int32)).reshape(-1)
-    fplane = lambda a: a.reshape(a.shape[0], S * M)
-    fscal = lambda a: a.reshape((S * M,) + a.shape[2:])
-
-    gray = jnp.asarray(_GRAY, dtype=dt)
-    rgb_sub = jnp.where((cms > 0)[..., None],
-                        jnp.clip(ras / jnp.maximum(rds[..., None],
-                                                   cfg.eps_mass), 0.0, 1.0),
-                        gray)
-
-    def setp(plane, vals_sm):  # vals_sm (S, Sm, C) -> plane (C, S, M)
-        return _plane_scatter_set(fplane(plane), gidx,
-                                  vals_sm.reshape(S * Sm, -1)) \
-            .reshape(plane.shape)
-
-    def sets(slab, vals_sm):
-        return fscal(slab).at[gidx].set(vals_sm.reshape(-1)).reshape(slab.shape)
-
-    sl = sl._replace(
-        lam6=setp(sl.lam6, mat33_to_sym6(Lams)),
-        theta=setp(sl.theta, thes),
-        eta=setp(sl.eta, etas),
-        weights=sets(sl.weights, ws),
-        valid=sets(sl.valid, vs),
-        cam_mass=sets(sl.cam_mass, cms),
-        lidar_mass=sets(sl.lidar_mass, lms),
-        rgb_acc=setp(sl.rgb_acc, ras),
-        rgb_denom=sets(sl.rgb_denom, rds),
-        rgb=setp(sl.rgb, rgb_sub),
-    )
+    # ONE pair scatter back (disjoint across tiles and within tile).
+    fd = fd.at[s_idx, :, m_idx].set(outs.reshape(S * Sm, cf))
+    sl = sl._replace(fdata=fd)
     certs = {"map.merged_pairs": jnp.sum(n_merged).astype(dt)}
     return sl, certs
 
