@@ -73,60 +73,59 @@ def so3_exp(w):
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
 
-def _promote(x):
-    """f32 -> f64 for conditioning-critical log-map chains (see so3_log)."""
-    return x.astype(jnp.float64) if x.dtype == jnp.float32 else x
-
-
 def so3_log(R):
-    """f32-safe wrapper: the log map's conditioning degrades as |theta| -> pi
-    (arccos + 1/sin amplification); at theta ~ 3 rad the f32 chain loses
-    ~4 digits, which walked the yaw estimate by degrees over a long arc.
-    The matrices are 3x3: computing in (emulated) f64 is free."""
-    out = _so3_log_impl(_promote(R))
-    return out.astype(R.dtype)
+    """(..., 3, 3) rotation -> (..., 3) rotvec, f32-native and stable at ALL
+    angles via the quaternion route (branchless Shepperd extraction + atan2).
+
+    The classic trace formula (arccos + 1/sin) loses ~4 f32 digits by theta ~ 3
+    rad; an earlier revision fixed that by promoting to f64, but f64 is
+    SOFTWARE-EMULATED on TPU — each promoted 3x3 op expanded to dozens of u32
+    micro-ops and the per-hypothesis pose algebra became a ~0.5-1 ms/scan
+    serial tail of (K,3,3) ops. The quaternion parameterization has no
+    cancellation anywhere: Shepperd picks the largest of the four quaternion
+    components as pivot (denominator >= 1), and theta = 2 atan2(|q_v|, q_w)
+    is well-conditioned at 0 AND pi (unlike arccos near +-1).
+    """
+    return _so3_log_impl(R)
 
 
 def _so3_log_impl(R):
-    """(..., 3, 3) rotation -> (..., 3) rotvec; stable near 0 and pi.
+    d = R.dtype
+    r00, r01, r02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    r10, r11, r12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    r20, r21, r22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = r00 + r11 + r22
 
-    Near pi the antisymmetric part vanishes; there we recover the axis from
-    ``(R + I)/2 ≈ a a^T`` (dominant column, normalized) and orient it with the
-    tiny-but-exact antisymmetric part when theta < pi.
-    """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    sin_t = jnp.sin(theta)
+    # Four pivot candidates: 4q_w^2-1, 4q_x^2-1, ... (>= 0 for the largest).
+    t0 = 1.0 + tr
+    t1 = 1.0 + r00 - r11 - r22
+    t2 = 1.0 - r00 + r11 - r22
+    t3 = 1.0 - r00 - r11 + r22
+    # Unnormalized quaternions [w, x, y, z] per pivot (scale irrelevant: both
+    # atan2 args share it and the axis is normalized).
+    q0 = jnp.stack([t0, r21 - r12, r02 - r20, r10 - r01], axis=-1)
+    q1 = jnp.stack([r21 - r12, t1, r01 + r10, r02 + r20], axis=-1)
+    q2 = jnp.stack([r02 - r20, r01 + r10, t2, r12 + r21], axis=-1)
+    q3 = jnp.stack([r10 - r01, r02 + r20, r12 + r21, t3], axis=-1)
+    ts = jnp.stack([t0, t1, t2, t3], axis=-1)                # (..., 4)
+    qs = jnp.stack([q0, q1, q2, q3], axis=-2)                # (..., 4, 4)
+    sel = (ts == jnp.max(ts, axis=-1, keepdims=True)).astype(d)
+    sel = sel * (jnp.cumsum(sel, axis=-1) <= 1.0)            # first max only
+    q = jnp.einsum("...p,...pq->...q", sel, qs)              # (..., 4)
+    # Half-angle in [0, pi/2]: flip to the w >= 0 representative.
+    q = q * jnp.where(q[..., 0:1] < 0.0, -1.0, 1.0)
 
-    # Generic branch: w = theta / (2 sin theta) * vee(R - R^T).
-    antisym = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
-    small = theta < _EPS
-    near_pi = theta > (jnp.pi - 1e-4)
-    safe_sin = jnp.where(small | near_pi, 1.0, sin_t)
-    factor = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,  # Taylor of theta/(2 sin theta)
-        theta / (2.0 * safe_sin),
-    )
-    w_generic = factor[..., None] * antisym
-
-    # Near-pi branch: S = (R + I)/2 ≈ a a^T; take its dominant column.
-    S = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
-    diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], axis=-1)
-    k = jnp.argmax(diag, axis=-1)
-    col = jnp.take_along_axis(
-        S, k[..., None, None].astype(jnp.int32) * jnp.ones((3, 1), jnp.int32), axis=-1
-    )[..., 0]  # (..., 3): column k of S
-    norm = jnp.linalg.norm(col, axis=-1, keepdims=True)
-    axis_pi = col / jnp.maximum(norm, _PI_EPS)
-    # Orient with the antisymmetric part (exact sign for theta < pi; at exactly
-    # pi both signs are valid).
-    dot = jnp.sum(axis_pi * antisym, axis=-1, keepdims=True)
-    axis_pi = axis_pi * jnp.where(dot < 0.0, -1.0, 1.0)
-    w_pi = theta[..., None] * axis_pi
-
-    return jnp.where(near_pi[..., None], w_pi, w_generic)
+    w = q[..., 0]
+    v = q[..., 1:4]
+    vn = jnp.linalg.norm(v, axis=-1)
+    theta = 2.0 * jnp.arctan2(vn, w)
+    # rotvec = theta * v / vn; as vn -> 0 (theta -> 0), theta/vn -> 2/w.
+    small = vn < jnp.asarray(1e-6, d)
+    safe_vn = jnp.where(small, 1.0, vn)
+    scale = jnp.where(small,
+                      2.0 / jnp.maximum(w, jnp.asarray(1e-12, d)),
+                      theta / safe_vn)
+    return scale[..., None] * v
 
 
 def so3_V(w):
@@ -183,23 +182,21 @@ def se3_exp(xi):
 
 
 def se3_log(pose):
-    """(..., 6) pose -> (..., 6) twist (f64-internal; V_inv has the same
-    near-pi conditioning cliff as the rotation log)."""
-    p = _promote(pose)
-    t, w = p[..., 0:3], p[..., 3:6]
+    """(..., 6) pose -> (..., 6) twist."""
+    t, w = pose[..., 0:3], pose[..., 3:6]
     rho = jnp.einsum("...ij,...j->...i", so3_V_inv(w), t)
-    return jnp.concatenate([rho, w], axis=-1).astype(pose.dtype)
+    return jnp.concatenate([rho, w], axis=-1)
 
 
 def se3_compose(a, b):
-    """a ∘ b for 6-vector poses: R = Ra Rb, t = Ra tb + ta (f64-internal:
-    exp -> matmul -> log round-trips amplify f32 error near |rotvec| ~ pi)."""
-    a64, b64 = _promote(a), _promote(b)
-    Ra, ta = pose_rt(a64)
-    Rb = so3_exp(b64[..., 3:6])
-    t = jnp.einsum("...ij,...j->...i", Ra, b64[..., 0:3]) + ta
+    """a ∘ b for 6-vector poses: R = Ra Rb, t = Ra tb + ta. f32-native: the
+    quaternion-based log (see so3_log) keeps the exp -> matmul -> log
+    round-trip well-conditioned at every angle, so no f64 promotion."""
+    Ra, ta = pose_rt(a)
+    Rb = so3_exp(b[..., 3:6])
+    t = jnp.einsum("...ij,...j->...i", Ra, b[..., 0:3]) + ta
     w = _so3_log_impl(Ra @ Rb)
-    return jnp.concatenate([t, w], axis=-1).astype(a.dtype)
+    return jnp.concatenate([t, w], axis=-1)
 
 
 def se3_inverse(pose):

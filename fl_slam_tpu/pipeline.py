@@ -373,12 +373,14 @@ def process_scan(state: PipelineState, scan: ScanInput,
     offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
     q, r, z = xyz_to_tile_axial(z_lin_pose[:3], cfg.h_tile)
     active_keys = stencil_tile_keys(q, r, z, offs)
-    atlas, slots, c = atlas_ops.activate_tiles(state.atlas, active_keys, seq)
+    atlas, slots, fresh, c = atlas_ops.activate_tiles(state.atlas, active_keys,
+                                                      seq)
     certs.update(c)
     # Slab execution: ONE gather of the active tiles, all map ops on the
     # (S, M) slabs, ONE scatter back after the map update (fused full-pool
     # updates measured 190 ms vs 42 ms per scan; see structures/atlas.py).
     slabs = atlas_ops.gather_slabs(atlas, slots)
+    slabs = atlas_ops.slab_clear_fresh(slabs, fresh)
     slabs, c = atlas_ops.slab_recency_inflate(slabs, seq, cfg)
     certs.update(c)
     view = atlas_ops.slab_extract_view(slabs, cfg)
@@ -498,8 +500,8 @@ def process_scan(state: PipelineState, scan: ScanInput,
     z_t0 = z_t_k[0]
     batch_t = mb.transform_to_world(batch, z_t0, eps_lift=cfg.eps_lift)
     slabs, c = atlas_ops.slab_fuse(slabs, batch_t, assoc.responsibilities,
-                                   assoc.cand_slab_idx, assoc.cand_valid,
-                                   seq, cfg)
+                                   assoc.cand_view_idx, assoc.cand_valid,
+                                   view.slab_idx, seq, cfg)
     certs.update(c)
     nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)

@@ -42,7 +42,8 @@ Field layout along ``CF`` (CF = 19 + 3B rows; B = vMF lobes):
   row  o+4              created_seq    (float; exact for seq < 2^24)
   row  o+5              last_supported (float; exact for seq < 2^24)
   row  o+6              valid          (float 0.0/1.0)
-``prim_ids`` (int64) stays a separate array. Resolved rgb is DERIVED from the
+``prim_ids`` (int32; ~4.6M-scan headroom at the production insert budget)
+stays a separate array. Resolved rgb is DERIVED from the
 accumulators on read (the reference stores and recomputes it every fuse,
 primitive_map.py:1100+; the per-scan pipeline never reads it).
 
@@ -150,7 +151,7 @@ class AtlasMap(NamedTuple("AtlasMapBase", [
 
     ``tile_keys (P,)`` int64 packed hex keys (-1 = free); ``tile_touch_seq
     (P,)`` int32 last-active scan; ``fdata (P, CF, M)`` fused float fields;
-    ``prim_ids (P, M)`` int64 global ids (-1 empty); ``next_prim_id ()``.
+    ``prim_ids (P, M)`` int32 global ids (-1 empty); ``next_prim_id ()``.
     """
 
 
@@ -177,7 +178,7 @@ class MapView(NamedTuple):
     weights: jnp.ndarray         # (V,)
     valid: jnp.ndarray           # (V,) bool
     last_supported: jnp.ndarray  # (V,) int32
-    prim_ids: jnp.ndarray        # (V,) int64
+    prim_ids: jnp.ndarray        # (V,) int32
     slab_idx: jnp.ndarray        # (V,) int32 flat index s*M + m into slabs
 
 
@@ -225,21 +226,40 @@ def empty_atlas(cfg: GCConfig) -> AtlasMap:
         tile_keys=jnp.full((P,), -1, dtype=jnp.int64),
         tile_touch_seq=jnp.full((P,), -1, dtype=jnp.int32),
         fdata=fdata,
-        prim_ids=jnp.full((P, M), -1, dtype=jnp.int64),
-        next_prim_id=jnp.int64(0),
+        prim_ids=jnp.full((P, M), -1, dtype=jnp.int32),
+        next_prim_id=jnp.int32(0),
     )
 
 
 def gather_slabs(atlas: AtlasMap, slots: jnp.ndarray) -> Slabs:
-    """ONE gather of the active tiles' working set (S major-axis rows)."""
-    return Slabs(fdata=atlas.fdata[slots], prim_ids=atlas.prim_ids[slots],
-                 next_prim_id=atlas.next_prim_id)
+    """Gather the active tiles' working set as S static dynamic-slices.
+
+    NOT ``fdata[slots]``: XLA's mini-gather rewrite lowers that single
+    major-axis gather into chunked slicing of the ENTIRE pool (reads all P
+    tiles, profiled 856 us + 77 us for a 64-tile pool); S unrolled
+    dynamic-slices read exactly the S active slabs (~40 MB)."""
+    S = slots.shape[0]
+    fd = jnp.concatenate([
+        jax.lax.dynamic_slice_in_dim(atlas.fdata, slots[i], 1, axis=0)
+        for i in range(S)], axis=0)
+    pid = jnp.concatenate([
+        jax.lax.dynamic_slice_in_dim(atlas.prim_ids, slots[i], 1, axis=0)
+        for i in range(S)], axis=0)
+    return Slabs(fdata=fd, prim_ids=pid, next_prim_id=atlas.next_prim_id)
 
 
 def scatter_slabs(atlas: AtlasMap, slots: jnp.ndarray, sl: Slabs) -> AtlasMap:
-    """ONE scatter of the updated slabs back into the pool."""
-    return atlas._replace(fdata=atlas.fdata.at[slots].set(sl.fdata),
-                          prim_ids=atlas.prim_ids.at[slots].set(sl.prim_ids),
+    """Scatter the updated slabs back as S static in-place update-slices
+    (a single ``.at[slots].set`` lowers to a serialized while loop that
+    cannot alias the donated pool buffer)."""
+    fd, pid = atlas.fdata, atlas.prim_ids
+    S = slots.shape[0]
+    for i in range(S):
+        fd = jax.lax.dynamic_update_slice_in_dim(
+            fd, sl.fdata[i:i + 1], slots[i], axis=0)
+        pid = jax.lax.dynamic_update_slice_in_dim(
+            pid, sl.prim_ids[i:i + 1], slots[i], axis=0)
+    return atlas._replace(fdata=fd, prim_ids=pid,
                           next_prim_id=sl.next_prim_id)
 
 
@@ -248,17 +268,19 @@ def scatter_slabs(atlas: AtlasMap, slots: jnp.ndarray, sl: Slabs) -> AtlasMap:
 # ---------------------------------------------------------------------------
 
 def activate_tiles(atlas: AtlasMap, keys: jnp.ndarray,
-                   scan_seq) -> Tuple[AtlasMap, jnp.ndarray, dict]:
+                   scan_seq) -> Tuple[AtlasMap, jnp.ndarray, jnp.ndarray, dict]:
     """Resolve S active tile keys to pool slots, allocating missing tiles.
 
     Allocation is deterministic: free slots first (lowest index), then the
     least-recently-active tile (oldest ``tile_touch_seq``, lowest index).
-    Evicted slabs have their validity/weights cleared (contents of invalid
-    slots are never read downstream). Returns (atlas', slots (S,) int32, certs).
+    Touches only the (P,)-sized directory arrays — clearing evicted slab
+    CONTENTS is deferred to ``slab_clear_fresh`` on the gathered slabs
+    (scattering 3 clear rows into the pool lowered to a 234 us while loop +
+    full-pool update-slices; the slab-side clear is a dense elementwise pass).
+    Returns (atlas', slots (S,) int32, fresh (S,) bool, certs).
     """
     P = atlas.tile_keys.shape[0]
     dt = atlas.fdata.dtype
-    o = _scalar_base(atlas.fdata.shape[1])
     eq = keys[:, None] == atlas.tile_keys[None, :]          # (S, P)
     found = jnp.any(eq, axis=1)
     slot_found = jnp.argmax(eq, axis=1).astype(jnp.int32)
@@ -276,32 +298,28 @@ def activate_tiles(atlas: AtlasMap, keys: jnp.ndarray,
     slot_alloc = order[jnp.clip(rank, 0, P - 1)]
     slots = jnp.where(missing, slot_alloc, slot_found).astype(jnp.int32)
 
-    # Clear evicted/new slabs with ONE window scatter on the major axis
-    # (weights + validity + last_supported suffice: all readers mask).
-    clear_rows = jnp.stack([
-        jnp.zeros_like(keys, dtype=dt),                      # weights
-        jnp.zeros_like(keys, dtype=dt),                      # last_supported
-        jnp.zeros_like(keys, dtype=dt),                      # valid
-    ], axis=-1) + jnp.asarray([0.0, -1.0, 0.0], dtype=dt)
-    M = atlas.fdata.shape[2]
-    upd = jnp.broadcast_to(clear_rows[:, :, None],
-                           (keys.shape[0], 3, M))            # (S, 3, M)
-    slots_put = jnp.where(missing, slots, jnp.int32(P))      # drop kept tiles
-    rows3 = jnp.asarray([o + _ROW_W, o + _ROW_LS, o + _ROW_V], jnp.int32)
-    fdata = atlas.fdata.at[slots_put[:, None], rows3[None, :]].set(
-        upd, mode="drop")
-
     n_evicted = jnp.sum(missing & ~is_free[slots])
     tile_keys = atlas.tile_keys.at[slots].set(keys)
     seq32 = jnp.asarray(scan_seq, dtype=jnp.int32)
     touch = atlas.tile_touch_seq.at[slots].set(seq32)
-    atlas = atlas._replace(tile_keys=tile_keys, tile_touch_seq=touch,
-                           fdata=fdata)
+    atlas = atlas._replace(tile_keys=tile_keys, tile_touch_seq=touch)
     certs = {
         "atlas.tiles_allocated": jnp.sum(missing).astype(dt),
         "atlas.tiles_evicted": n_evicted.astype(dt),
     }
-    return atlas, slots, certs
+    return atlas, slots, missing, certs
+
+
+def slab_clear_fresh(sl: Slabs, fresh: jnp.ndarray) -> Slabs:
+    """Clear freshly allocated/evicted slabs (dense pass on 3 scalar rows;
+    weights + validity + last_supported suffice: all readers mask)."""
+    fd = sl.fdata
+    o = _scalar_base(fd.shape[1])
+    m = fresh[:, None]
+    fd = fd.at[:, o + _ROW_W].set(jnp.where(m, 0.0, fd[:, o + _ROW_W]))
+    fd = fd.at[:, o + _ROW_LS].set(jnp.where(m, -1.0, fd[:, o + _ROW_LS]))
+    fd = fd.at[:, o + _ROW_V].set(jnp.where(m, 0.0, fd[:, o + _ROW_V]))
+    return sl._replace(fdata=fd)
 
 
 # ---------------------------------------------------------------------------
@@ -395,31 +413,34 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
 # ---------------------------------------------------------------------------
 
 def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
-              cand_slab_idx: jnp.ndarray, cand_valid: jnp.ndarray, scan_seq,
-              cfg: GCConfig):
+              cand_view_idx: jnp.ndarray, cand_valid: jnp.ndarray,
+              view_slab_idx: jnp.ndarray, scan_seq, cfg: GCConfig):
     """Fuse world-frame measurements into candidates with responsibilities pi.
 
-    resp: (N, K); cand_slab_idx: (N, K) slab-flat indices; cand_valid: (N, K).
+    resp: (N, K); cand_view_idx: (N, K) rows into the extracted view;
+    cand_valid: (N, K); view_slab_idx: (V,) slab-flat index of each view row.
     Lambda += pi*Lambda_m, theta += pi*theta_m, eta += pi*eta_m,
     weight += pi*w_m; supported slots stamp ``last_supported = scan_seq``.
 
     Every add-contribution is linear in the responsibility, so the update is
-    built as a per-measurement base row (N, CF) broadcast over K and applied
-    with ONE pair-indexed scatter-add (one row-serialized scatter pass instead
-    of CF of them — the single largest cost of the scan before this fusion).
-    The last-supported stamp rides the same scatter as a marker row (the
-    scatter adds support mass into the LS row; a dense pass then rewrites it
-    as ``where(mass arrived, seq, previous)``).
+    built as a per-measurement base row (N, CF) broadcast over K. It lands in
+    two stages, both single scatter passes (scatter cost on TPU is
+    row-serialized, ~50-60 ns per update row when the window is strided
+    across the non-minor axis): (1) accumulate the N*K candidate rows into a
+    COMPACT (V, CF) per-view-row delta whose windows are contiguous, then
+    (2) apply the V delta rows to the slab block. Stage 2 is the only
+    strided pass and runs at V rows instead of N*K (duplicated view rows of
+    the same slot add correctly). The last-supported stamp rides the same
+    scatters as a marker row (support mass lands in the LS row; a dense pass
+    then rewrites it as ``where(mass arrived, seq, previous)``).
     """
     fd = sl.fdata
     S, cf, M = fd.shape
     o = _scalar_base(cf)
     dt = fd.dtype
     N, K = resp.shape
+    V = view_slab_idx.shape[0]
     r = resp * batch_w.valid[:, None].astype(dt) * cand_valid.astype(dt)
-    idx = cand_slab_idx.reshape(-1).astype(jnp.int32)        # (N*K,)
-    s_i = idx // M
-    m_i = idx % M
     rf = r.reshape(-1)
 
     is_cam = (batch_w.sources == 0).astype(dt)               # (N,)
@@ -441,8 +462,14 @@ def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
     ], axis=1)                                               # (N, CF)
     vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 
+    # Stage 1: compact per-view-row accumulation (contiguous windows).
+    delta = jnp.zeros((V, cf), dtype=dt)
+    delta = delta.at[cand_view_idx.reshape(-1)].add(vals)
+    # Stage 2: apply to the slab block (strided windows, V rows).
+    s_i = view_slab_idx.astype(jnp.int32) // M
+    m_i = view_slab_idx.astype(jnp.int32) % M
     ls_prev = fd[:, o + _ROW_LS]                             # (S, M)
-    fd = fd.at[s_i, :, m_i].add(vals)
+    fd = fd.at[s_i, :, m_i].add(delta)
 
     # Dense rewrite of the LS row: support mass arrived => stamp scan_seq.
     seqf = jnp.asarray(scan_seq, dtype=dt)
@@ -495,10 +522,8 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)
-    # int32 prefix sum: int64 cumsum lowers to u32-pair reduce-windows that
-    # blow the TPU scoped-vmem budget inside the replay lax.scan.
-    prefix = (jnp.cumsum(do_f.astype(jnp.int32)) - 1).astype(jnp.int64)
-    new_ids = jnp.where(do_f, sl.next_prim_id + prefix, jnp.int64(-1))
+    prefix = jnp.cumsum(do_f.astype(jnp.int32)) - 1
+    new_ids = jnp.where(do_f, sl.next_prim_id + prefix, jnp.int32(-1))
 
     gi = ins_idx.reshape(-1)                                 # (S*K,) meas rows
     w_new = (novelty[gi] * batch_w.weights[gi]).astype(dt)
@@ -528,7 +553,7 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
 
     sl = sl._replace(
         fdata=fd, prim_ids=prim_ids,
-        next_prim_id=sl.next_prim_id + jnp.sum(do_f.astype(jnp.int64)),
+        next_prim_id=sl.next_prim_id + jnp.sum(do_f, dtype=jnp.int32),
     )
     certs = {
         "map.inserted_count": jnp.sum(do_f.astype(dt)),
@@ -596,7 +621,7 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
     w_all = fd[:, o + _ROW_W]
     v_all = fd[:, o + _ROW_V] > 0.5
     sc = jnp.where(v_all, w_all, -jnp.inf)
-    _, subs = jax.lax.top_k(sc, Sm)                          # (S, Sm)
+    _, subs = top_k_maybe_approx(sc, Sm, cfg.approx_topk)    # (S, Sm)
     s_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), Sm)
     m_idx = subs.reshape(-1).astype(jnp.int32)
     g = _pair_gather(fd, s_idx, m_idx).reshape(S, Sm, cf)    # (S, Sm, CF)
@@ -715,11 +740,12 @@ def extract_view(atlas, slots, cfg) -> MapView:
     return slab_extract_view(gather_slabs(atlas, slots), cfg)
 
 
-def fuse(atlas, batch_w, resp, cand_slab_idx, cand_valid, scan_seq, cfg,
-         slots=None):
+def fuse(atlas, batch_w, resp, cand_view_idx, cand_valid, view_slab_idx,
+         scan_seq, cfg, slots=None):
     assert slots is not None, "fuse wrapper needs the active slots"
     sl, certs = slab_fuse(gather_slabs(atlas, slots), batch_w, resp,
-                          cand_slab_idx, cand_valid, scan_seq, cfg)
+                          cand_view_idx, cand_valid, view_slab_idx, scan_seq,
+                          cfg)
     return scatter_slabs(atlas, slots, sl), certs
 
 

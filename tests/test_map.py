@@ -103,17 +103,17 @@ class TestAtlas:
 
     def test_activate_allocates_and_finds(self):
         atlas = atlas_mod.empty_atlas(CFG)
-        atlas, slots, certs, keys = self._active(atlas)
+        atlas, slots, fresh, certs, keys = self._active(atlas)
         assert int(certs["atlas.tiles_allocated"]) == CFG.n_active_tiles
         assert len(np.unique(np.asarray(slots))) == CFG.n_active_tiles
         # Second activation finds the same slots.
-        atlas2, slots2, certs2, _ = self._active(atlas, seq=1)
+        atlas2, slots2, _, certs2, _ = self._active(atlas, seq=1)
         np.testing.assert_array_equal(np.asarray(slots), np.asarray(slots2))
         assert int(certs2["atlas.tiles_allocated"]) == 0
 
     def test_insert_then_view_roundtrip(self, rng):
         atlas = atlas_mod.empty_atlas(CFG)
-        atlas, slots, _, keys = self._active(atlas)
+        atlas, slots, _, _, keys = self._active(atlas)
         pts = make_plane_points(rng, n=300, center=(0.2, 0.1, 0.0))
         batch, surf, _ = surfel_batch_from_points(pts)
         novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
@@ -142,7 +142,7 @@ class TestAtlas:
 
     def test_fuse_adds_information(self, rng):
         atlas = atlas_mod.empty_atlas(CFG)
-        atlas, slots, _, keys = self._active(atlas)
+        atlas, slots, _, _, keys = self._active(atlas)
         pts = make_plane_points(rng, n=300, center=(0.2, 0.1, 0.0))
         batch, _, _ = surfel_batch_from_points(pts)
         novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
@@ -158,8 +158,8 @@ class TestAtlas:
         mkap = mb.kappas(batch)
         assoc, _ = associate(mu, mdir, mkap, batch.valid, view, 1, CFG)
         atlas, fcerts = atlas_mod.fuse(atlas, batch, assoc.responsibilities,
-                                       assoc.cand_slab_idx, assoc.cand_valid,
-                                       1, CFG, slots=slots)
+                                       assoc.cand_view_idx, assoc.cand_valid,
+                                       view.slab_idx, 1, CFG, slots=slots)
         assert float(jnp.sum(atlas.weights)) > w_before
         assert float(jnp.sum(sym6_trace(atlas.lam6, axis=0))) > tr_before
         assert float(fcerts["map.fused_mass"]) > 0.0
@@ -168,7 +168,7 @@ class TestAtlas:
 
     def test_forget_cull_recency(self, rng):
         atlas = atlas_mod.empty_atlas(CFG)
-        atlas, slots, _, keys = self._active(atlas)
+        atlas, slots, _, _, keys = self._active(atlas)
         pts = make_plane_points(rng, n=300)
         batch, _, _ = surfel_batch_from_points(pts)
         novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
@@ -196,7 +196,7 @@ class TestAtlas:
 
     def test_merge_reduce_merges_duplicates(self, rng):
         atlas = atlas_mod.empty_atlas(CFG)
-        atlas, slots, _, keys = self._active(atlas)
+        atlas, slots, _, _, keys = self._active(atlas)
         # Two nearly identical primitives in the center tile.
         batch = mb.empty_batch(CFG)
         Lam = jnp.stack([jnp.eye(3, dtype=CFG.jdtype) * 100.0] * 2)
@@ -233,12 +233,12 @@ class TestAtlas:
         q, r, z = xyz_to_tile_axial(c, cfg.h_tile)
         offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
         keys0 = stencil_tile_keys(q, r, z, offs)
-        atlas, slots0, _ = atlas_mod.activate_tiles(atlas, keys0, 0)
+        atlas, slots0, _, _ = atlas_mod.activate_tiles(atlas, keys0, 0)
         # Move far away: all-new keys force eviction of the oldest tiles.
         c2 = jnp.asarray([100.0, 100.0, 0.0], dtype=cfg.jdtype)
         q2, r2, z2 = xyz_to_tile_axial(c2, cfg.h_tile)
         keys1 = stencil_tile_keys(q2, r2, z2, offs)
-        atlas, slots1, certs = atlas_mod.activate_tiles(atlas, keys1, 5)
+        atlas, slots1, _, certs = atlas_mod.activate_tiles(atlas, keys1, 5)
         assert int(certs["atlas.tiles_allocated"]) == cfg.n_active_tiles
         assert int(certs["atlas.tiles_evicted"]) >= cfg.n_active_tiles - 1
         assert len(np.unique(np.asarray(slots1))) == cfg.n_active_tiles
@@ -251,7 +251,7 @@ class TestAssociation:
         q, r, z = xyz_to_tile_axial(c, CFG.h_tile)
         offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
         keys = stencil_tile_keys(q, r, z, offs)
-        atlas, slots, _ = atlas_mod.activate_tiles(atlas, keys, 0)
+        atlas, slots, _, _ = atlas_mod.activate_tiles(atlas, keys, 0)
         pts = make_plane_points(rng, n=300, center=center)
         batch, _, _ = surfel_batch_from_points(pts)
         novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
@@ -289,7 +289,7 @@ class TestAssociation:
         q, r, z = xyz_to_tile_axial(c, CFG.h_tile)
         offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
         keys = stencil_tile_keys(q, r, z, offs)
-        atlas, slots, _ = atlas_mod.activate_tiles(atlas, keys, 0)
+        atlas, slots, _, _ = atlas_mod.activate_tiles(atlas, keys, 0)
         view = atlas_mod.extract_view(atlas, slots, CFG)
         pts = make_plane_points(rng, n=200)
         batch, _, _ = surfel_batch_from_points(pts)
@@ -309,7 +309,7 @@ class TestAssociation:
         q, r, z = xyz_to_tile_axial(c, CFG.h_tile)
         offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
         keys = stencil_tile_keys(q, r, z, offs)
-        atlas, slots, _ = atlas_mod.activate_tiles(atlas, keys, 0)
+        atlas, slots, _, _ = atlas_mod.activate_tiles(atlas, keys, 0)
         # Planes must span several surfel cells (0.5 m) so the map has enough
         # primitives that k_assoc candidates are mostly same-surface, and must
         # NOT pass through the sensor origin (a sensor inside an observed

@@ -129,7 +129,7 @@ class TestExport:
         q, r, z = xyz_to_tile_axial(jnp.zeros(3, CFG.jdtype), CFG.h_tile)
         offs = stencil_offsets_3d(CFG.r_active_xy, CFG.r_active_z)
         keys = stencil_tile_keys(q, r, z, offs)
-        atlas, slots, _ = A.activate_tiles(atlas, keys, 0)
+        atlas, slots, _, _ = A.activate_tiles(atlas, keys, 0)
         pts = T.make_plane_points(rng, n=300, extent=1.0)
         batch, _, _ = T.surfel_batch_from_points(pts)
         nov = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)

@@ -88,7 +88,7 @@ def main():
     offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
     keys = stencil_tile_keys(q, r, z, offs)
     bench_fn("atlas.activate", lambda a: A.activate_tiles(a, keys, 0)[0].tile_keys, atlas)
-    atlas, slots, _ = A.activate_tiles(atlas, keys, 0)
+    atlas, slots, _, _ = A.activate_tiles(atlas, keys, 0)
     bench_fn("atlas.recency_inflate", lambda a: A.recency_inflate(a, slots, 1, cfg)[0].lam6, atlas)
     bench_fn("atlas.extract_view", lambda a: A.extract_view(a, slots, cfg).positions, atlas)
     view = A.extract_view(atlas, slots, cfg)
@@ -109,8 +109,8 @@ def main():
         jnp.zeros(6, f), cfg)[0], mu)
 
     bench_fn("atlas.fuse", lambda a: A.fuse(
-        a, batch, assoc.responsibilities, assoc.cand_slab_idx,
-        assoc.cand_valid, 0, cfg, slots=slots)[0].weights, atlas)
+        a, batch, assoc.responsibilities, assoc.cand_view_idx,
+        assoc.cand_valid, view.slab_idx, 0, cfg, slots=slots)[0].weights, atlas)
     nov = AS.novelty_mass(assoc, batch.valid, cfg.eps_mass)
     mk = tile_keys_from_xyz(mu, cfg.h_tile)
     bench_fn("atlas.insert", lambda a: A.insert(
