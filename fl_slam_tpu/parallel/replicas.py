@@ -62,7 +62,9 @@ def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
         def one(state, scans_i):
             def body(carry, scan):
                 return process_scan(carry, scan, cfg)
-            return jax.lax.scan(body, state, scans_i)
+            final, outs = jax.lax.scan(body, state, scans_i)
+            from fl_slam_tpu.pipeline import flush_slabs
+            return flush_slabs(final), outs
         return jax.vmap(one)(states, scans)
 
     shard = NamedSharding(mesh, P(axis))

@@ -104,13 +104,26 @@ class ScanInput(NamedTuple):
 
 
 class PipelineState(NamedTuple):
-    """The lax.scan carry: everything that persists across scans."""
+    """The lax.scan carry: everything that persists across scans.
+
+    The active tiles' slabs are RESIDENT in the carry (``slabs`` +
+    ``slab_slots``/``slab_keys``): pool<->slab movement costs ~2 ms/scan
+    (dynamic-offset DMA of 7x5.6 MB each way) but the active tile set only
+    changes when the robot crosses a tile boundary (every ~15-20 scans), so
+    the flush + regather runs under ``lax.cond`` on set change and
+    steady-state scans touch only the slabs. ``atlas`` holds the inactive
+    tiles and is stale for the active ones until the next flush;
+    ``flush_slabs`` reconciles (replay() does it after the scan loop).
+    """
 
     belief: Belief              # K_HYP-stacked hypothesis bank
     hyp_weights: jnp.ndarray    # (K_HYP,)
     process_noise: noise_ops.ProcessNoiseIW
     meas_noise: noise_ops.MeasurementNoiseIW
     atlas: atlas_ops.AtlasMap
+    slabs: atlas_ops.Slabs      # resident working set of the active tiles
+    slab_slots: jnp.ndarray     # (S,) int32 pool slots of the resident slabs
+    slab_keys: jnp.ndarray      # (S,) int64 tile keys of the resident slabs
     scan_seq: jnp.ndarray       # () int32
     prev_scan_t: jnp.ndarray    # () previous scan clock (scan_start)
 
@@ -146,15 +159,29 @@ def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
                t0: float = 0.0) -> PipelineState:
     one = initial_belief(cfg, anchor0=anchor0)
     bank = jax.tree.map(lambda a: jnp.stack([a] * cfg.k_hyp), one)
+    atlas = atlas_ops.empty_atlas(cfg)
+    S = cfg.n_active_tiles
+    slots0 = jnp.arange(S, dtype=jnp.int32)
     return PipelineState(
         belief=bank,
         hyp_weights=jnp.full((cfg.k_hyp,), 1.0 / cfg.k_hyp, dtype=cfg.jdtype),
         process_noise=noise_ops.init_process_noise(cfg),
         meas_noise=noise_ops.init_measurement_noise(cfg),
-        atlas=atlas_ops.empty_atlas(cfg),
+        atlas=atlas,
+        # Consistent resident set: slabs of (empty) pool rows 0..S-1 with
+        # sentinel keys no stencil produces -> the first scan refreshes.
+        slabs=atlas_ops.gather_slabs(atlas, slots0),
+        slab_slots=slots0,
+        slab_keys=jnp.full((S,), -2, dtype=jnp.int64),
         scan_seq=jnp.int32(0),
         prev_scan_t=jnp.asarray(t0, dtype=cfg.jdtype),
     )
+
+
+def flush_slabs(state: PipelineState) -> PipelineState:
+    """Reconcile the pool with the resident slabs (end-of-replay / export)."""
+    atlas = atlas_ops.scatter_slabs(state.atlas, state.slab_slots, state.slabs)
+    return state._replace(atlas=atlas)
 
 
 def process_scan(state: PipelineState, scan: ScanInput,
@@ -373,14 +400,36 @@ def process_scan(state: PipelineState, scan: ScanInput,
     offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
     q, r, z = xyz_to_tile_axial(z_lin_pose[:3], cfg.h_tile)
     active_keys = stencil_tile_keys(q, r, z, offs)
-    atlas, slots, fresh, c = atlas_ops.activate_tiles(state.atlas, active_keys,
-                                                      seq)
+
+    # Resident-slab refresh: the active tiles' slabs live in the carry and
+    # only move when the tile set changes (every ~15-20 scans). The pool must
+    # NOT be a lax.cond operand (the conditional boundary forces a full-pool
+    # copy, profiled 1.24 ms + 1.46 ms of cond machinery per scan), so:
+    #   1. the flush is an ALWAYS-executed drop-mode scatter whose rows point
+    #      out of bounds when the set is unchanged (in-place, ~no-op);
+    #   2. the directory update (activate_tiles) runs unconditionally — with
+    #      an unchanged set every key is found and it is idempotent;
+    #   3. only the regather of the (small) slab working set runs under cond.
+    refresh = ~jnp.all(active_keys == state.slab_keys)
+    P_pool = cfg.n_tiles_pool
+    touch = state.atlas.tile_touch_seq.at[state.slab_slots].set(seq)
+    slots_put = jnp.where(refresh, state.slab_slots, jnp.int32(P_pool))
+    atlas = state.atlas._replace(
+        tile_touch_seq=touch,
+        fdata=state.atlas.fdata.at[slots_put].set(
+            state.slabs.fdata, mode="drop"),
+        prim_ids=state.atlas.prim_ids.at[slots_put].set(
+            state.slabs.prim_ids, mode="drop"),
+        next_prim_id=state.slabs.next_prim_id)
+    atlas, slots, fresh_mask, c = atlas_ops.activate_tiles(atlas, active_keys,
+                                                           seq)
     certs.update(c)
-    # Slab execution: ONE gather of the active tiles, all map ops on the
-    # (S, M) slabs, ONE scatter back after the map update (fused full-pool
-    # updates measured 190 ms vs 42 ms per scan; see structures/atlas.py).
-    slabs = atlas_ops.gather_slabs(atlas, slots)
-    slabs = atlas_ops.slab_clear_fresh(slabs, fresh)
+
+    def _regather(_):
+        sl = atlas_ops.gather_slabs(atlas, slots)
+        return atlas_ops.slab_clear_fresh(sl, fresh_mask)
+
+    slabs = jax.lax.cond(refresh, _regather, lambda _: state.slabs, None)
     slabs, c = atlas_ops.slab_recency_inflate(slabs, seq, cfg)
     certs.update(c)
     view = atlas_ops.slab_extract_view(slabs, cfg)
@@ -514,7 +563,8 @@ def process_scan(state: PipelineState, scan: ScanInput,
     slabs = atlas_ops.slab_forget(slabs, cfg)
     slabs, c = atlas_ops.slab_merge_reduce(slabs, cfg)
     certs.update(c)
-    atlas = atlas_ops.scatter_slabs(atlas, slots, slabs)
+    # No scatter back: the slabs stay resident in the carry (flushed to the
+    # pool by the next tile-set change or by flush_slabs at end of replay).
 
     # ---- step 13 per hypothesis: anchor drift ----------------------------------
     def drift(bel, z_lin_new):
@@ -550,6 +600,9 @@ def process_scan(state: PipelineState, scan: ScanInput,
         process_noise=proc_noise,
         meas_noise=meas_noise,
         atlas=atlas,
+        slabs=slabs,
+        slab_slots=slots,
+        slab_keys=active_keys,
         scan_seq=seq + 1,
         prev_scan_t=scan.scan_start,
     )
@@ -573,7 +626,8 @@ def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
     def step(carry, scan):
         new_state, out = process_scan(carry, scan, cfg)
         return new_state, out
-    return jax.lax.scan(step, state, scans)
+    final, outs = jax.lax.scan(step, state, scans)
+    return flush_slabs(final), outs
 
 
 def replay_jit(cfg: GCConfig):

@@ -118,5 +118,8 @@ class TestCameraE2E:
         state, out = process_scan(state, jax.tree.map(lambda a: a[1], scans),
                                   CFG)
         assert np.isfinite(np.asarray(out.pose)).all()
-        # camera mass reached the map (color provenance)
+        # camera mass reached the map (color provenance); the resident slabs
+        # must be flushed before reading the pool mid-stream.
+        from fl_slam_tpu.pipeline import flush_slabs
+        state = flush_slabs(state)
         assert float(jnp.sum(state.atlas.cam_mass)) > 0.0
