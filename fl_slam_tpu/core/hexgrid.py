@@ -144,7 +144,7 @@ def bin_cell_ids(p, cell_size: float, c1: int, c2: int, cz: int,
     return (qm * c2 + rm) * cz + zm
 
 
-def bin_cell_ids_local(p_centered, cell_size: float, c1: int, c2: int, cz: int,
+def bin_cell_ids_local(x, y, z, cell_size: float, c1: int, c2: int, cz: int,
                        z_size: float | None = None):
     """Bounded local hex grid around the (pre-centered) scan: axial coords are
     offset to the grid center and CLIPPED, not modulo-wrapped.
@@ -160,7 +160,9 @@ def bin_cell_ids_local(p_centered, cell_size: float, c1: int, c2: int, cz: int,
     """
     if z_size is None:
         z_size = cell_size
-    q, r, zi = xyz_to_tile_axial(p_centered, cell_size, z_size)
+    qf, rf = xy_to_axial_frac(x, y, cell_size)
+    q, r = axial_round(qf, rf)
+    zi = jnp.floor(z / z_size + 0.5).astype(jnp.int32)
     qo = q + c1 // 2
     ro = r + c2 // 2
     zo = zi + cz // 2

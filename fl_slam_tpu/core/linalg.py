@@ -372,3 +372,97 @@ def top_k_maybe_approx(x, k: int, approx: bool = False):
     if approx and 0 < k < x.shape[-1]:
         return _jax.lax.approx_max_k(x, k)
     return _jax.lax.top_k(x, k)
+
+
+# ---------------------------------------------------------------------------
+# Component-plane symmetric-3x3 API: a batch of symmetric matrices stored as
+# SIX stacked planes ``s (6, C)`` (rows xx, xy, xz, yy, yz, zz) and vectors as
+# ``v (3, C)``. Identical math to the (..., 3, 3) helpers above, but the big
+# batch axis C stays minor-most: a (C, 3, 3) array makes the TPU (8, 128)
+# tiler pad the two 3-wide minor dims to (4, 128) — a ~42x memory blowup that
+# turned every per-point/per-cell pass into ~75 us (profiled); plane storage
+# moves the same math at the VPU's native tiling.
+# ---------------------------------------------------------------------------
+
+def sym6p_eigvals(s):
+    """Eigenvalue planes (3, C), ascending (Smith 1961; see eigvalsh3x3)."""
+    a00, a01, a02, a11, a12, a22 = s
+    sc = jnp.maximum(jnp.max(jnp.abs(s), axis=0), 1e-30)
+    a00, a01, a02 = a00 / sc, a01 / sc, a02 / sc
+    a11, a12, a22 = a11 / sc, a12 / sc, a22 / sc
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-38))
+    c00 = b11 * b22 - a12 * a12
+    c01 = a01 * b22 - a12 * a02
+    c02 = a01 * a12 - b11 * a02
+    detB = b00 * c00 - a01 * c01 + a02 * c02
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam2 = q + 2.0 * p * jnp.cos(phi)
+    lam0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam1 = 3.0 * q - lam0 - lam2
+    degen = p2 < 1e-30
+    lam0 = jnp.where(degen, q, lam0)
+    lam1 = jnp.where(degen, q, lam1)
+    lam2 = jnp.where(degen, q, lam2)
+    return jnp.stack([lam0, lam1, lam2], axis=0) * sc[None]
+
+
+def sym6p_eigvec(s, lam):
+    """Unit eigenvector planes (3, C) for eigenvalue plane lam (C,): largest
+    cross product of rows of (A - lam I); e_z fallback on degeneracy."""
+    a00, a01, a02, a11, a12, a22 = s
+    m00, m11, m22 = a00 - lam, a11 - lam, a22 - lam
+    # rows: r0 = (m00, a01, a02), r1 = (a01, m11, a12), r2 = (a02, a12, m22)
+    c01x = a01 * a12 - a02 * m11
+    c01y = a02 * a01 - m00 * a12
+    c01z = m00 * m11 - a01 * a01
+    c02x = a01 * m22 - a02 * a12
+    c02y = a02 * a02 - m00 * m22
+    c02z = m00 * a12 - a01 * a02
+    c12x = m11 * m22 - a12 * a12
+    c12y = a12 * a02 - a01 * m22
+    c12z = a01 * a12 - m11 * a02
+    n01 = c01x * c01x + c01y * c01y + c01z * c01z
+    n02 = c02x * c02x + c02y * c02y + c02z * c02z
+    n12 = c12x * c12x + c12y * c12y + c12z * c12z
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = (~use01) & (n02 >= n12)
+    bx = jnp.where(use01, c01x, jnp.where(use02, c02x, c12x))
+    by = jnp.where(use01, c01y, jnp.where(use02, c02y, c12y))
+    bz = jnp.where(use01, c01z, jnp.where(use02, c02z, c12z))
+    nb = jnp.sqrt(bx * bx + by * by + bz * bz)
+    ok = nb > 1e-12
+    nbs = jnp.maximum(nb, 1e-30)
+    return jnp.stack([jnp.where(ok, bx / nbs, 0.0),
+                      jnp.where(ok, by / nbs, 0.0),
+                      jnp.where(ok, bz / nbs, 1.0)], axis=0)
+
+
+def sym6p_inv(s, eps: float = 0.0):
+    """Inverse planes (6, C) via the adjugate (of ``s + eps I`` when eps>0)."""
+    a00, a01, a02, a11, a12, a22 = s
+    if eps:
+        a00, a11, a22 = a00 + eps, a11 + eps, a22 + eps
+    A00 = a11 * a22 - a12 * a12
+    A01 = a02 * a12 - a01 * a22
+    A02 = a01 * a12 - a02 * a11
+    A11 = a00 * a22 - a02 * a02
+    A12 = a01 * a02 - a00 * a12
+    A22 = a00 * a11 - a01 * a01
+    det = a00 * A00 + a01 * A01 + a02 * A02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30,
+                              jnp.where(det < 0, -1e-30, 1e-30), det)
+    return jnp.stack([A00, A01, A02, A11, A12, A22], axis=0) * inv_det[None]
+
+
+def sym6p_matvec(s, v):
+    """(6, C) symmetric planes @ (3, C) vector planes -> (3, C)."""
+    a00, a01, a02, a11, a12, a22 = s
+    x, y, z = v
+    return jnp.stack([a00 * x + a01 * y + a02 * z,
+                      a01 * x + a11 * y + a12 * z,
+                      a02 * x + a12 * y + a22 * z], axis=0)

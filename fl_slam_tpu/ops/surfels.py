@@ -3,19 +3,26 @@
 
 TPU-first redesign: the reference gathers up to ``max_occupants`` point
 indices per cell and vmaps a per-cell fit. Here the per-cell weighted moments
-(sum w, sum w*p, sum w*p p^T) are accumulated with ``segment_sum`` over ALL
-points — exact for any occupancy (the reference's occupant cap is an
-approximation it logs), one pass, no gather tables. The per-cell plane fit is
-closed-form (analytic symmetric-3x3 eigensolver), so the whole operator is
-elementwise + segment_sum: no LAPACK, no data-dependent shapes.
+(sum w, sum w*p, sum w*p p^T) are accumulated with ONE packed ``segment_sum``
+over ALL points — exact for any occupancy (the reference's occupant cap is an
+approximation it logs), one scatter pass, no gather tables. The per-cell
+plane fit is closed-form (analytic symmetric-3x3 eigensolver), so the whole
+operator is elementwise + segment_sum: no LAPACK, no data-dependent shapes.
+
+Layout discipline: points arrive as COMPONENT PLANES ``(3, N)`` and every
+per-point / per-cell intermediate is a plane ``(k, N)`` / ``(k, C)`` (see
+core/linalg sym6p note: (C, 3, 3) arrays tile at ~42x padded bandwidth; the
+pre-plane implementation spent ~370 us/scan on five such passes). Only the
+final selected budget (S = n_surfel, 1024) is densified to (S, 3, 3) for the
+measurement batch boundary.
 
 Per cell (math identical to the reference ``_fit_one_cell``):
   centroid  = sum(w p)/sum(w)
   cov       = sum(w p p^T)/sum(w) - centroid centroid^T  (+ eig_min I)
-  normal    = eigenvector of smallest eigenvalue, sign-fixed to +z
+  normal    = eigenvector of smallest eigenvalue, sign-fixed to face sensor
   Sigma     = cov + sensor_var I     (in-plane spread + perpendicular residual)
   Lambda    = Sigma^{-1} + (nu/psi) I   (Wishart regularization in precision)
-  Sigma_reg = Lambda^{-1};  theta = Lambda_reg @ centroid
+  theta     = Lambda_reg @ centroid
   kappa     = kappa_scale / sqrt(max(lambda_min, eig_min)), clipped
   valid     = count >= min_points and mass > 0
 
@@ -30,7 +37,8 @@ import jax.numpy as jnp
 
 from fl_slam_tpu.config import GCConfig
 from fl_slam_tpu.core.hexgrid import bin_cell_ids_local
-from fl_slam_tpu.core.linalg import eigvalsh3x3, eigvec3x3, inv3x3
+from fl_slam_tpu.core.linalg import (
+    sym6_to_mat33, sym6p_eigvals, sym6p_eigvec, sym6p_inv, sym6p_matvec)
 
 # Reference SurfelExtractionConfig defaults (lidar_surfel_extraction.py:44-62),
 # except the cell size comes from cfg.surfel_cell_size: the reference's 0.1 m
@@ -49,9 +57,10 @@ KAPPA_MAX = 100.0
 EIG_MIN = 1e-12
 
 
-def extract_surfels(points, weights, cfg: GCConfig, *,
+def extract_surfels(points_p, weights, cfg: GCConfig, *,
                     voxel_size: float | None = None):
-    """points (N, 3), weights (N,) -> fixed-size surfel arrays + certs.
+    """points_p (3, N) component planes, weights (N,) -> fixed-size surfel
+    arrays + certs.
 
     Returns dict with Lambdas (S,3,3), thetas (S,3), etas (S,B,3),
     weights (S,), valid (S,), positions (S,3), normals (S,3), kappas (S,),
@@ -60,54 +69,65 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
     dt = cfg.jdtype
     if voxel_size is None:
         voxel_size = cfg.surfel_cell_size
-    points = points.astype(dt)
+    points_p = points_p.astype(dt)
     weights = weights.astype(dt)
     n_cells = cfg.surfel_cells_1 * cfg.surfel_cells_2 * cfg.surfel_cells_z
 
     # Mask non-finite sentinels; center the scan so the bounded local grid
     # covers the sweep (translation does not affect covariances; parity:
     # _extract_surfels_mahex3d_jax_jit).
-    finite = jnp.all(jnp.abs(points) < 0.1 * cfg.nonfinite_sentinel, axis=1)
+    finite = jnp.all(jnp.abs(points_p) < 0.1 * cfg.nonfinite_sentinel, axis=0)
     w_fin = weights * finite.astype(dt)
     w_tot_fin = jnp.sum(w_fin) + EIG_MIN
-    center = jnp.sum(points * w_fin[:, None], axis=0) / w_tot_fin
-    pc = points - center
+    center = jnp.sum(points_p * w_fin[None, :], axis=1) / w_tot_fin  # (3,)
+    px = points_p[0] - center[0]
+    py = points_p[1] - center[1]
+    pz = points_p[2] - center[2]
 
     cell, in_grid = bin_cell_ids_local(
-        pc, voxel_size, cfg.surfel_cells_1, cfg.surfel_cells_2,
+        px, py, pz, voxel_size, cfg.surfel_cells_1, cfg.surfel_cells_2,
         cfg.surfel_cells_z)
     usable = finite & in_grid
     w_eff = weights * usable.astype(dt)
     w_tot = jnp.sum(w_eff) + EIG_MIN
 
-    seg = lambda vals: jax.ops.segment_sum(vals, cell, num_segments=n_cells)
-    cnt = seg(usable.astype(jnp.int32))
-    sw = seg(w_eff)                                          # (C,)
-    swp = seg(w_eff[:, None] * pc)                           # (C, 3)
-    swpp = seg(w_eff[:, None, None] * pc[:, None, :] * pc[:, :, None])  # (C,3,3)
+    # ONE packed segment_sum: [cnt, w, w*p (3), w*p p^T sym6 (6)] = 11 rows.
+    payload = jnp.stack([
+        usable.astype(dt), w_eff,
+        w_eff * px, w_eff * py, w_eff * pz,
+        w_eff * px * px, w_eff * px * py, w_eff * px * pz,
+        w_eff * py * py, w_eff * py * pz, w_eff * pz * pz,
+    ], axis=-1)                                              # (N, 11)
+    mom = jax.ops.segment_sum(payload, cell, num_segments=n_cells).T  # (11, C)
+    cnt = mom[0]
+    sw = mom[1]
+    swp = mom[2:5]                                           # (3, C)
+    swpp = mom[5:11]                                         # (6, C) sym6
 
     swn = jnp.maximum(sw, EIG_MIN)
-    centroid = swp / swn[:, None]
-    cov = swpp / swn[:, None, None] - centroid[:, None, :] * centroid[:, :, None]
-    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2)) + EIG_MIN * jnp.eye(3, dtype=dt)
+    cen = swp / swn[None]                                    # (3, C) centroid
+    cov = swpp / swn[None] - jnp.stack([
+        cen[0] * cen[0], cen[0] * cen[1], cen[0] * cen[2],
+        cen[1] * cen[1], cen[1] * cen[2], cen[2] * cen[2]], axis=0)
+    eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], dtype=dt)[:, None]
+    cov = cov + EIG_MIN * eye6
 
-    lam = eigvalsh3x3(cov)                                   # ascending
-    normal = eigvec3x3(cov, lam[:, 0])
+    lam = sym6p_eigvals(cov)                                 # (3, C) ascending
+    normal = sym6p_eigvec(cov, lam[0])                       # (3, C)
     # Deterministic sign: face the SENSOR (normal . ray_from_sensor < 0). The
     # reference fixes sign to +z (lidar_surfel_extraction.py:130), which is
     # degenerate for vertical surfaces (walls flip scan to scan and corrupt
     # the vMF scatter); sensor-facing is stable for any surface the lidar
     # actually saw. Sensor origin in centered coords is -center.
-    centroid_body = centroid + center[None, :]
-    facing = jnp.sum(normal * centroid_body, axis=-1, keepdims=True)
-    normal = normal * jnp.where(facing > 0.0, -1.0, 1.0)
+    cen_body = cen + center[:, None]
+    facing = jnp.sum(normal * cen_body, axis=0)
+    normal = normal * jnp.where(facing > 0.0, -1.0, 1.0)[None]
 
-    Sigma = cov + SENSOR_VAR * jnp.eye(3, dtype=dt)
-    Lambda = inv3x3(Sigma, EIG_MIN)
-    Lambda = 0.5 * (Lambda + jnp.swapaxes(Lambda, -1, -2))
-    Lambda_reg = Lambda + (WISHART_NU / WISHART_PSI) * jnp.eye(3, dtype=dt)
+    Sigma = cov + SENSOR_VAR * eye6
+    Lam6 = sym6p_inv(Sigma, EIG_MIN)
+    Lam6_reg = Lam6 + (WISHART_NU / WISHART_PSI) * eye6
 
-    sigma_perp_sq = jnp.maximum(lam[:, 0], EIG_MIN)
+    sigma_perp_sq = jnp.maximum(lam[0], EIG_MIN)
     kappa = jnp.clip(KAPPA_SCALE / jnp.sqrt(sigma_perp_sq), KAPPA_MIN, KAPPA_MAX)
     valid_cell = (cnt >= MIN_POINTS_PER_CELL) & (sw > 0.0)
 
@@ -115,8 +135,7 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
     # lam_min << lam_mid ~ lam_max. Mixed-surface cells (corners) and sparse
     # blobs get their mass smoothly suppressed — off-surface centroids from
     # such cells are the main source of map corruption.
-    planarity = (lam[:, 1] - lam[:, 0]) / (lam[:, 2] + EIG_MIN)
-    planarity = jnp.clip(planarity, 0.0, 1.0)
+    planarity = jnp.clip((lam[1] - lam[0]) / (lam[2] + EIG_MIN), 0.0, 1.0)
     sw = sw * planarity
 
     # Deterministic budget selection: valid cells first, ascending cell id.
@@ -128,9 +147,15 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
     if pad > 0:
         order = jnp.pad(order, (0, pad))
 
-    pos_sel = centroid[order] + center[None, :]
-    Lam_sel = Lambda_reg[order]
-    nrm_sel = normal[order]
+    # Boundary densification at budget size only (S = 1024): gather the
+    # selected plane columns, then pack to the (S, 3, 3) batch schema.
+    sel = lambda planes: planes[:, order]                    # (k, S)
+    pos_sel = (sel(cen) + center[:, None]).T                 # (S, 3) body frame
+    lam6_sel = sel(jnp.concatenate([Lam6_reg, normal], axis=0))
+    Lam_sel = sym6_to_mat33(lam6_sel[0:6].T)                 # (S, 3, 3)
+    # theta in the BODY frame (position with the scan center restored).
+    theta_sel = jnp.einsum("sij,sj->si", Lam_sel, pos_sel)
+    nrm_sel = lam6_sel[6:9].T
     kap_sel = kappa[order]
     w_sel = sw[order]
     val_sel = valid_cell[order]
@@ -138,7 +163,6 @@ def extract_surfels(points, weights, cfg: GCConfig, *,
         row = jnp.arange(S) < (S - pad)
         val_sel = val_sel & row
 
-    theta_sel = jnp.einsum("sij,sj->si", Lam_sel, pos_sel)
     etas = jnp.zeros((S, cfg.vmf_n_lobes, 3), dtype=dt)
     etas = etas.at[:, 0, :].set(kap_sel[:, None] * nrm_sel)
     w_sel = jnp.where(val_sel, w_sel, 0.0)

@@ -260,8 +260,9 @@ def process_scan(state: PipelineState, scan: ScanInput,
     # ---- step 5 (shared): deskew ----------------------------------------------
     xi_body = pre_scan["delta_pose"]
     xi_body = xi_body.at[:3].mul(0.0 if cfg.deskew_rotation_only else 1.0)
+    # Component planes (3, N) from here on (see ops/deskew.py layout note).
     points_dsk, w_dsk, c = deskew_ops.deskew_constant_twist(
-        scan.points, scan.point_stamps, scan.point_weights,
+        scan.points.T, scan.point_stamps, scan.point_weights,
         scan.scan_start, scan.scan_end, xi_body,
         time_warp_sigma_frac=cfg.time_warp_sigma_frac, eps_mass=cfg.eps_mass)
     certs.update(c)

@@ -41,7 +41,7 @@ def make_plane_points(rng, n=200, normal=(0.0, 0.0, 1.0), center=(0, 0, 0),
 
 def surfel_batch_from_points(points, cfg=CFG):
     w = jnp.ones((points.shape[0],), dtype=cfg.jdtype)
-    surf, certs = extract_surfels(jnp.asarray(points), w, cfg)
+    surf, certs = extract_surfels(jnp.asarray(points).T, w, cfg)
     batch = mb.empty_batch(cfg)
     batch = mb.with_lidar_surfels(batch, cfg, Lambdas=surf["Lambdas"],
                                   thetas=surf["thetas"], etas=surf["etas"],
@@ -65,7 +65,7 @@ class TestSurfels:
 
     def test_fixed_shapes_and_masked_invalids(self, rng):
         pts = make_plane_points(rng, n=50)
-        surf, certs = extract_surfels(jnp.asarray(pts),
+        surf, certs = extract_surfels(jnp.asarray(pts).T,
                                       jnp.ones((50,), dtype=CFG.jdtype), CFG)
         assert surf["Lambdas"].shape == (CFG.n_surfel, 3, 3)
         w = np.asarray(surf["weights"])
@@ -76,14 +76,14 @@ class TestSurfels:
         pts = make_plane_points(rng, n=100)
         pts_bad = np.concatenate([pts, np.full((20, 3), 1e6)], axis=0)
         w = jnp.ones((120,), dtype=CFG.jdtype)
-        surf, certs = extract_surfels(jnp.asarray(pts_bad), w, CFG)
+        surf, certs = extract_surfels(jnp.asarray(pts_bad).T, w, CFG)
         assert np.isfinite(np.asarray(surf["positions"])[np.asarray(surf["valid"])]).all()
         # sentinel mass excluded
         assert float(certs["surfel.point_mass_in"]) <= 100.0 + 1e-6
 
     def test_theta_consistent_with_position(self, rng):
         pts = make_plane_points(rng, n=300)
-        surf, _ = extract_surfels(jnp.asarray(pts),
+        surf, _ = extract_surfels(jnp.asarray(pts).T,
                                   jnp.ones((300,), dtype=CFG.jdtype), CFG)
         v = np.asarray(surf["valid"])
         Lam = np.asarray(surf["Lambdas"])[v]

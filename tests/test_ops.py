@@ -338,9 +338,9 @@ def test_deskew_identity_twist():
     ts = jnp.linspace(0.0, 0.1, 64)
     w = jnp.ones((64,), F64)
     out, w_out, _ = deskew.deskew_constant_twist(
-        pts, ts, w, 0.0, 0.1, jnp.zeros(6, F64),
+        pts.T, ts, w, 0.0, 0.1, jnp.zeros(6, F64),
         time_warp_sigma_frac=0.1, eps_mass=1e-12)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.T), np.asarray(pts), atol=1e-12)
 
 
 def test_deskew_pure_rotation():
@@ -351,9 +351,9 @@ def test_deskew_pure_rotation():
     yaw = 0.2
     xi = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, yaw], F64)
     out, _, _ = deskew.deskew_constant_twist(
-        pts, ts, w, 0.0, 0.1, xi, time_warp_sigma_frac=0.1, eps_mass=1e-12)
+        pts.T, ts, w, 0.0, 0.1, xi, time_warp_sigma_frac=0.1, eps_mass=1e-12)
     expected = se3.so3_exp(jnp.asarray([0.0, 0.0, -yaw], F64)) @ pts[0]
-    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(expected),
+    np.testing.assert_allclose(np.asarray(out.T[0]), np.asarray(expected),
                                atol=1e-12)
 
 

@@ -76,11 +76,11 @@ def main():
     bench_fn("deskew 8192", lambda p: DS.deskew_constant_twist(
         p, scan.point_stamps, scan.point_weights, scan.scan_start,
         scan.scan_end, jnp.zeros(6, f), time_warp_sigma_frac=0.1,
-        eps_mass=1e-12)[0], scan.points)
+        eps_mass=1e-12)[0], scan.points.T)
 
     # surfels
     bench_fn("surfels 8192->1024", lambda p: SF.extract_surfels(
-        p, scan.point_weights, cfg)[0]["Lambdas"], scan.points)
+        p, scan.point_weights, cfg)[0]["Lambdas"], scan.points.T)
 
     # atlas ops
     atlas = state.atlas
@@ -93,7 +93,7 @@ def main():
     bench_fn("atlas.extract_view", lambda a: A.extract_view(a, slots, cfg).positions, atlas)
     view = A.extract_view(atlas, slots, cfg)
 
-    surf, _ = SF.extract_surfels(scan.points, scan.point_weights, cfg)
+    surf, _ = SF.extract_surfels(scan.points.T, scan.point_weights, cfg)
     batch = MB.with_lidar_surfels(MB.empty_batch(cfg), cfg,
                                   **{k: surf[k] for k in
                                      ("Lambdas", "thetas", "etas", "weights", "valid")})
