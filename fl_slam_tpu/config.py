@@ -230,7 +230,11 @@ class GCConfig:
     surfel_max_occupants: int = 32
 
     # ---- map / atlas (constants.py:382-489) ----------------------------------
-    m_tile: int = 50000              # primitive capacity per tile
+    # Primitive capacity per tile. 50176 = 49 * 1024: >= the reference's
+    # 50,000 budget AND divisible by 8*128, which tile-aligns the resident-
+    # slab DMA blocks (structures/atlas_kernels.py needs M % 128 == 0 for
+    # fdata and (8, M/8) with M/8 % 128 == 0 for the prim-id view).
+    m_tile: int = 50176
     n_tiles_pool: int = 64           # fixed tile-pool size (device array axis)
     # Tile size must cover the sensor range: the active hex disk (radius
     # r_active_xy) is where surfels can be inserted and associated. The

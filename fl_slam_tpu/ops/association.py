@@ -48,6 +48,7 @@ class AssociationResult(NamedTuple):
     cand_valid: jnp.ndarray        # (N, K) bool
     row_masses: jnp.ndarray        # (N,) sum_k pi
     cost: jnp.ndarray              # (N, K) selected candidate costs
+    cand_packed: jnp.ndarray       # (N, K, 17) gathered view.packed rows
 
 
 def _log_sinh_ratio(k, eps):
@@ -109,8 +110,11 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
         cand_view_idx = jnp.pad(cand_view_idx, ((0, 0), (0, K - k_eff)))
     C = -neg_cost                                              # (N, K)
     cand_view_idx = cand_view_idx.astype(jnp.int32)
-    cand_valid = view.valid[cand_view_idx] & (C < 0.5 * COST_INVALID)
-    cand_slab_idx = view.slab_idx[cand_view_idx]
+    # ONE gather of all per-candidate fields (see MapView.packed).
+    N = meas_pos.shape[0]
+    cand_packed = view.packed[cand_view_idx.reshape(-1)].reshape(N, K, -1)
+    cand_valid = (cand_packed[..., 14] > 0.5) & (C < 0.5 * COST_INVALID)
+    cand_slab_idx = cand_packed[..., 16].astype(jnp.int32)
 
     # NOTE: the reference subtracts the per-row minimum cost here
     # (cost_subtract_row_min=True). That destroys absolute cost semantics:
@@ -189,6 +193,7 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
         cand_valid=cand_valid,
         row_masses=row_masses,
         cost=C,
+        cand_packed=cand_packed,
     )
     return result, certs
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from fl_slam_tpu.config import D_Z, IDX_ROT, IDX_TRANS
 from fl_slam_tpu.core import se3
+from fl_slam_tpu.core.linalg import sym6_to_mat33
 from fl_slam_tpu.ops.association import AssociationResult
 from fl_slam_tpu.structures.atlas import MapView
 
@@ -36,11 +37,11 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     """Returns (L (22,22), h (22,), certs). All inputs world-frame at z_lin."""
     dt = meas_pos_w.dtype
     pi = assoc.responsibilities * meas_valid[:, None].astype(dt)
-    idx = assoc.cand_view_idx                                   # (N, K)
+    cp = assoc.cand_packed                                      # (N, K, 17)
 
-    map_pos = view.positions[idx]                               # (N, K, 3)
-    map_dir = view.directions[idx]
-    map_kap = view.kappas[idx]
+    map_pos = cp[..., 0:3]                                      # (N, K, 3)
+    map_dir = cp[..., 3:6]
+    map_kap = cp[..., 6]
 
     # ---- translation WLS (soft point-to-plane) -------------------------------
     # Pair residual d = map_center - point. Its in-plane component is NOT pose
@@ -57,14 +58,9 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     # precisions this weighting exists for, trace ~= lambda_max (the normal
     # eigenvalue dominates), and the trace avoids a V-sized eigen sweep in
     # the hot loop.
-    lam_max = (view.Lambdas[:, 0, 0] + view.Lambdas[:, 1, 1]
-               + view.Lambdas[:, 2, 2])                         # (V,)
-    shape_hat = view.Lambdas / jnp.maximum(lam_max, cfg.eps_lift)[:, None, None]
-    f = cfg.p2p_shape_floor
-    shape_hat = ((1.0 - f) * shape_hat
-                 + f * jnp.eye(3, dtype=dt) * (lam_max > cfg.eps_lift
-                                               )[:, None, None].astype(dt))
-    shape_nk = shape_hat[idx]                                   # (N, K, 3, 3)
+    # Normalized+floored shape precision, precomputed into the packed view
+    # matrix at extraction time (structures/atlas.py slab_extract_view).
+    shape_nk = sym6_to_mat33(cp[..., 7:13])                     # (N, K, 3, 3)
     s_meas = (jnp.trace(meas_prec_w, axis1=-2, axis2=-1) / 3.0)  # (N,)
     W = pi * s_meas[:, None]                                    # (N, K)
     L_t_w = jnp.einsum("nk,nkij->ij", W, shape_nk)

@@ -74,6 +74,7 @@ from fl_slam_tpu.ops import recompose as recompose_ops
 from fl_slam_tpu.ops import surfels as surfel_ops
 from fl_slam_tpu.ops.visual_evidence import visual_pose_evidence
 from fl_slam_tpu.structures import atlas as atlas_ops
+from fl_slam_tpu.structures import atlas_kernels
 from fl_slam_tpu.structures import measurement_batch as mb
 
 
@@ -403,35 +404,27 @@ def process_scan(state: PipelineState, scan: ScanInput,
     active_keys = stencil_tile_keys(q, r, z, offs)
 
     # Resident-slab refresh: the active tiles' slabs live in the carry and
-    # only move when the tile set changes (every ~15-20 scans). The pool must
-    # NOT be a lax.cond operand (the conditional boundary forces a full-pool
-    # copy, profiled 1.24 ms + 1.46 ms of cond machinery per scan), so:
-    #   1. the flush is an ALWAYS-executed drop-mode scatter whose rows point
-    #      out of bounds when the set is unchanged (in-place, ~no-op);
-    #   2. the directory update (activate_tiles) runs unconditionally — with
-    #      an unchanged set every key is found and it is idempotent;
-    #   3. only the regather of the (small) slab working set runs under cond.
+    # only move when the tile set changes (every ~15-20 scans). The
+    # reconciliation is a PREDICATED-DMA Pallas kernel with the pool and
+    # slabs aliased in place (structures/atlas_kernels.py): XLA cannot
+    # express a conditional no-op on a 358 MB buffer — a drop-mode scatter
+    # still costs ~400 us/scan and a lax.cond on the pool copies it wholly.
+    # The directory update (activate_tiles) runs unconditionally — with an
+    # unchanged set every key is found and it is idempotent.
     refresh = ~jnp.all(active_keys == state.slab_keys)
-    P_pool = cfg.n_tiles_pool
     touch = state.atlas.tile_touch_seq.at[state.slab_slots].set(seq)
-    slots_put = jnp.where(refresh, state.slab_slots, jnp.int32(P_pool))
-    atlas = state.atlas._replace(
-        tile_touch_seq=touch,
-        fdata=state.atlas.fdata.at[slots_put].set(
-            state.slabs.fdata, mode="drop"),
-        prim_ids=state.atlas.prim_ids.at[slots_put].set(
-            state.slabs.prim_ids, mode="drop"),
-        next_prim_id=state.slabs.next_prim_id)
+    atlas = state.atlas._replace(tile_touch_seq=touch,
+                                 next_prim_id=state.slabs.next_prim_id)
     atlas, slots, fresh_mask, c = atlas_ops.activate_tiles(atlas, active_keys,
                                                            seq)
     certs.update(c)
-
-    def _regather(_):
-        sl = atlas_ops.gather_slabs(atlas, slots)
-        return atlas_ops.slab_clear_fresh(sl, fresh_mask)
-
-    slabs = jax.lax.cond(refresh, _regather, lambda _: state.slabs, None)
-    slabs, c = atlas_ops.slab_recency_inflate(slabs, seq, cfg)
+    pool_f, pool_p, slab_f, slab_p = atlas_kernels.conditional_slab_exchange(
+        atlas.fdata, atlas.prim_ids, state.slabs.fdata, state.slabs.prim_ids,
+        state.slab_slots, slots, refresh)
+    atlas = atlas._replace(fdata=pool_f, prim_ids=pool_p)
+    slabs = atlas_ops.Slabs(fdata=slab_f, prim_ids=slab_p,
+                            next_prim_id=state.slabs.next_prim_id)
+    slabs, c = atlas_ops.slab_inflate_and_clear(slabs, fresh_mask, seq, cfg)
     certs.update(c)
     view = atlas_ops.slab_extract_view(slabs, cfg)
 
@@ -458,7 +451,7 @@ def process_scan(state: PipelineState, scan: ScanInput,
     certs["visual.implied_drot_norm"] = jnp.linalg.norm(dz_vis_rel[3:6])
 
     # LiDAR measurement-noise IW suffstats from weighted residuals.
-    map_pos_cand = view.positions[assoc.cand_view_idx]
+    map_pos_cand = assoc.cand_packed[..., 0:3]
     r_lidar = jnp.einsum("nk,nki->ni", assoc.responsibilities,
                          map_pos_cand - mu_w[:, None, :])
     row_m = jnp.maximum(assoc.row_masses, cfg.eps_mass)

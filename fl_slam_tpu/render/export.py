@@ -25,7 +25,7 @@ def atlas_to_arrays(atlas, cfg):
     the = flat(dense_thetas(atlas))[v]
     Sig = np.asarray(inv3x3(jnp.asarray(Lam), cfg.eps_lift))
     mu = np.einsum("nij,nj->ni", Sig, the)
-    etas = flat(dense_etas(atlas))[v]
+    etas = flat(dense_etas(atlas, cfg.vmf_n_lobes))[v]
     return {
         "positions": mu,
         "covariances": Sig,

@@ -30,18 +30,21 @@ TPU layout discipline (profiled, three times):
      gather of (CF,) windows. M stays minor-most: a small minor dim would
      make the (8, 128) tiler pad it (42x bandwidth blowup for (P, M, 3, 3)).
 
-Field layout along ``CF`` (CF = 19 + 3B rows; B = vMF lobes):
-  rows [0, 6)           lam6     packed symmetric precision (xx,xy,xz,yy,yz,zz)
-  rows [6, 9)           theta    information mean
-  rows [9, 9+3B)        eta      vMF naturals, lobe-major
-  rows [9+3B, 12+3B)    rgb_acc  camera-color accumulator
-  row  o+0 (o = 12+3B)  weights
-  row  o+1              cam_mass
-  row  o+2              lidar_mass
-  row  o+3              rgb_denom
-  row  o+4              created_seq    (float; exact for seq < 2^24)
-  row  o+5              last_supported (float; exact for seq < 2^24)
-  row  o+6              valid          (float 0.0/1.0)
+Field layout along ``CF`` (fixed offsets; CF = 19 + 3B rounded up to a
+multiple of 8 — Mosaic DMA requires slab blocks tile-aligned on the sublane
+dim, and fixed offsets keep every accessor independent of the lobe count):
+  rows [0, 6)     lam6     packed symmetric precision (xx,xy,xz,yy,yz,zz)
+  rows [6, 9)     theta    information mean
+  rows [9, 12)    rgb_acc  camera-color accumulator
+  row  12         weights
+  row  13         cam_mass
+  row  14         lidar_mass
+  row  15         rgb_denom
+  row  16         created_seq    (float; exact for seq < 2^24)
+  row  17         last_supported (float; exact for seq < 2^24)
+  row  18         valid          (float 0.0/1.0)
+  rows [19, 19+3B) eta     vMF naturals, lobe-major
+  rows [19+3B, CF) zero pad (tile alignment)
 ``prim_ids`` (int32; ~4.6M-scan headroom at the production insert budget)
 stays a separate array. Resolved rgb is DERIVED from the
 accumulators on read (the reference stores and recomputes it every fuse,
@@ -75,17 +78,15 @@ from fl_slam_tpu.structures.measurement_batch import MeasurementBatch
 EMPTY_KEY = jnp.int64(-1)
 _GRAY = (0.5, 0.5, 0.5)
 
-# Fixed scalar-row offsets relative to o = 12 + 3B (see module docstring).
+# Fixed row offsets (see module docstring).
+_O_SCAL = 12
 _ROW_W, _ROW_CM, _ROW_LM, _ROW_RD, _ROW_CS, _ROW_LS, _ROW_V = range(7)
-_N_SCALAR_ROWS = 7
+_O_ETA = 19
 
 
-def _n_lobes(cf: int) -> int:
-    return (cf - 12 - _N_SCALAR_ROWS) // 3
-
-
-def _scalar_base(cf: int) -> int:
-    return 12 + 3 * _n_lobes(cf)
+def _cf_padded(n_lobes: int) -> int:
+    cf = _O_ETA + 3 * n_lobes
+    return ((cf + 7) // 8) * 8
 
 
 class _FieldView:
@@ -93,10 +94,6 @@ class _FieldView:
     axis S transparently). Block fields are returned component-major
     ``(C, A, M)`` (moveaxis view) for the dense helpers; scalar rows are
     ``(A, M)``. Views, not copies, until sliced."""
-
-    @property
-    def _o(self):
-        return _scalar_base(self.fdata.shape[1])
 
     @property
     def lam6(self):
@@ -107,40 +104,39 @@ class _FieldView:
         return jnp.moveaxis(self.fdata[:, 6:9], 1, 0)
 
     @property
-    def eta(self):
-        return jnp.moveaxis(self.fdata[:, 9:self._o - 3], 1, 0)
-
-    @property
     def rgb_acc(self):
-        return jnp.moveaxis(self.fdata[:, self._o - 3:self._o], 1, 0)
+        return jnp.moveaxis(self.fdata[:, 9:12], 1, 0)
 
     @property
     def weights(self):
-        return self.fdata[:, self._o + _ROW_W]
+        return self.fdata[:, _O_SCAL + _ROW_W]
 
     @property
     def cam_mass(self):
-        return self.fdata[:, self._o + _ROW_CM]
+        return self.fdata[:, _O_SCAL + _ROW_CM]
 
     @property
     def lidar_mass(self):
-        return self.fdata[:, self._o + _ROW_LM]
+        return self.fdata[:, _O_SCAL + _ROW_LM]
 
     @property
     def rgb_denom(self):
-        return self.fdata[:, self._o + _ROW_RD]
+        return self.fdata[:, _O_SCAL + _ROW_RD]
 
     @property
     def created_seq(self):
-        return self.fdata[:, self._o + _ROW_CS].astype(jnp.int32)
+        return self.fdata[:, _O_SCAL + _ROW_CS].astype(jnp.int32)
 
     @property
     def last_supported(self):
-        return self.fdata[:, self._o + _ROW_LS].astype(jnp.int32)
+        return self.fdata[:, _O_SCAL + _ROW_LS].astype(jnp.int32)
 
     @property
     def valid(self):
-        return self.fdata[:, self._o + _ROW_V] > 0.5
+        return self.fdata[:, _O_SCAL + _ROW_V] > 0.5
+
+    def etas_planes(self, n_lobes: int):
+        return jnp.moveaxis(self.fdata[:, _O_ETA:_O_ETA + 3 * n_lobes], 1, 0)
 
 
 class AtlasMap(NamedTuple("AtlasMapBase", [
@@ -180,6 +176,8 @@ class MapView(NamedTuple):
     last_supported: jnp.ndarray  # (V,) int32
     prim_ids: jnp.ndarray        # (V,) int32
     slab_idx: jnp.ndarray        # (V,) int32 flat index s*M + m into slabs
+    packed: jnp.ndarray          # (V, 17) fused candidate matrix (see
+                                 #   slab_extract_view for the column map)
 
 
 def _pair_gather(fd: jnp.ndarray, s_idx: jnp.ndarray, m_idx: jnp.ndarray):
@@ -200,8 +198,8 @@ def dense_thetas(x):
     return jnp.moveaxis(x.theta, 0, -1)                      # (A, M, 3)
 
 
-def dense_etas(x):
-    e = jnp.moveaxis(x.eta, 0, -1)                           # (A, M, B*3)
+def dense_etas(x, n_lobes: int):
+    e = jnp.moveaxis(x.etas_planes(n_lobes), 0, -1)          # (A, M, B*3)
     return e.reshape(e.shape[:-1] + (e.shape[-1] // 3, 3))   # (A, M, B, 3)
 
 
@@ -218,10 +216,10 @@ def dense_rgb(x, eps_mass: float = 1e-12):
 def empty_atlas(cfg: GCConfig) -> AtlasMap:
     P, M, B = cfg.n_tiles_pool, cfg.m_tile, cfg.vmf_n_lobes
     dt = cfg.jdtype
-    cf = 12 + 3 * B + _N_SCALAR_ROWS
-    o = 12 + 3 * B
+    cf = _cf_padded(B)
     fdata = jnp.zeros((P, cf, M), dtype=dt)
-    fdata = fdata.at[:, o + _ROW_CS].set(-1.0).at[:, o + _ROW_LS].set(-1.0)
+    fdata = (fdata.at[:, _O_SCAL + _ROW_CS].set(-1.0)
+                  .at[:, _O_SCAL + _ROW_LS].set(-1.0))
     return AtlasMap(
         tile_keys=jnp.full((P,), -1, dtype=jnp.int64),
         tile_touch_seq=jnp.full((P,), -1, dtype=jnp.int32),
@@ -311,10 +309,11 @@ def activate_tiles(atlas: AtlasMap, keys: jnp.ndarray,
 
 
 def slab_clear_fresh(sl: Slabs, fresh: jnp.ndarray) -> Slabs:
-    """Clear freshly allocated/evicted slabs (dense pass on 3 scalar rows;
-    weights + validity + last_supported suffice: all readers mask)."""
+    """Clear freshly allocated/evicted slabs (weights + validity +
+    last_supported suffice: all readers mask). Standalone variant for tests;
+    the pipeline folds the clear into ``slab_inflate_and_clear``."""
     fd = sl.fdata
-    o = _scalar_base(fd.shape[1])
+    o = _O_SCAL
     m = fresh[:, None]
     fd = fd.at[:, o + _ROW_W].set(jnp.where(m, 0.0, fd[:, o + _ROW_W]))
     fd = fd.at[:, o + _ROW_LS].set(jnp.where(m, -1.0, fd[:, o + _ROW_LS]))
@@ -327,19 +326,46 @@ def slab_clear_fresh(sl: Slabs, fresh: jnp.ndarray) -> Slabs:
 # ---------------------------------------------------------------------------
 
 def slab_recency_inflate(sl: Slabs, scan_seq, cfg: GCConfig):
-    """Downscale precision of stale primitives (decay = clip(exp(-lambda dt),
-    min_scale, 1)); scales Lambda AND theta together (mean-preserving)."""
+    """Downscale precision of stale primitives (standalone variant; the
+    pipeline uses the fused ``slab_inflate_and_clear``)."""
+    return slab_inflate_and_clear(
+        sl, jnp.zeros((sl.fdata.shape[0],), bool), scan_seq, cfg)
+
+
+def slab_inflate_and_clear(sl: Slabs, fresh: jnp.ndarray, scan_seq,
+                           cfg: GCConfig):
+    """ONE fused elementwise pass doing both per-scan dense slab rewrites:
+      - fresh-slab clear: weights -> 0, last_supported -> -1, valid -> 0
+        (no-op mask on unchanged tile sets);
+      - recency inflation: scale lam6+theta rows of stale valid primitives by
+        clip(exp(-lambda * staleness), min_scale, 1), mean-preserving
+        (parity: primitive_map_recency_inflate, :1400-1484).
+    Expressed as ``fd * A + B`` with broadcast row masks: separate row
+    updates each lowered to a dynamic-update-slice plus layout copies
+    (profiled 4 x ~80 us/scan); the fused form is one ~45 MB read+write.
+    """
     fd = sl.fdata
     dt = fd.dtype
-    o = _scalar_base(fd.shape[1])
+    S, cf, M = fd.shape
+    o = _O_SCAL
     seqf = jnp.asarray(scan_seq, dtype=dt)
-    vmask = fd[:, o + _ROW_V] > 0.5                          # (S, M)
+    # Clear-before-inflate order: fresh slabs are invalid by definition.
+    vmask = (fd[:, o + _ROW_V] > 0.5) & ~fresh[:, None]      # (S, M)
     ds = jnp.maximum(seqf - fd[:, o + _ROW_LS], 0.0)
     decay = jnp.clip(jnp.exp(-cfg.recency_decay_lambda * ds),
                      cfg.recency_min_scale, 1.0)
     decay = jnp.where(vmask, decay, 1.0)
-    fd = fd.at[:, 0:9].multiply(decay[:, None, :])           # lam6 + theta
-    sl = sl._replace(fdata=fd)
+
+    row = jnp.arange(cf, dtype=jnp.int32)[None, :, None]     # (1, CF, 1)
+    is_block = row < 9                                       # lam6 + theta
+    is_clear = ((row == o + _ROW_W) | (row == o + _ROW_LS)
+                | (row == o + _ROW_V))
+    fr = fresh[:, None, None]                                # (S, 1, 1)
+    A = jnp.where(is_block, decay[:, None, :], 1.0)
+    A = jnp.where(is_clear & fr, 0.0, A)
+    B = jnp.where((row == o + _ROW_LS) & fr, jnp.asarray(-1.0, dt), 0.0)
+    sl = sl._replace(fdata=fd * A + B)
+
     n_valid = jnp.maximum(jnp.sum(vmask.astype(dt)), 1.0)
     certs = {
         "map.staleness_downscale_total": jnp.sum((1.0 - decay) * vmask),
@@ -367,7 +393,7 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     """
     fd = sl.fdata
     S, cf, M = fd.shape
-    o = _scalar_base(cf)
+    o = _O_SCAL
     V = cfg.m_tile_view
     dt = fd.dtype
     neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
@@ -388,7 +414,7 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     g = _pair_gather(fd, s_idx, m_idx)                       # (V', CF)
     Lam = sym6_to_mat33(g[:, 0:6])                           # (V', 3, 3)
     the = g[:, 6:9]                                          # (V', 3)
-    eta0 = g[:, 9:12]                                        # (V', 3) lobe 0
+    eta0 = g[:, _O_ETA:_O_ETA + 3]                           # (V', 3) lobe 0
     wv = g[:, o + _ROW_W]
     val = g[:, o + _ROW_V] > 0.5
     if k < V:
@@ -399,12 +425,37 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     ez = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=dt), eta0.shape)
     dirs = jnp.where(kap[:, None] > cfg.eps_mass,
                      eta0 / jnp.maximum(kap[:, None], cfg.eps_mass), ez)
+
+    # Normalized shape precision for soft point-to-plane weighting (see
+    # visual_evidence): Lambda / tr(Lambda) blended toward I by the floor.
+    # Precomputed HERE so candidate consumers read it from the packed matrix.
+    lam6 = g[:, 0:6]
+    tr = lam6[:, 0] + lam6[:, 3] + lam6[:, 5]
+    shape6 = lam6 / jnp.maximum(tr, cfg.eps_lift)[:, None]
+    f = cfg.p2p_shape_floor
+    eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], dtype=dt)[None, :]
+    has = (tr > cfg.eps_lift)[:, None].astype(dt)
+    shape6 = (1.0 - f) * shape6 + f * eye6 * has
+
+    # Packed per-candidate matrix: downstream consumers (association top-K,
+    # visual evidence, lidar-IW residuals, fuse targeting) gather candidate
+    # rows ONCE from this instead of one row-serialized gather per field
+    # (profiled ~100 us per 12288-row gather pass).
+    # cols: 0:3 pos | 3:6 dir | 6 kappa | 7:13 shape6 | 13 weight
+    #       14 valid | 15 last_supported | 16 slab_idx (exact < 2^24)
+    slab_idx = (s_idx * M + m_idx).astype(jnp.int32)
+    packed = jnp.concatenate([
+        pos, dirs, kap[:, None], shape6, wv[:, None],
+        val.astype(dt)[:, None], g[:, o + _ROW_LS][:, None],
+        slab_idx.astype(dt)[:, None],
+    ], axis=1)                                               # (V', 17)
     return MapView(
         positions=pos, Lambdas=Lam, directions=dirs, kappas=kap, weights=wv,
         valid=val,
         last_supported=g[:, o + _ROW_LS].astype(jnp.int32),
         prim_ids=sl.prim_ids[s_idx, m_idx],
-        slab_idx=(s_idx * M + m_idx).astype(jnp.int32),
+        slab_idx=slab_idx,
+        packed=packed,
     )
 
 
@@ -436,7 +487,7 @@ def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
     """
     fd = sl.fdata
     S, cf, M = fd.shape
-    o = _scalar_base(cf)
+    o = _O_SCAL
     dt = fd.dtype
     N, K = resp.shape
     V = view_slab_idx.shape[0]
@@ -447,10 +498,10 @@ def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
     is_lid = (batch_w.sources == 1).astype(dt)
     w = batch_w.weights
     col = jnp.clip(batch_w.colors, 0.0, 1.0)
+    n_pad = cf - _O_ETA - batch_w.etas.shape[1] * 3
     base = jnp.concatenate([
         mat33_to_sym6(batch_w.Lambdas),                      # (N, 6)
         batch_w.thetas,                                      # (N, 3)
-        batch_w.etas.reshape(N, -1),                         # (N, 3B)
         (w * is_cam)[:, None] * col,                         # (N, 3) rgb_acc
         w[:, None],                                          # weights
         (w * is_cam)[:, None],                               # cam_mass
@@ -459,6 +510,8 @@ def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
         jnp.zeros((N, 1), dtype=dt),                         # created_seq
         jnp.ones((N, 1), dtype=dt),                          # LS support marker
         jnp.zeros((N, 1), dtype=dt),                         # valid
+        batch_w.etas.reshape(N, -1),                         # (N, 3B)
+        jnp.zeros((N, n_pad), dtype=dt),                     # tile-align pad
     ], axis=1)                                               # (N, CF)
     vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 
@@ -499,7 +552,7 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     """
     fd = sl.fdata
     S, cf, M = fd.shape
-    o = _scalar_base(cf)
+    o = _O_SCAL
     dt = fd.dtype
     K = cfg.k_insert
     seqf = jnp.asarray(scan_seq, dtype=dt)
@@ -534,13 +587,15 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     lid_m = w_new * (1.0 - is_cam)
     SK = gi.shape[0]
     ones = jnp.ones((SK, 1), dtype=dt)
+    n_pad = cf - _O_ETA - batch_w.etas.shape[1] * 3
     vals = jnp.concatenate([
         mat33_to_sym6(batch_w.Lambdas[gi]),                  # (SK, 6)
         batch_w.thetas[gi],                                  # (SK, 3)
-        batch_w.etas[gi].reshape(SK, -1),                    # (SK, 3B)
         cam_m[:, None] * col_new,                            # (SK, 3) rgb_acc
         w_new[:, None], cam_m[:, None], lid_m[:, None], cam_m[:, None],
         seqf * ones, seqf * ones, ones,                      # created/ls/valid
+        batch_w.etas[gi].reshape(SK, -1),                    # (SK, 3B)
+        jnp.zeros((SK, n_pad), dtype=dt),                    # tile-align pad
     ], axis=1)                                               # (SK, CF)
 
     # Drop-mode pair scatter: rows not inserting point the MAJOR index out of
@@ -569,7 +624,7 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
 def slab_cull(sl: Slabs, cfg: GCConfig):
     """Invalidate primitives with weight below threshold."""
     fd = sl.fdata
-    o = _scalar_base(fd.shape[1])
+    o = _O_SCAL
     dt = fd.dtype
     w = fd[:, o + _ROW_W]
     v = fd[:, o + _ROW_V]
@@ -586,7 +641,7 @@ def slab_cull(sl: Slabs, cfg: GCConfig):
 def slab_forget(sl: Slabs, cfg: GCConfig) -> Slabs:
     """weights *= gamma (continuous forgetting, every scan)."""
     fd = sl.fdata
-    o = _scalar_base(fd.shape[1])
+    o = _O_SCAL
     return sl._replace(
         fdata=fd.at[:, o + _ROW_W].multiply(cfg.forgetting_factor))
 
@@ -608,14 +663,14 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
         return sl, {"map.merged_pairs": jnp.zeros((), sl.fdata.dtype)}
     fd = sl.fdata
     S, cf, M = fd.shape
-    o = _scalar_base(cf)
+    o = _O_SCAL
     Sm = min(cfg.merge_max_tile, M)
     P = cfg.k_merge_pairs
     dt = fd.dtype
     eps_lift = cfg.eps_lift
     eps_psd = cfg.eps_psd
     thr = cfg.merge_threshold
-    nB3 = o - 12                                             # 3B
+    nB3 = 3 * cfg.vmf_n_lobes
 
     # Top-Sm-by-weight subset per tile, fetched with ONE pair gather.
     w_all = fd[:, o + _ROW_W]
@@ -630,8 +685,8 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
         # gt (Sm, CF): one tile's top-by-weight rows.
         Lam = sym6_to_mat33(gt[:, 0:6])                      # (Sm, 3, 3)
         the = gt[:, 6:9]
-        eta = gt[:, 9:9 + nB3]                               # (Sm, 3B)
-        ra = gt[:, o - 3:o]                                  # (Sm, 3)
+        eta = gt[:, _O_ETA:_O_ETA + nB3]                     # (Sm, 3B)
+        ra = gt[:, 9:12]                                     # (Sm, 3)
         w = gt[:, o + _ROW_W]
         v = gt[:, o + _ROW_V] > 0.5
         cm = gt[:, o + _ROW_CM]
@@ -710,10 +765,12 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
             0, P, body, init)
         # Reassemble the fused-field row block (Sm, CF) for write-back;
         # created_seq / last_supported pass through unchanged.
+        n_pad = cf - _O_ETA - nB3
         out = jnp.concatenate([
-            mat33_to_sym6(Lam), the, eta, ra,
+            mat33_to_sym6(Lam), the, ra,
             w[:, None], cm[:, None], lm[:, None], rd[:, None],
             cs_k[:, None], ls_k[:, None], v.astype(dt)[:, None],
+            eta, jnp.zeros((eta.shape[0], n_pad), dtype=dt),
         ], axis=1)                                           # (Sm, CF)
         return out, n_merged
 

@@ -1,0 +1,129 @@
+"""Pallas TPU kernels for the resident-slab atlas (see structures/atlas.py).
+
+``conditional_slab_exchange`` performs the per-scan pool<->slab reconciliation
+as PREDICATED DMA: when the active tile set is unchanged (the common case,
+~19 of 20 scans) the kernel is a ~us no-op; on a tile-set change it flushes
+the outgoing slabs to their pool slots and gathers the incoming ones, HBM to
+HBM, with the pool and slab buffers aliased in place.
+
+Why a kernel: the XLA formulation (drop-mode scatter + lax.cond regather)
+cannot express "do nothing to this 358 MB buffer" cheaply — the scatter
+lowers to a while loop that costs ~200 us/scan even when every row drops,
+the prim-id scatter another ~190 us, and a lax.cond with the pool as an
+operand forces a full-pool copy (profiled 1.24 ms). Predicated DMA with
+input_output_aliasing is exactly the missing primitive.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _exchange_kernel(S: int, refresh_ref, oslots_ref, nslots_ref,
+                     pool_f_in, pool_p_in, slab_f_in, slab_p_in,
+                     pool_f, pool_p, slab_f, slab_p, sem):
+    """Grid (). Aliased: pool_f_in IS pool_f, etc. All refs live in HBM/ANY;
+    blocks move by async copy only."""
+
+    i32 = jnp.int32
+
+    @pl.when(refresh_ref[i32(0)] != 0)
+    def _():
+        def oslot(s):
+            return oslots_ref[i32(s)].astype(jnp.int32)
+
+        def nslot(s):
+            return nslots_ref[i32(s)].astype(jnp.int32)
+
+        # Flush: outgoing slab s -> pool slot oslots[s]. All S copies in
+        # flight together, then one barrier wait.
+        for s in range(S):
+            pltpu.make_async_copy(
+                slab_f.at[jnp.int32(s)], pool_f.at[oslot(s)], sem.at[jnp.int32(0), jnp.int32(s)]).start()
+            pltpu.make_async_copy(
+                slab_p.at[jnp.int32(s)], pool_p.at[oslot(s)], sem.at[jnp.int32(1), jnp.int32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(
+                slab_f.at[jnp.int32(s)], pool_f.at[oslot(s)], sem.at[jnp.int32(0), jnp.int32(s)]).wait()
+            pltpu.make_async_copy(
+                slab_p.at[jnp.int32(s)], pool_p.at[oslot(s)], sem.at[jnp.int32(1), jnp.int32(s)]).wait()
+        # Gather: pool slot nslots[s] -> slab s (sequenced after the flush so
+        # slots shared between the outgoing and incoming sets read the
+        # just-flushed state).
+        for s in range(S):
+            pltpu.make_async_copy(
+                pool_f.at[nslot(s)], slab_f.at[jnp.int32(s)], sem.at[jnp.int32(0), jnp.int32(s)]).start()
+            pltpu.make_async_copy(
+                pool_p.at[nslot(s)], slab_p.at[jnp.int32(s)], sem.at[jnp.int32(1), jnp.int32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(
+                pool_f.at[nslot(s)], slab_f.at[jnp.int32(s)], sem.at[jnp.int32(0), jnp.int32(s)]).wait()
+            pltpu.make_async_copy(
+                pool_p.at[nslot(s)], slab_p.at[jnp.int32(s)], sem.at[jnp.int32(1), jnp.int32(s)]).wait()
+
+
+def _exchange_tpu(pool_f, pool_p, slab_f, slab_p, old_slots, new_slots,
+                  refresh):
+    S = slab_f.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,              # refresh, old_slots, new_slots
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2, S))],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(pool_f.shape, pool_f.dtype),
+        jax.ShapeDtypeStruct(pool_p.shape, pool_p.dtype),
+        jax.ShapeDtypeStruct(slab_f.shape, slab_f.dtype),
+        jax.ShapeDtypeStruct(slab_p.shape, slab_p.dtype),
+    ]
+    return pl.pallas_call(
+        functools.partial(_exchange_kernel, S),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # tensor input index -> output index (scalar-prefetch args included
+        # in the input numbering: 0..2 are scalars, 3..6 the tensors).
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(refresh, old_slots, new_slots, pool_f, pool_p, slab_f, slab_p)
+
+
+def conditional_slab_exchange(pool_f, pool_p, slab_f, slab_p, old_slots,
+                              new_slots, refresh):
+    """Predicated pool<->slab exchange. refresh () int32: 0 = no-op.
+
+    Returns (pool_f, pool_p, slab_f, slab_p) — in-place on TPU.
+    """
+    P, CF, M = pool_f.shape
+    aligned = (M % 1024 == 0) and (CF % 8 == 0)
+    if jax.default_backend() == "tpu" and aligned:
+        S = slab_f.shape[0]
+        # prim_ids as an (.., 8, M/8) view so its DMA blocks tile-align.
+        pf, pp, sf, sp = _exchange_tpu(
+            pool_f, pool_p.reshape(P, 8, M // 8),
+            slab_f, slab_p.reshape(S, 8, M // 8),
+            old_slots.astype(jnp.int32), new_slots.astype(jnp.int32),
+            jnp.asarray(refresh, jnp.int32).reshape(1))
+        return pf, pp.reshape(P, M), sf, sp.reshape(S, M)
+    # Portable fallback (CPU tests / interpret-free): drop-mode scatter flush
+    # + cond regather. Semantically identical.
+    P = pool_f.shape[0]
+    r = jnp.asarray(refresh, jnp.int32).reshape(())
+    slots_put = jnp.where(r != 0, old_slots, jnp.int32(P))
+    pool_f = pool_f.at[slots_put].set(slab_f, mode="drop")
+    pool_p = pool_p.at[slots_put].set(slab_p, mode="drop")
+
+    def _regather(_):
+        return pool_f[new_slots], pool_p[new_slots]
+
+    def _keep(_):
+        return slab_f, slab_p
+
+    slab_f, slab_p = jax.lax.cond(r != 0, _regather, _keep, None)
+    return pool_f, pool_p, slab_f, slab_p
