@@ -278,6 +278,10 @@ class GCConfig:
     # eviction) so a ~5% tail miss is semantically benign. Exact top_k
     # remains the default for CPU parity tests.
     approx_topk: bool = False
+    # Use the Pallas predicated-DMA slab exchange (structures/atlas_kernels).
+    # Must be False on paths that vmap process_scan (batched replicas):
+    # pallas_call has no batching rule; the XLA fallback vmaps fine.
+    slab_dma_kernel: bool = True
 
     # ------------------------------------------------------------------
     @property

@@ -44,6 +44,10 @@ def batched_step(cfg: GCConfig, mesh: Mesh, axis: str = "inst",
     Returns a jitted fn(states, scans) -> (states', outputs) where every leaf
     of states/scans carries a leading instance axis laid out on the mesh.
     """
+    # pallas_call has no batching rule -> force the XLA slab-exchange path
+    # under the instance vmap.
+    cfg = cfg.replace(slab_dma_kernel=False)
+
     def step(states, scans):
         return jax.vmap(lambda s, sc: process_scan(s, sc, cfg))(states, scans)
 
@@ -58,6 +62,8 @@ def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
 
     scans: ScanInput with leading axes (n_instances, T, ...).
     """
+    cfg = cfg.replace(slab_dma_kernel=False)   # no pallas batching rule
+
     def run(states, scans):
         def one(state, scans_i):
             def body(carry, scan):

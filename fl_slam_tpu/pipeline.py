@@ -420,7 +420,7 @@ def process_scan(state: PipelineState, scan: ScanInput,
     certs.update(c)
     pool_f, pool_p, slab_f, slab_p = atlas_kernels.conditional_slab_exchange(
         atlas.fdata, atlas.prim_ids, state.slabs.fdata, state.slabs.prim_ids,
-        state.slab_slots, slots, refresh)
+        state.slab_slots, slots, refresh, use_kernel=cfg.slab_dma_kernel)
     atlas = atlas._replace(fdata=pool_f, prim_ids=pool_p)
     slabs = atlas_ops.Slabs(fdata=slab_f, prim_ids=slab_p,
                             next_prim_id=state.slabs.next_prim_id)

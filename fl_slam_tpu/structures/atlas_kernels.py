@@ -95,14 +95,14 @@ def _exchange_tpu(pool_f, pool_p, slab_f, slab_p, old_slots, new_slots,
 
 
 def conditional_slab_exchange(pool_f, pool_p, slab_f, slab_p, old_slots,
-                              new_slots, refresh):
+                              new_slots, refresh, use_kernel: bool = True):
     """Predicated pool<->slab exchange. refresh () int32: 0 = no-op.
 
     Returns (pool_f, pool_p, slab_f, slab_p) — in-place on TPU.
     """
     P, CF, M = pool_f.shape
     aligned = (M % 1024 == 0) and (CF % 8 == 0)
-    if jax.default_backend() == "tpu" and aligned:
+    if use_kernel and jax.default_backend() == "tpu" and aligned:
         S = slab_f.shape[0]
         # prim_ids as an (.., 8, M/8) view so its DMA blocks tile-align.
         pf, pp, sf, sp = _exchange_tpu(
