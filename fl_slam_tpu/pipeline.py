@@ -542,21 +542,25 @@ def process_scan(state: PipelineState, scan: ScanInput,
     # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
     z_t0 = z_t_k[0]
     batch_t = mb.transform_to_world(batch, z_t0, eps_lift=cfg.eps_lift)
-    slabs, c = atlas_ops.slab_fuse(slabs, batch_t, assoc.responsibilities,
-                                   assoc.cand_view_idx, assoc.cand_valid,
-                                   view.slab_idx, seq, cfg)
+    # The whole scatter phase runs on the col-major ff form: ONE transpose
+    # in, one out (see structures/atlas.py SlabsFF).
+    sff = atlas_ops.slabs_to_ff(slabs)
+    sff, c = atlas_ops.ff_fuse(sff, batch_t, assoc.responsibilities,
+                               assoc.cand_view_idx, assoc.cand_valid,
+                               view.slab_idx, seq, cfg)
     certs.update(c)
     nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
-    slabs, c = atlas_ops.slab_insert(slabs, batch_t, nov, meas_keys,
-                                     active_keys, seq, cfg)
+    sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys, active_keys,
+                                 seq, cfg)
     certs.update(c)
-    slabs, c = atlas_ops.slab_cull(slabs, cfg)
+    sff, c = atlas_ops.ff_cull(sff, cfg)
     certs.update(c)
-    slabs = atlas_ops.slab_forget(slabs, cfg)
-    slabs, c = atlas_ops.slab_merge_reduce(slabs, cfg)
+    sff = atlas_ops.ff_forget(sff, cfg)
+    sff, c = atlas_ops.ff_merge_reduce(sff, cfg.n_active_tiles, cfg)
     certs.update(c)
+    slabs = atlas_ops.slabs_from_ff(sff, cfg.n_active_tiles)
     # No scatter back: the slabs stay resident in the carry (flushed to the
     # pool by the next tile-set change or by flush_slabs at end of replay).
 

@@ -460,46 +460,51 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
 
 
 # ---------------------------------------------------------------------------
-# PoE fuse (parity: primitive_map_fuse, :992-1163) — ONE window scatter-add.
+# Scatter-phase ops (fuse / insert / cull / forget / merge) on the COL-MAJOR
+# form ``ff (CF, S*M)``. The three indexed write-backs in this phase all want
+# the component axis outer (column-window scatters); running them on the
+# row-major (S, CF, M) slabs made XLA materialize a layout-flip copy pair
+# around EVERY scatter (profiled ~675 us/scan of (7,32,50176) copies +
+# reshapes). The pipeline converts ONCE before fuse and ONCE after merge
+# (~50 us each); the dense passes in between (retention scores, cull,
+# forget, merge scores) are pure row operations that work in either form.
 # ---------------------------------------------------------------------------
 
-def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
-              cand_view_idx: jnp.ndarray, cand_valid: jnp.ndarray,
-              view_slab_idx: jnp.ndarray, scan_seq, cfg: GCConfig):
-    """Fuse world-frame measurements into candidates with responsibilities pi.
 
-    resp: (N, K); cand_view_idx: (N, K) rows into the extracted view;
-    cand_valid: (N, K); view_slab_idx: (V,) slab-flat index of each view row.
-    Lambda += pi*Lambda_m, theta += pi*theta_m, eta += pi*eta_m,
-    weight += pi*w_m; supported slots stamp ``last_supported = scan_seq``.
+class SlabsFF(NamedTuple):
+    """Col-major scatter-phase working set: ``ff (CF, S*M)``,
+    ``prim_ids (S*M,)`` (s-major flattening)."""
 
-    Every add-contribution is linear in the responsibility, so the update is
-    built as a per-measurement base row (N, CF) broadcast over K. It lands in
-    two stages, both single scatter passes (scatter cost on TPU is
-    row-serialized, ~50-60 ns per update row when the window is strided
-    across the non-minor axis): (1) accumulate the N*K candidate rows into a
-    COMPACT (V, CF) per-view-row delta whose windows are contiguous, then
-    (2) apply the V delta rows to the slab block. Stage 2 is the only
-    strided pass and runs at V rows instead of N*K (duplicated view rows of
-    the same slot add correctly). The last-supported stamp rides the same
-    scatters as a marker row (support mass lands in the LS row; a dense pass
-    then rewrites it as ``where(mass arrived, seq, previous)``).
-    """
-    fd = sl.fdata
-    S, cf, M = fd.shape
-    o = _O_SCAL
-    dt = fd.dtype
-    N, K = resp.shape
-    V = view_slab_idx.shape[0]
-    r = resp * batch_w.valid[:, None].astype(dt) * cand_valid.astype(dt)
-    rf = r.reshape(-1)
+    ff: jnp.ndarray
+    prim_ids: jnp.ndarray
+    next_prim_id: jnp.ndarray
 
-    is_cam = (batch_w.sources == 0).astype(dt)               # (N,)
+
+def slabs_to_ff(sl: Slabs) -> SlabsFF:
+    S, cf, M = sl.fdata.shape
+    return SlabsFF(ff=jnp.swapaxes(sl.fdata, 0, 1).reshape(cf, S * M),
+                   prim_ids=sl.prim_ids.reshape(S * M),
+                   next_prim_id=sl.next_prim_id)
+
+
+def slabs_from_ff(sf: SlabsFF, S: int) -> Slabs:
+    cf, SM = sf.ff.shape
+    M = SM // S
+    return Slabs(fdata=jnp.swapaxes(sf.ff.reshape(cf, S, M), 0, 1),
+                 prim_ids=sf.prim_ids.reshape(S, M),
+                 next_prim_id=sf.next_prim_id)
+
+
+def _fuse_base_rows(batch_w: MeasurementBatch, cf: int, dt):
+    """Per-measurement (N, CF) additive contribution rows in field order.
+    The LS row carries a support marker (see ff_fuse)."""
+    N = batch_w.weights.shape[0]
+    is_cam = (batch_w.sources == 0).astype(dt)
     is_lid = (batch_w.sources == 1).astype(dt)
     w = batch_w.weights
     col = jnp.clip(batch_w.colors, 0.0, 1.0)
     n_pad = cf - _O_ETA - batch_w.etas.shape[1] * 3
-    base = jnp.concatenate([
+    return jnp.concatenate([
         mat33_to_sym6(batch_w.Lambdas),                      # (N, 6)
         batch_w.thetas,                                      # (N, 3)
         (w * is_cam)[:, None] * col,                         # (N, 3) rgb_acc
@@ -513,51 +518,80 @@ def slab_fuse(sl: Slabs, batch_w: MeasurementBatch, resp: jnp.ndarray,
         batch_w.etas.reshape(N, -1),                         # (N, 3B)
         jnp.zeros((N, n_pad), dtype=dt),                     # tile-align pad
     ], axis=1)                                               # (N, CF)
+
+
+def ff_fuse(sf: SlabsFF, batch_w: MeasurementBatch, resp: jnp.ndarray,
+            cand_view_idx: jnp.ndarray, cand_valid: jnp.ndarray,
+            view_slab_idx: jnp.ndarray, scan_seq, cfg: GCConfig):
+    """PoE fuse (parity: primitive_map_fuse, :992-1163).
+
+    resp: (N, K); cand_view_idx: (N, K) rows into the extracted view;
+    cand_valid: (N, K); view_slab_idx: (V,) slab-flat index of each view row.
+    Lambda += pi*Lambda_m, theta += pi*theta_m, eta += pi*eta_m,
+    weight += pi*w_m; supported slots stamp ``last_supported = scan_seq``.
+
+    Every add-contribution is linear in the responsibility, so the update is
+    built as a per-measurement base row (N, CF) broadcast over K. It lands in
+    two stages, both single scatter passes: (1) accumulate the N*K candidate
+    rows into a COMPACT (V, CF) per-view-row delta with contiguous windows,
+    then (2) one column-window scatter of the V delta rows into ff
+    (duplicated view rows of the same slot add correctly). The
+    last-supported stamp rides the same scatters as a marker row (support
+    mass lands in the LS row; a dense pass then rewrites it as
+    ``where(mass arrived, seq, previous)``).
+    """
+    ff = sf.ff
+    cf = ff.shape[0]
+    o = _O_SCAL
+    dt = ff.dtype
+    N, K = resp.shape
+    V = view_slab_idx.shape[0]
+    r = resp * batch_w.valid[:, None].astype(dt) * cand_valid.astype(dt)
+    rf = r.reshape(-1)
+    w = batch_w.weights
+
+    base = _fuse_base_rows(batch_w, cf, dt)
     vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 
     # Stage 1: compact per-view-row accumulation (contiguous windows).
     delta = jnp.zeros((V, cf), dtype=dt)
     delta = delta.at[cand_view_idx.reshape(-1)].add(vals)
-    # Stage 2: apply to the slab block (strided windows, V rows). A Pallas
-    # VMEM-loop variant was tried and LOST to this scatter (~820 us vs ~390
-    # in-pipeline): the view's top-k indices are nearly sorted, which the
-    # XLA scatter exploits, while the kernel pays two in-VMEM transposes of
-    # the 6.4 MB block per tile.
-    s_i = view_slab_idx.astype(jnp.int32) // M
-    m_i = view_slab_idx.astype(jnp.int32) % M
-    ls_prev = fd[:, o + _ROW_LS]                             # (S, M)
-    fd = fd.at[s_i, :, m_i].add(delta)
+    # Stage 2: ONE column-window scatter (the view's top-k indices are nearly
+    # sorted, which the scatter exploits).
+    ls_prev = ff[o + _ROW_LS]
+    ff = ff.at[:, view_slab_idx.astype(jnp.int32)].add(delta.T)
 
     # Dense rewrite of the LS row: support mass arrived => stamp scan_seq.
     seqf = jnp.asarray(scan_seq, dtype=dt)
-    ls_tmp = fd[:, o + _ROW_LS]
-    fd = fd.at[:, o + _ROW_LS].set(jnp.where(ls_tmp > ls_prev, seqf, ls_prev))
+    ls_tmp = ff[o + _ROW_LS]
+    ff = ff.at[o + _ROW_LS].set(jnp.where(ls_tmp > ls_prev, seqf, ls_prev))
 
-    sl = sl._replace(fdata=fd)
     certs = {
         "map.fused_mass": jnp.sum(rf * jnp.repeat(w, K)),
         "map.fuse_resp_total": jnp.sum(rf),
     }
-    return sl, certs
+    return sf._replace(ff=ff), certs
 
 
 # ---------------------------------------------------------------------------
 # Novelty insertion (parity: pipeline.py:1329-1410 + insert_masked :807-981).
 # ---------------------------------------------------------------------------
 
-def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
-                meas_keys: jnp.ndarray, active_keys: jnp.ndarray, scan_seq,
-                cfg: GCConfig):
+def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
+              meas_keys: jnp.ndarray, active_keys: jnp.ndarray, scan_seq,
+              cfg: GCConfig):
     """Insert top-``k_insert`` novel measurements per active tile.
 
     novelty: (N,) = max(a - row_mass, 0) from unbalanced OT. Insert weight =
     novelty * meas weight. Eviction per tile: invalid slots first, then lowest
     retention = weight * exp(-lambda * staleness).
     """
-    fd = sl.fdata
-    S, cf, M = fd.shape
+    ff = sf.ff
+    cf, SM = ff.shape
+    S = active_keys.shape[0]
+    M = SM // S
     o = _O_SCAL
-    dt = fd.dtype
+    dt = ff.dtype
     K = cfg.k_insert
     seqf = jnp.asarray(scan_seq, dtype=dt)
 
@@ -570,91 +604,85 @@ def slab_insert(sl: Slabs, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     do_insert = jnp.take_along_axis(in_tile, ins_idx, axis=1) & (top_score > -1e20)
 
     # Eviction targets: K lowest-retention slots per active tile.
-    vmask = fd[:, o + _ROW_V] > 0.5
-    stale = jnp.maximum(seqf - fd[:, o + _ROW_LS], 0.0)
+    vmask = ff[o + _ROW_V].reshape(S, M) > 0.5
+    stale = jnp.maximum(seqf - ff[o + _ROW_LS].reshape(S, M), 0.0)
     retention = jnp.where(vmask,
-                          fd[:, o + _ROW_W] *
+                          ff[o + _ROW_W].reshape(S, M) *
                           jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)
     prefix = jnp.cumsum(do_f.astype(jnp.int32)) - 1
-    new_ids = jnp.where(do_f, sl.next_prim_id + prefix, jnp.int32(-1))
+    new_ids = jnp.where(do_f, sf.next_prim_id + prefix, jnp.int32(-1))
 
     gi = ins_idx.reshape(-1)                                 # (S*K,) meas rows
     w_new = (novelty[gi] * batch_w.weights[gi]).astype(dt)
     w_new = jnp.where(do_f, w_new, 0.0)
-    col_new = jnp.clip(batch_w.colors[gi], 0.0, 1.0)
-    is_cam = (batch_w.sources[gi] == 0).astype(dt)
-    cam_m = w_new * is_cam
-    lid_m = w_new * (1.0 - is_cam)
+    sub = _fuse_base_rows(
+        MeasurementBatch(
+            Lambdas=batch_w.Lambdas[gi], thetas=batch_w.thetas[gi],
+            etas=batch_w.etas[gi], weights=w_new,
+            valid=batch_w.valid[gi], sources=batch_w.sources[gi],
+            colors=batch_w.colors[gi]), cf, dt)              # (SK, CF)
+    # Rewrite the marker/scalar rows for SET semantics: created = ls = seq,
+    # valid = 1 on inserting rows.
     SK = gi.shape[0]
-    ones = jnp.ones((SK, 1), dtype=dt)
-    n_pad = cf - _O_ETA - batch_w.etas.shape[1] * 3
-    vals = jnp.concatenate([
-        mat33_to_sym6(batch_w.Lambdas[gi]),                  # (SK, 6)
-        batch_w.thetas[gi],                                  # (SK, 3)
-        cam_m[:, None] * col_new,                            # (SK, 3) rgb_acc
-        w_new[:, None], cam_m[:, None], lid_m[:, None], cam_m[:, None],
-        seqf * ones, seqf * ones, ones,                      # created/ls/valid
-        batch_w.etas[gi].reshape(SK, -1),                    # (SK, 3B)
-        jnp.zeros((SK, n_pad), dtype=dt),                    # tile-align pad
-    ], axis=1)                                               # (SK, CF)
+    ones = jnp.ones((SK,), dtype=dt)
+    sub = sub.at[:, o + _ROW_CS].set(seqf * ones)
+    sub = sub.at[:, o + _ROW_LS].set(seqf * ones)
+    sub = sub.at[:, o + _ROW_V].set(ones)
 
-    # Drop-mode pair scatter: rows not inserting point the MAJOR index out of
-    # bounds and are skipped by the scatter itself — no gather, ONE pass.
-    s_t = jnp.repeat(jnp.arange(S, dtype=jnp.int32), K)
-    m_t = evict_slot.reshape(-1).astype(jnp.int32)
-    s_put = jnp.where(do_f, s_t, jnp.int32(S))
-    fd = fd.at[s_put, :, m_t].set(vals, mode="drop")
-    prim_ids = sl.prim_ids.at[s_put, m_t].set(new_ids, mode="drop")
+    # Drop-mode column scatter: rows not inserting point out of bounds.
+    tgt = (jnp.repeat(jnp.arange(S, dtype=jnp.int32), K) * M
+           + evict_slot.reshape(-1).astype(jnp.int32))
+    tgt_put = jnp.where(do_f, tgt, jnp.int32(SM))
+    ff = ff.at[:, tgt_put].set(sub.T, mode="drop")
+    prim_ids = sf.prim_ids.at[tgt_put].set(new_ids, mode="drop")
 
-    sl = sl._replace(
-        fdata=fd, prim_ids=prim_ids,
-        next_prim_id=sl.next_prim_id + jnp.sum(do_f, dtype=jnp.int32),
+    sf = sf._replace(
+        ff=ff, prim_ids=prim_ids,
+        next_prim_id=sf.next_prim_id + jnp.sum(do_f, dtype=jnp.int32),
     )
     certs = {
         "map.inserted_count": jnp.sum(do_f.astype(dt)),
         "map.inserted_mass": jnp.sum(w_new),
     }
-    return sl, certs
+    return sf, certs
 
 
 # ---------------------------------------------------------------------------
 # Cull + forget (parity: primitive_map_cull :1175-1304, _forget :1314-1384).
 # ---------------------------------------------------------------------------
 
-def slab_cull(sl: Slabs, cfg: GCConfig):
+def ff_cull(sf: SlabsFF, cfg: GCConfig):
     """Invalidate primitives with weight below threshold."""
-    fd = sl.fdata
+    ff = sf.ff
     o = _O_SCAL
-    dt = fd.dtype
-    w = fd[:, o + _ROW_W]
-    v = fd[:, o + _ROW_V]
+    dt = ff.dtype
+    w = ff[o + _ROW_W]
+    v = ff[o + _ROW_V]
     below = (v > 0.5) & (w < cfg.cull_weight_threshold)
     certs = {
         "map.culled_count": jnp.sum(below.astype(dt)),
         "map.culled_mass": jnp.sum(w * below.astype(dt)),
     }
-    fd = fd.at[:, o + _ROW_V].set(jnp.where(below, 0.0, v))
-    fd = fd.at[:, o + _ROW_W].set(jnp.where(below, 0.0, w))
-    return sl._replace(fdata=fd), certs
+    ff = ff.at[o + _ROW_V].set(jnp.where(below, 0.0, v))
+    ff = ff.at[o + _ROW_W].set(jnp.where(below, 0.0, w))
+    return sf._replace(ff=ff), certs
 
 
-def slab_forget(sl: Slabs, cfg: GCConfig) -> Slabs:
+def ff_forget(sf: SlabsFF, cfg: GCConfig) -> SlabsFF:
     """weights *= gamma (continuous forgetting, every scan)."""
-    fd = sl.fdata
-    o = _O_SCAL
-    return sl._replace(
-        fdata=fd.at[:, o + _ROW_W].multiply(cfg.forgetting_factor))
+    return sf._replace(
+        ff=sf.ff.at[_O_SCAL + _ROW_W].multiply(cfg.forgetting_factor))
 
 
 # ---------------------------------------------------------------------------
 # Merge-reduce (parity: primitive_map_merge_reduce, :1501-2031).
 # ---------------------------------------------------------------------------
 
-def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
+def ff_merge_reduce(sf: SlabsFF, S: int, cfg: GCConfig):
     """Greedy Bhattacharyya merge of up to ``k_merge_pairs`` pairs per tile.
 
     Runs on the top-``merge_max_tile``-by-weight subset of each active tile
@@ -664,26 +692,27 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
     Merge: moment matching (mean/cov), natural-param add for vMF, mass add.
     """
     if cfg.k_merge_pairs <= 0:  # static ablation switch
-        return sl, {"map.merged_pairs": jnp.zeros((), sl.fdata.dtype)}
-    fd = sl.fdata
-    S, cf, M = fd.shape
+        return sf, {"map.merged_pairs": jnp.zeros((), sf.ff.dtype)}
+    ff = sf.ff
+    cf, SM = ff.shape
+    M = SM // S
     o = _O_SCAL
     Sm = min(cfg.merge_max_tile, M)
     P = cfg.k_merge_pairs
-    dt = fd.dtype
+    dt = ff.dtype
     eps_lift = cfg.eps_lift
     eps_psd = cfg.eps_psd
     thr = cfg.merge_threshold
     nB3 = 3 * cfg.vmf_n_lobes
 
-    # Top-Sm-by-weight subset per tile, fetched with ONE pair gather.
-    w_all = fd[:, o + _ROW_W]
-    v_all = fd[:, o + _ROW_V] > 0.5
+    # Top-Sm-by-weight subset per tile, fetched with ONE column gather.
+    w_all = ff[o + _ROW_W].reshape(S, M)
+    v_all = ff[o + _ROW_V].reshape(S, M) > 0.5
     sc = jnp.where(v_all, w_all, -jnp.inf)
     _, subs = top_k_maybe_approx(sc, Sm, cfg.approx_topk)    # (S, Sm)
-    s_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), Sm)
-    m_idx = subs.reshape(-1).astype(jnp.int32)
-    g = _pair_gather(fd, s_idx, m_idx).reshape(S, Sm, cf)    # (S, Sm, CF)
+    gidx = (jnp.repeat(jnp.arange(S, dtype=jnp.int32), Sm) * M
+            + subs.reshape(-1).astype(jnp.int32))
+    g = ff[:, gidx].T.reshape(S, Sm, cf)                     # (S, Sm, CF)
 
     def one_tile(gt):
         # gt (Sm, CF): one tile's top-by-weight rows.
@@ -780,11 +809,43 @@ def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
 
     outs, n_merged = jax.vmap(one_tile)(g)                   # (S, Sm, CF)
 
-    # ONE pair scatter back (disjoint across tiles and within tile).
-    fd = fd.at[s_idx, :, m_idx].set(outs.reshape(S * Sm, cf))
-    sl = sl._replace(fdata=fd)
+    # ONE column scatter back (disjoint across tiles and within tile).
+    ff = ff.at[:, gidx].set(outs.reshape(S * Sm, cf).T)
     certs = {"map.merged_pairs": jnp.sum(n_merged).astype(dt)}
-    return sl, certs
+    return sf._replace(ff=ff), certs
+
+
+# ---------------------------------------------------------------------------
+# Row-major Slabs wrappers around the ff cores (tests / standalone use; the
+# pipeline converts once around the whole scatter phase).
+# ---------------------------------------------------------------------------
+
+def slab_fuse(sl: Slabs, batch_w, resp, cand_view_idx, cand_valid,
+              view_slab_idx, scan_seq, cfg: GCConfig):
+    sf, certs = ff_fuse(slabs_to_ff(sl), batch_w, resp, cand_view_idx,
+                        cand_valid, view_slab_idx, scan_seq, cfg)
+    return slabs_from_ff(sf, sl.fdata.shape[0]), certs
+
+
+def slab_insert(sl: Slabs, batch_w, novelty, meas_keys, active_keys,
+                scan_seq, cfg: GCConfig):
+    sf, certs = ff_insert(slabs_to_ff(sl), batch_w, novelty, meas_keys,
+                          active_keys, scan_seq, cfg)
+    return slabs_from_ff(sf, sl.fdata.shape[0]), certs
+
+
+def slab_cull(sl: Slabs, cfg: GCConfig):
+    sf, certs = ff_cull(slabs_to_ff(sl), cfg)
+    return slabs_from_ff(sf, sl.fdata.shape[0]), certs
+
+
+def slab_forget(sl: Slabs, cfg: GCConfig) -> Slabs:
+    return slabs_from_ff(ff_forget(slabs_to_ff(sl), cfg), sl.fdata.shape[0])
+
+
+def slab_merge_reduce(sl: Slabs, cfg: GCConfig):
+    sf, certs = ff_merge_reduce(slabs_to_ff(sl), sl.fdata.shape[0], cfg)
+    return slabs_from_ff(sf, sl.fdata.shape[0]), certs
 
 
 # ---------------------------------------------------------------------------
