@@ -5,3 +5,6 @@ cd "$(dirname "$0")"
 g++ -O3 -fPIC -shared -std=c++17 -Wall -Wextra \
     -o fl_slam_tpu/io/libgcio.so src/gcio.cpp
 echo "built fl_slam_tpu/io/libgcio.so"
+g++ -O3 -fPIC -shared -std=c++17 -Wall -Wextra \
+    -o fl_slam_tpu/camera/libgcvision.so src/gcvision.cpp
+echo "built fl_slam_tpu/camera/libgcvision.so"

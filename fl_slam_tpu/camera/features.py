@@ -120,13 +120,95 @@ def backprojection_cov(u, v, z, intr: PinholeIntrinsics, sigma_px: float,
     return J @ S @ J.T
 
 
+_GCV = None
+_GCV_TRIED = False
+
+
+def _gcvision():
+    """ctypes handle to the native extractor (src/gcvision.cpp), or None."""
+    global _GCV, _GCV_TRIED
+    if not _GCV_TRIED:
+        _GCV_TRIED = True
+        import ctypes
+        import os
+        path = os.path.join(os.path.dirname(__file__), "libgcvision.so")
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            f64p = ctypes.POINTER(ctypes.c_double)
+            i64 = ctypes.c_int64
+            lib.gcv_extract_features.restype = i64
+            lib.gcv_extract_features.argtypes = [
+                u8p, f32p, u8p, i64, i64,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, i64, ctypes.c_int, ctypes.c_double,
+                f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, u8p]
+            _GCV = lib
+    return _GCV
+
+
+def extract_native(rgb, depth, intr: PinholeIntrinsics, n_feat: int,
+                   sigma_px: float = 1.0) -> FeatureArrays:
+    """Native path with adaptive threshold: low-texture scenes (smooth
+    synthetic walls, dim frames) need a lower segment-test threshold; retry
+    halved until the budget is reasonably filled."""
+    thr = 20
+    out = _extract_native(rgb, depth, intr, n_feat, sigma_px, thr)
+    while out.valid.sum() < max(4, n_feat // 4) and thr > 4:
+        thr //= 2
+        out = _extract_native(rgb, depth, intr, n_feat, sigma_px, thr)
+    return out
+
+
+def _extract_native(rgb, depth, intr: PinholeIntrinsics, n_feat: int,
+                    sigma_px: float, fast_thr: int = 20) -> FeatureArrays:
+    """Native path: FAST-9 + grid spread + robust depth statistics in C++
+    (parity role of the reference's C++ visual_feature_node)."""
+    import ctypes
+    lib = _gcvision()
+    gray = np.ascontiguousarray(
+        (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+        .astype(np.uint8))
+    depth32 = np.ascontiguousarray(depth, dtype=np.float32)
+    rgb8 = np.ascontiguousarray(rgb, dtype=np.uint8)
+    N = n_feat
+    out = FeatureArrays(
+        uv=np.zeros((N, 2)), z=np.zeros(N), depth_lambda=np.zeros(N),
+        depth_theta=np.zeros(N), xyz_cam=np.zeros((N, 3)),
+        cov_cam=np.zeros((N, 3, 3)), kappa_app=np.zeros(N),
+        color=np.full((N, 3), 0.5), weight=np.zeros(N),
+        valid=np.zeros(N, dtype=bool))
+    validu8 = np.zeros(N, dtype=np.uint8)
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    lib.gcv_extract_features(
+        p(gray, ctypes.c_uint8), p(depth32, ctypes.c_float),
+        p(rgb8, ctypes.c_uint8), intr.height, intr.width,
+        intr.fx, intr.fy, intr.cx, intr.cy, N, fast_thr, sigma_px,
+        p(out.uv, ctypes.c_double), p(out.z, ctypes.c_double),
+        p(out.depth_lambda, ctypes.c_double),
+        p(out.depth_theta, ctypes.c_double), p(out.xyz_cam, ctypes.c_double),
+        p(out.cov_cam, ctypes.c_double), p(out.kappa_app, ctypes.c_double),
+        p(out.color, ctypes.c_double), p(out.weight, ctypes.c_double),
+        p(validu8, ctypes.c_uint8))
+    out.valid[:] = validu8 > 0
+    return out
+
+
 def extract_features(rgb: np.ndarray, depth: np.ndarray,
                      intr: PinholeIntrinsics, n_feat: int, *,
                      sigma_px: float = 1.0,
-                     n_levels: int = 8) -> FeatureArrays:
-    """ORB(budget) -> grid spread -> median3 depth -> quadratic fit ->
+                     n_levels: int = 8,
+                     backend: str = "auto") -> FeatureArrays:
+    """Corner budget -> grid spread -> median3 depth -> quadratic fit ->
     backprojection covariance + depth naturals. rgb uint8 (H, W, 3),
-    depth float meters (H, W)."""
+    depth float meters (H, W).
+
+    backend: "native" (C++ FAST-9, the production staging path), "orb"
+    (OpenCV ORB), or "auto" (native when built, else ORB).
+    """
+    if backend == "native" or (backend == "auto" and _gcvision() is not None):
+        return extract_native(rgb, depth, intr, n_feat, sigma_px)
     import cv2
 
     gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)

@@ -106,7 +106,12 @@ def ate(est_poses, gt_poses, align: str = "initial"):
             "max": float(np.max(e)),
         }
 
-    return {"trans": stats(e_t), "rot_deg": stats(e_r), "n": int(len(e_t))}
+    # Per-axis translation RMSE (reference protocol: evaluate_slam.py reports
+    # per-axis components alongside the norm statistics).
+    per_axis = {ax: float(np.sqrt(np.mean(dt[:, i] ** 2)))
+                for i, ax in enumerate("xyz")}
+    return {"trans": stats(e_t), "rot_deg": stats(e_r),
+            "trans_axis_rmse": per_axis, "n": int(len(e_t))}
 
 
 def rpe(est_poses, gt_poses, delta_m: float = 1.0):

@@ -123,3 +123,39 @@ class TestCameraE2E:
         from fl_slam_tpu.pipeline import flush_slabs
         state = flush_slabs(state)
         assert float(jnp.sum(state.atlas.cam_mass)) > 0.0
+
+
+class TestNativeExtractor:
+    def test_native_matches_orb_contract(self, rgbd):
+        """The C++ FAST-9 path fills the same contract as the ORB path:
+        valid features with finite consistent backprojections and positive
+        depth precision."""
+        from fl_slam_tpu.camera.features import extract_features
+        rgb, depth, _, _ = rgbd
+        for backend in ("native", "orb"):
+            feats = extract_features(rgb, depth, INTR, CFG.n_feat,
+                                     backend=backend)
+            v = np.flatnonzero(feats.valid)
+            assert len(v) >= 2, backend
+            uv = feats.uv[v]
+            z = feats.z[v]
+            assert np.all(z > 0), backend
+            assert np.all(feats.depth_lambda[v] > 0), backend
+            x_expect = (uv[:, 0] - INTR.cx) * z / INTR.fx
+            np.testing.assert_allclose(feats.xyz_cam[v, 0], x_expect,
+                                       atol=1e-9, err_msg=backend)
+            # covariances PSD
+            eig = np.linalg.eigvalsh(feats.cov_cam[v])
+            assert np.all(eig > -1e-12), backend
+
+    def test_native_depth_agrees_with_image(self, rgbd):
+        from fl_slam_tpu.camera.features import extract_features
+        rgb, depth, _, _ = rgbd
+        feats = extract_features(rgb, depth, INTR, CFG.n_feat,
+                                 backend="native")
+        v = np.flatnonzero(feats.valid)
+        for j in v[:8]:
+            u, vv = feats.uv[j].astype(int)
+            patch = depth[max(vv - 1, 0):vv + 2, max(u - 1, 0):u + 2]
+            good = patch[np.isfinite(patch) & (patch > 1e-3)]
+            assert abs(feats.z[j] - np.median(good)) < 0.6

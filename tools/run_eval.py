@@ -123,9 +123,11 @@ def main():
         gt_poses = gtp
     if gt_poses is not None:
         m_ate = ate(poses, gt_poses, align="initial")
-        m_rpe = rpe(poses, gt_poses, delta_m=1.0)
         metrics["ate"] = m_ate
-        metrics["rpe_1m"] = m_rpe
+        # Reference protocol: RPE at 1 / 5 / 10 m traveled (evaluate_slam.py).
+        for d in (1.0, 5.0, 10.0):
+            metrics[f"rpe_{int(d)}m"] = rpe(poses, gt_poses, delta_m=d)
+        m_rpe = metrics["rpe_1m"]
         odom = np.asarray(scans.odom_pose)
         metrics["ate_raw_odom"] = ate(odom, gt_poses, align="initial")
         print(f"[metrics] ATE trans {m_ate['trans']['rmse']:.4f} m, "
