@@ -73,6 +73,11 @@ def so3_exp(w):
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
 
+def _promote64(x):
+    """f32 -> f64 for the state-compounding compose chain (see se3_compose)."""
+    return x.astype(jnp.float64) if x.dtype == jnp.float32 else x
+
+
 def so3_log(R):
     """(..., 3, 3) rotation -> (..., 3) rotvec, f32-native and stable at ALL
     angles via the quaternion route (branchless Shepperd extraction + atan2).
@@ -189,14 +194,25 @@ def se3_log(pose):
 
 
 def se3_compose(a, b):
-    """a ∘ b for 6-vector poses: R = Ra Rb, t = Ra tb + ta. f32-native: the
-    quaternion-based log (see so3_log) keeps the exp -> matmul -> log
-    round-trip well-conditioned at every angle, so no f64 promotion."""
-    Ra, ta = pose_rt(a)
-    Rb = so3_exp(b[..., 3:6])
-    t = jnp.einsum("...ij,...j->...i", Ra, b[..., 0:3]) + ta
+    """a ∘ b for 6-vector poses: R = Ra Rb, t = Ra tb + ta.
+
+    f64-INTERNAL, deliberately: this is the op through which the pose STATE
+    compounds scan over scan (anchor composition, world_pose, recompose,
+    anchor drift), so its rounding error feeds back into the filter rather
+    than averaging out — an all-f32 chain walked the production-scale
+    rotation ATE from 1.1 deg to 2.8 deg over 200 scans (bisected, then
+    confirmed by promoting exactly this op). It runs on a handful of single
+    poses per scan, so the emulated-f64 cost is negligible — unlike the
+    vmapped evidence-factor so3_log/so3_exp calls, which stay f32 (the
+    quaternion log keeps them well-conditioned; their residual errors enter
+    as measurement noise, not state)."""
+    a64 = _promote64(a)
+    b64 = _promote64(b)
+    Ra, ta = pose_rt(a64)
+    Rb = so3_exp(b64[..., 3:6])
+    t = jnp.einsum("...ij,...j->...i", Ra, b64[..., 0:3]) + ta
     w = _so3_log_impl(Ra @ Rb)
-    return jnp.concatenate([t, w], axis=-1)
+    return jnp.concatenate([t, w], axis=-1).astype(a.dtype)
 
 
 def se3_inverse(pose):
