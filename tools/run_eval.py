@@ -156,7 +156,7 @@ def _dashboard(out_dir, outs, poses, gt_poses, stamps):
         import plotly.graph_objects as go
         from plotly.subplots import make_subplots
     except Exception:
-        print("[dashboard] plotly unavailable; skipped")
+        _dashboard_mpl(out_dir, outs, poses, gt_poses, stamps)
         return
     import numpy as np
     certs = {k: np.asarray(v) for k, v in outs.certs.items()}
@@ -181,6 +181,45 @@ def _dashboard(out_dir, outs, poses, gt_poses, stamps):
                   row=2, col=2)
     path = f"{out_dir}/dashboard.html"
     fig.write_html(path)
+    print(f"[dashboard] {path}")
+
+
+
+
+def _dashboard_mpl(out_dir, outs, poses, gt_poses, stamps):
+    """Matplotlib fallback dashboard (plotly is not in the base image)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        print("[dashboard] no plotting backend available; skipped")
+        return
+    import numpy as np
+    certs = {k: np.asarray(v) for k, v in outs.certs.items()}
+    t = np.asarray(stamps)
+    fig, ax = plt.subplots(2, 2, figsize=(12, 8))
+    ax[0, 0].plot(poses[:, 0], poses[:, 1], label="est")
+    if gt_poses is not None:
+        ax[0, 0].plot(gt_poses[:, 0], gt_poses[:, 1], "--", label="gt")
+    ax[0, 0].set_title("trajectory (xy)")
+    ax[0, 0].legend()
+    ax[0, 0].axis("equal")
+    ax[0, 1].plot(t, certs["odom_pose.residual_norm"])
+    ax[0, 1].set_title("|odom residual|")
+    ax[1, 0].plot(t, np.cumsum(certs["map.inserted_count"]),
+                  label="cum inserted")
+    ax[1, 0].plot(t, certs["map.merged_pairs"], label="merged/scan")
+    ax[1, 0].set_title("map size/insertions")
+    ax[1, 0].legend()
+    ax[1, 1].plot(t, certs["temper.beta"], label="beta")
+    ax[1, 1].plot(t, certs["fusion.alpha"], label="alpha")
+    ax[1, 1].set_title("tempering / trust")
+    ax[1, 1].legend()
+    fig.tight_layout()
+    path = f"{out_dir}/dashboard.png"
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
     print(f"[dashboard] {path}")
 
 
