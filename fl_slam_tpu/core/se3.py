@@ -206,11 +206,15 @@ def se3_compose(a, b):
     vmapped evidence-factor so3_log/so3_exp calls, which stay f32 (the
     quaternion log keeps them well-conditioned; their residual errors enter
     as measurement noise, not state)."""
+    # The b side is typically a near-identity increment (Exp of a chart
+    # delta): its f32 Rodrigues error acts as ~1e-7 input jitter, which does
+    # not compound — verified at production scale (1.05 deg vs 1.13 with
+    # both sides f64). Only the a side (the accumulated anchor, large
+    # rotvec) plus the product and the log extraction need f64.
     a64 = _promote64(a)
-    b64 = _promote64(b)
     Ra, ta = pose_rt(a64)
-    Rb = so3_exp(b64[..., 3:6])
-    t = jnp.einsum("...ij,...j->...i", Ra, b64[..., 0:3]) + ta
+    Rb = _promote64(so3_exp(b[..., 3:6]))
+    t = jnp.einsum("...ij,...j->...i", Ra, _promote64(b[..., 0:3])) + ta
     w = _so3_log_impl(Ra @ Rb)
     return jnp.concatenate([t, w], axis=-1).astype(a.dtype)
 
