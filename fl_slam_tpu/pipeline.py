@@ -621,11 +621,24 @@ def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
     Returns (final_state, ScanOutput with stacked fields). This is the single
     compiled program for the whole bag (BASELINE.json north star).
     """
+    # The ~120 per-scan cert scalars are packed into ONE vector inside the
+    # scanned body (one (T, C) output instead of ~120 per-scan update-slices
+    # and output leaves; also shrinks the compiled graph) and unpacked to the
+    # same dict shape afterwards — consumers see dict-of-(T,) either way.
+    keys_box: list = []
+
     def step(carry, scan):
         new_state, out = process_scan(carry, scan, cfg)
-        return new_state, out
+        keys = sorted(out.certs)
+        if not keys_box:
+            keys_box.append(keys)
+        vec = jnp.stack([jnp.asarray(out.certs[k], dtype=cfg.jdtype)
+                         for k in keys])
+        return new_state, out._replace(certs=vec)
+
     final, outs = jax.lax.scan(step, state, scans)
-    return flush_slabs(final), outs
+    certs = {k: outs.certs[:, i] for i, k in enumerate(keys_box[0])}
+    return flush_slabs(final), outs._replace(certs=certs)
 
 
 def replay_jit(cfg: GCConfig):
