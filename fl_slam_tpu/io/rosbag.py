@@ -123,6 +123,18 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
     """
     reader = RosbagReader(bag_dir)
     sentinel = cfg.nonfinite_sentinel
+    # Staging audit (parity: the reference's wiring auditor,
+    # frontend/audit/wiring_auditor.py — processed vs dead-ended topics plus
+    # host-boundary counters, emitted as one JSON-able summary).
+    audit = {
+        "topics_in_bag": reader.topics(),
+        "consumed": {},
+        "n_scans": 0,
+        "missing_odom_scans": 0,
+        "imu_windows_saturated": 0,
+        "nonfinite_points_total": 0,
+        "staged_bytes": 0,
+    }
 
     imu_blobs = [b for _, b in reader.read_topic(topics.imu)]
     odom_blobs = [b for _, b in reader.read_topic(topics.odom)]
@@ -131,6 +143,8 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
             else np.zeros((0, 86)))
     imu_stamps_all = imu[:, 0]
     odom_stamps_all = odom[:, 0]
+    audit["consumed"][topics.imu] = int(len(imu_blobs))
+    audit["consumed"][topics.odom] = int(len(odom_blobs))
 
     R_bl = np.eye(3)
     t_bl = np.zeros(3)
@@ -147,6 +161,7 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
         stamp, xyz, t_rel, ring = native.decode_pointcloud2(blob,
                                                             raw_point_cap)
         bad = ~np.isfinite(xyz).all(axis=1)
+        audit["nonfinite_points_total"] += int(bad.sum())
         xyz = np.where(bad[:, None], np.sign(xyz) * sentinel, xyz)
         xyz = np.nan_to_num(xyz, nan=sentinel, posinf=sentinel,
                             neginf=-sentinel)
@@ -174,6 +189,7 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
         sel = (imu_stamps_all > t_lo) & (imu_stamps_all <= sweep_end)
         window = imu[sel][-cfg.imu_len:]
         m = window.shape[0]
+        audit["imu_windows_saturated"] += int(int(sel.sum()) > cfg.imu_len)
         st = np.zeros(cfg.imu_len)
         gy = np.zeros((cfg.imu_len, 3))
         ac = np.zeros((cfg.imu_len, 3))
@@ -195,6 +211,7 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
         else:
             # Missing odom: identity pose with huge covariance
             # (parity: backend_node.py:1663-1666).
+            audit["missing_odom_scans"] += 1
             pose = np.zeros(6)
             cov = np.eye(6) * 1e12
             vel = np.zeros(3)
@@ -209,6 +226,8 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
             break
 
     out = {k: np.asarray(v) for k, v in recs.items()}
+    audit["n_scans"] = int(out["scan_start"].shape[0])
+    audit["consumed"][topics.lidar] = audit["n_scans"]
     # Camera slice placeholders (the Kimera camera path stages separately;
     # zeros = no camera, every consumer masks on valid).
     T = out["scan_start"].shape[0]
@@ -221,6 +240,10 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
         "cam_valid": np.zeros((T, cfg.n_feat)),
         "cam_colors": np.full((T, cfg.n_feat, 3), 0.5),
     })
+    audit["staged_bytes"] = int(sum(v.nbytes for v in out.values()))
+    audit["dead_end_topics"] = sorted(
+        set(audit["topics_in_bag"]) - set(audit["consumed"]))
+    out["__audit__"] = audit
     return out
 
 
@@ -228,4 +251,4 @@ def to_scan_inputs(recs: dict, cfg: GCConfig):
     import jax.numpy as jnp
     from fl_slam_tpu.pipeline import ScanInput
     return ScanInput(**{k: jnp.asarray(v, dtype=cfg.jdtype)
-                        for k, v in recs.items()})
+                        for k, v in recs.items() if not k.startswith("__")})

@@ -174,6 +174,15 @@ class TestBagReader:
         from fl_slam_tpu.io.rosbag import to_scan_inputs
         scans = to_scan_inputs(recs, CFG)
         assert scans.points.shape == (T, CFG.n_points, 3)
+        # staging audit (wiring-auditor parity): consumed topics counted,
+        # nothing dead-ended in this bag, staged bytes recorded
+        audit = recs["__audit__"]
+        assert audit["n_scans"] == T
+        assert audit["consumed"]["/lidar"] == T
+        assert audit["consumed"]["/imu"] > 0
+        assert audit["missing_odom_scans"] == 0
+        assert audit["dead_end_topics"] == []
+        assert audit["staged_bytes"] > 0
 
     def test_quat_to_rotvec(self):
         np.testing.assert_allclose(

@@ -70,6 +70,12 @@ def main():
                                  cfg, max_scans=args.scans)
         scans = bag_to_inputs(recs, cfg)
         stamps = recs["scan_start"]
+        if "__audit__" in recs:
+            with open(os.path.join(args.out, "wiring_audit.json"), "w") as fh:
+                json.dump(recs["__audit__"], fh, indent=2)
+            print("[audit]", {k: recs["__audit__"][k] for k in
+                              ("n_scans", "missing_odom_scans",
+                               "dead_end_topics")})
         anchor0 = jnp.asarray(recs["odom_pose"][0], dtype=cfg.jdtype)
         t0 = float(stamps[0]) - 0.1
     else:
