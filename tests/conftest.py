@@ -6,19 +6,24 @@ single-init-point rule, ``common/jax_init.py``).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# GC_TESTS_TPU=1 runs the suite on the real device (for the TPU-gated kernel
+# tests in test_tpu_kernels.py); default is CPU with 8 virtual devices.
+_ON_TPU = os.environ.get("GC_TESTS_TPU") == "1"
+if not _ON_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
 # This environment pre-seeds jax_platforms with a TPU plugin ("axon,cpu"),
 # which overrides the JAX_PLATFORMS env var — force CPU explicitly before any
 # backend is initialized.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
