@@ -206,17 +206,19 @@ def se3_compose(a, b):
     vmapped evidence-factor so3_log/so3_exp calls, which stay f32 (the
     quaternion log keeps them well-conditioned; their residual errors enter
     as measurement noise, not state)."""
-    # The b side is typically a near-identity increment (Exp of a chart
-    # delta): its f32 Rodrigues error acts as ~1e-7 input jitter, which does
-    # not compound — verified at production scale (1.05 deg vs 1.13 with
-    # both sides f64). Only the a side (the accumulated anchor, large
-    # rotvec) plus the product and the log extraction need f64.
-    a64 = _promote64(a)
-    Ra, ta = pose_rt(a64)
-    Rb = _promote64(so3_exp(b[..., 3:6]))
-    t = jnp.einsum("...ij,...j->...i", Ra, _promote64(b[..., 0:3])) + ta
+    # Production-scale bisect result: ONLY the a-side exp — Rodrigues of
+    # the accumulated large anchor rotvec — needs f64 (f32 sin/cos of an
+    # O(pi) argument loses absolute precision that then compounds through
+    # the state every scan). The b-side exp is a near-identity increment
+    # whose f32 error acts as ~1e-7 input jitter, and the product + log in
+    # f32 measured BEST of all variants (0.165 m / 1.01 deg over 200
+    # drifting-odom scans vs 1.13 deg all-f64 and 2.8 deg all-f32).
+    Ra = so3_exp(_promote64(a[..., 3:6])).astype(a.dtype)
+    ta = a[..., 0:3]
+    Rb = so3_exp(b[..., 3:6])
+    t = jnp.einsum("...ij,...j->...i", Ra, b[..., 0:3]) + ta
     w = _so3_log_impl(Ra @ Rb)
-    return jnp.concatenate([t, w], axis=-1).astype(a.dtype)
+    return jnp.concatenate([t, w], axis=-1)
 
 
 def se3_inverse(pose):
