@@ -23,9 +23,28 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
 # Persistent compilation cache: the full-replay program takes minutes to
 # compile; cache it across processes (dev loop + bench + eval tools).
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("GC_COMPILE_CACHE", "/tmp/gc_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+#
+# The default cache dir is version-keyed (jax + libtpu): round-1's driver
+# dryrun died on a libtpu AOT/terminal version mismatch (MULTICHIP_r01.json),
+# and a cache shared across libtpu upgrades serves stale AOT executables.
+# Set GC_COMPILE_CACHE=off to disable entirely (the hermetic dryrun does).
+
+
+def _versioned_cache_dir() -> str:
+    key = jax.__version__
+    try:
+        from importlib import metadata
+        key += "-libtpu" + metadata.version("libtpu")
+    except Exception:
+        pass
+    return f"/tmp/gc_jax_cache_{key}"
+
+
+_cache = os.environ.get("GC_COMPILE_CACHE", "")
+if _cache.lower() not in ("off", "0", "none"):
+    jax.config.update("jax_compilation_cache_dir",
+                      _cache or _versioned_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def backend_name() -> str:

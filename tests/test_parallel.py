@@ -60,14 +60,32 @@ class TestBatchedReplay:
                     mesh, jax.sharding.PartitionSpec("inst"))), states),
             shard_scan_inputs(scans, mesh))
 
-        s0 = init_state(CFG, anchor0=anchors[0],
-                        t0=float(dss[0].gt_stamps[0]) - 0.1)
-        # batched init uses t0=0.0 default; re-run batched with same t0 path:
-        # compare against single replay with the same default t0.
+        # Same default t0=0.0 as init_states_batched uses.
         s0 = init_state(CFG, anchor0=anchors[0])
         _, outs_single = replay(s0, jax.tree.map(lambda a: a[0], scans), CFG)
-        # vmapped and single traces fuse reductions differently; the
-        # eigen-based pair weighting amplifies that to ~1e-5 relative.
-        np.testing.assert_allclose(np.asarray(outs.pose)[0],
-                                   np.asarray(outs_single.pose),
-                                   rtol=1e-4, atol=1e-6)
+        diff = np.abs(np.asarray(outs.pose)[0] - np.asarray(outs_single.pose))
+        # vmapped and single traces fuse reductions in different orders, so
+        # bitwise equality is not expected — but a real batched-vs-single
+        # divergence (wrong instance slicing, state bleed) is O(1e-2)+.
+        assert diff.max() < 1e-5, f"batched diverges from single: {diff.max()}"
+
+
+class TestDryrunHermetic:
+    def test_dryrun_multichip_subprocess(self):
+        """The driver gate: dryrun must pass regardless of host TPU state.
+
+        Round-1 regression: MULTICHIP_r01.json rc=1 (libtpu AOT mismatch)
+        because the dryrun touched the real TPU runtime. The hermetic
+        re-exec must succeed even with TPU plugin env vars present.
+        """
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __graft_entry__ as g
+        # Simulate a hostile driver env: point the TPU plugin vars at junk.
+        os.environ["PALLAS_AXON_POOL_IPS"] = "203.0.113.1"
+        try:
+            g.dryrun_multichip(4)
+        finally:
+            del os.environ["PALLAS_AXON_POOL_IPS"]
