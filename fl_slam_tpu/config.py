@@ -59,6 +59,17 @@ class GCConfig:
     # ---- fixed-cost budgets (constants.py:55-75) --------------------------
     k_hyp: int = 4
     hyp_weight_floor: float = 0.0025
+    # MHT semantics (this build; the reference's K=4 bank keeps all
+    # hypotheses identical with frozen uniform weights — dead compute,
+    # docs/PIPELINE_DESIGN_GAPS.md:396). Here hypothesis k>0 starts from a
+    # deterministically perturbed anchor (alternating yaw/x/y offsets scaled
+    # by these spreads) and per-scan weights get a Bayes update from each
+    # hypothesis's own odometry-innovation NLL (its marginal-likelihood
+    # proxy), feeding the barycenter. Spread 0 = reference-parity identical
+    # bank (weights then stay uniform since the NLLs are identical).
+    hyp_init_spread_rot: float = 0.0    # rad, yaw-first perturbation scale
+    hyp_init_spread_trans: float = 0.0  # m
+    hyp_nll_temp: float = 1.0           # likelihood temperature for weights
     n_points: int = 8192            # LiDAR points per scan after budget resample
     imu_len: int = 512              # fixed IMU preintegration window length
 

@@ -29,6 +29,29 @@ def symmetrize(A):
     return S, mag
 
 
+def mm(a, b):
+    """Batched SMALL matmul (..., m, k) @ (..., k, n) as a VPU broadcast-sum.
+
+    A tiny batched ``dot_general`` — e.g. the (K_HYP, 3, 3) products all over
+    the per-hypothesis evidence algebra — hits the MXU path, which XLA
+    horizontally fuses into (8, K, 3, 3) batches and then lowers to a
+    SERIALIZED while loop of single 3x3 MXU ops (profiled: ~24 such whiles at
+    5-13 us each per scan). The broadcast-multiply-reduce form stays a single
+    VPU fusion. Use for op-count-bound small algebra ONLY — big matmuls
+    belong on the MXU."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def mv(A, v):
+    """Batched small matvec (..., m, n) @ (..., n) via VPU broadcast-sum."""
+    return jnp.sum(A * v[..., None, :], axis=-1)
+
+
+def quad_form(v, A):
+    """v^T A v batched, via VPU broadcast-sum."""
+    return jnp.sum(v[..., :, None] * A * v[..., None, :], axis=(-2, -1))
+
+
 def project_psd(A, eps: float = 1e-12):
     """Eigenvalue-floor PSD projection; returns (result, projection magnitude).
 

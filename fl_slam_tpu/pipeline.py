@@ -122,7 +122,7 @@ class PipelineState(NamedTuple):
     process_noise: noise_ops.ProcessNoiseIW
     meas_noise: noise_ops.MeasurementNoiseIW
     atlas: atlas_ops.AtlasMap
-    slabs: atlas_ops.Slabs      # resident working set of the active tiles
+    slabs: atlas_ops.SlabsFF    # resident working set, col-major (CF, S*M)
     slab_slots: jnp.ndarray     # (S,) int32 pool slots of the resident slabs
     slab_keys: jnp.ndarray      # (S,) int64 tile keys of the resident slabs
     scan_seq: jnp.ndarray       # () int32
@@ -171,7 +171,7 @@ def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
         atlas=atlas,
         # Consistent resident set: slabs of (empty) pool rows 0..S-1 with
         # sentinel keys no stencil produces -> the first scan refreshes.
-        slabs=atlas_ops.gather_slabs(atlas, slots0),
+        slabs=atlas_ops.gather_slabs_ff(atlas, slots0),
         slab_slots=slots0,
         slab_keys=jnp.full((S,), -2, dtype=jnp.int64),
         scan_seq=jnp.int32(0),
@@ -181,7 +181,8 @@ def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
 
 def flush_slabs(state: PipelineState) -> PipelineState:
     """Reconcile the pool with the resident slabs (end-of-replay / export)."""
-    atlas = atlas_ops.scatter_slabs(state.atlas, state.slab_slots, state.slabs)
+    atlas = atlas_ops.scatter_slabs_ff(state.atlas, state.slab_slots,
+                                       state.slabs)
     return state._replace(atlas=atlas)
 
 
@@ -418,15 +419,17 @@ def process_scan(state: PipelineState, scan: ScanInput,
     atlas, slots, fresh_mask, c = atlas_ops.activate_tiles(atlas, active_keys,
                                                            seq)
     certs.update(c)
-    pool_f, pool_p, slab_f, slab_p = atlas_kernels.conditional_slab_exchange(
-        atlas.fdata, atlas.prim_ids, state.slabs.fdata, state.slabs.prim_ids,
+    pool_f, pool_p, slab_ff, slab_fp = atlas_kernels.conditional_slab_exchange_ff(
+        atlas.fdata, atlas.prim_ids, state.slabs.ff, state.slabs.prim_ids,
         state.slab_slots, slots, refresh, use_kernel=cfg.slab_dma_kernel)
     atlas = atlas._replace(fdata=pool_f, prim_ids=pool_p)
-    slabs = atlas_ops.Slabs(fdata=slab_f, prim_ids=slab_p,
+    sff = atlas_ops.SlabsFF(ff=slab_ff, prim_ids=slab_fp,
                             next_prim_id=state.slabs.next_prim_id)
-    slabs, c = atlas_ops.slab_inflate_and_clear(slabs, fresh_mask, seq, cfg)
+    # ONE dense pass: fresh-clear + recency inflation + forget + cull (the
+    # forget/cull scheduling delta is documented on ff_inflate_and_clear).
+    sff, c = atlas_ops.ff_inflate_and_clear(sff, fresh_mask, seq, cfg)
     certs.update(c)
-    view = atlas_ops.slab_extract_view(slabs, cfg)
+    view = atlas_ops.ff_extract_view(sff, cfg.n_active_tiles, cfg)
 
     mu_w = mb.mean_positions(batch_w, cfg.eps_lift)
     dir_w = mb.mean_directions(batch_w, cfg.eps_mass)
@@ -540,27 +543,31 @@ def process_scan(state: PipelineState, scan: ScanInput,
         cfg.innovation_q_rot * jnp.outer(xi_r, xi_r))
 
     # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
+    # The whole scatter phase runs COMPACTLY on the view's (V, CF) rows:
+    # fuse accumulates its delta there, merge runs on the weight-half prefix,
+    # and ONE column scatter writes the rows back (forget/cull moved into the
+    # scan-start dense pass; insert runs last against the written-back state,
+    # with its below-threshold proposals pre-culled). Reference order was
+    # fuse -> insert -> cull -> forget -> merge; each reordering delta is
+    # bounded to one scan and documented on the respective atlas op.
     z_t0 = z_t_k[0]
     batch_t = mb.transform_to_world(batch, z_t0, eps_lift=cfg.eps_lift)
-    # The whole scatter phase runs on the col-major ff form: ONE transpose
-    # in, one out (see structures/atlas.py SlabsFF).
-    sff = atlas_ops.slabs_to_ff(slabs)
-    sff, c = atlas_ops.ff_fuse(sff, batch_t, assoc.responsibilities,
-                               assoc.cand_view_idx, assoc.cand_valid,
-                               view.slab_idx, seq, cfg)
+    rows, c = atlas_ops.compact_fuse(view, batch_t, assoc.responsibilities,
+                                     assoc.cand_view_idx, assoc.cand_valid,
+                                     seq, cfg)
     certs.update(c)
+    kw_view = min(cfg.m_tile_view - cfg.m_tile_view // 2, cfg.m_tile)
+    rows, c = atlas_ops.compact_merge_reduce(rows, cfg.n_active_tiles,
+                                             kw_view, cfg)
+    certs.update(c)
+    sff = atlas_ops.ff_write_view(sff, view, rows)
     nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
     sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys, active_keys,
                                  seq, cfg)
     certs.update(c)
-    sff, c = atlas_ops.ff_cull(sff, cfg)
-    certs.update(c)
-    sff = atlas_ops.ff_forget(sff, cfg)
-    sff, c = atlas_ops.ff_merge_reduce(sff, cfg.n_active_tiles, cfg)
-    certs.update(c)
-    slabs = atlas_ops.slabs_from_ff(sff, cfg.n_active_tiles)
+    slabs = sff
     # No scatter back: the slabs stay resident in the carry (flushed to the
     # pool by the next tile-set change or by flush_slabs at end of replay).
 

@@ -164,6 +164,12 @@ class MapView(NamedTuple):
     order outer, weight-descending inner (parity: extract_atlas_map_view,
     primitive_map.py:356-450). ``slab_idx`` is the SLAB-flat index
     s * m_tile + m of each candidate (fuse scatters into the slabs).
+
+    ``raw`` keeps the gathered (V, CF) field rows so the whole scatter phase
+    (fuse + merge) can run compactly on them and write back with ONE column
+    scatter; ``put_idx`` is that scatter's target column per row, with
+    duplicate/pad rows pointed out of bounds (mode="drop") so the ``.set``
+    write-back never double-writes a slab column.
     """
 
     positions: jnp.ndarray       # (V, 3) world-frame means
@@ -178,6 +184,8 @@ class MapView(NamedTuple):
     slab_idx: jnp.ndarray        # (V,) int32 flat index s*M + m into slabs
     packed: jnp.ndarray          # (V, 17) fused candidate matrix (see
                                  #   slab_extract_view for the column map)
+    raw: jnp.ndarray             # (V, CF) gathered field rows (write-back src)
+    put_idx: jnp.ndarray         # (V,) int32 write-back column; SM = dropped
 
 
 def _pair_gather(fd: jnp.ndarray, s_idx: jnp.ndarray, m_idx: jnp.ndarray):
@@ -261,6 +269,19 @@ def scatter_slabs(atlas: AtlasMap, slots: jnp.ndarray, sl: Slabs) -> AtlasMap:
                           next_prim_id=sl.next_prim_id)
 
 
+def gather_slabs_ff(atlas: AtlasMap, slots: jnp.ndarray) -> "SlabsFF":
+    """Gather the active working set directly in the col-major resident form
+    (the pipeline carry): ``ff (CF, S*M)``, ``prim_ids (S*M,)``."""
+    sl = gather_slabs(atlas, slots)
+    return slabs_to_ff(sl)
+
+
+def scatter_slabs_ff(atlas: AtlasMap, slots: jnp.ndarray,
+                     sf: "SlabsFF") -> AtlasMap:
+    S = slots.shape[0]
+    return scatter_slabs(atlas, slots, slabs_from_ff(sf, S))
+
+
 # ---------------------------------------------------------------------------
 # Tile directory: lookup + allocate (replaces dict tiles.get / create_empty).
 # ---------------------------------------------------------------------------
@@ -327,9 +348,75 @@ def slab_clear_fresh(sl: Slabs, fresh: jnp.ndarray) -> Slabs:
 
 def slab_recency_inflate(sl: Slabs, scan_seq, cfg: GCConfig):
     """Downscale precision of stale primitives (standalone variant; the
-    pipeline uses the fused ``slab_inflate_and_clear``)."""
+    pipeline uses the fused ``ff_inflate_and_clear``)."""
     return slab_inflate_and_clear(
         sl, jnp.zeros((sl.fdata.shape[0],), bool), scan_seq, cfg)
+
+
+def ff_inflate_and_clear(sf: SlabsFF, fresh: jnp.ndarray, scan_seq,
+                         cfg: GCConfig, *, forget_cull: bool = True):
+    """ONE fused elementwise pass over ``ff`` doing ALL dense per-scan slab
+    rewrites (expressed as ``ff * A + B`` with broadcast row/column masks):
+
+      - fresh-slab clear (weights -> 0, last_supported -> -1, valid -> 0);
+      - recency inflation of stale valid primitives, mean-preserving
+        (parity: primitive_map_recency_inflate, :1400-1484);
+      - with ``forget_cull`` (the pipeline path): the per-scan forgetting
+        ``w *= gamma`` (primitive_map_forget, :1314-1384) and the
+        weight-threshold cull (primitive_map_cull, :1175-1304).
+
+    Deliberate scheduling delta vs the reference: forget/cull run at the
+    START of the scan (before view extraction) instead of after insert. A
+    uniform ``gamma`` multiply preserves every weight ORDERING the scan uses
+    (view selection, eviction retention, merge subsets), so the only visible
+    difference is a one-scan deferral of threshold-crossing culls and one
+    pending forget at flush time — and it removes two full dense row
+    rewrites of the 45 MB field block per scan.
+    """
+    ff = sf.ff
+    dt = ff.dtype
+    cf, SM = ff.shape
+    S = fresh.shape[0]
+    M = SM // S
+    o = _O_SCAL
+    seqf = jnp.asarray(scan_seq, dtype=dt)
+    fresh_c = jnp.repeat(fresh, M)                           # (SM,)
+    valid = ff[o + _ROW_V] > 0.5
+    vmask = valid & ~fresh_c
+    ds = jnp.maximum(seqf - ff[o + _ROW_LS], 0.0)
+    decay = jnp.clip(jnp.exp(-cfg.recency_decay_lambda * ds),
+                     cfg.recency_min_scale, 1.0)
+    decay = jnp.where(vmask, decay, 1.0)
+
+    if forget_cull:
+        w_new = ff[o + _ROW_W] * cfg.forgetting_factor
+        below = vmask & (w_new < cfg.cull_weight_threshold)
+        w_scale = jnp.where(below | fresh_c, 0.0, cfg.forgetting_factor)
+        v_scale = jnp.where(below | fresh_c, 0.0, 1.0)
+    else:
+        w_new = ff[o + _ROW_W]
+        below = jnp.zeros_like(vmask)
+        w_scale = jnp.where(fresh_c, 0.0, 1.0)
+        v_scale = jnp.where(fresh_c, 0.0, 1.0)
+
+    row = jnp.arange(cf, dtype=jnp.int32)[:, None]           # (CF, 1)
+    is_block = row < 9                                       # lam6 + theta
+    A = jnp.where(is_block, decay[None, :], 1.0)
+    A = jnp.where(row == o + _ROW_W, w_scale[None, :], A)
+    A = jnp.where(row == o + _ROW_V, v_scale[None, :], A)
+    A = jnp.where((row == o + _ROW_LS) & fresh_c[None, :], 0.0, A)
+    B = jnp.where((row == o + _ROW_LS) & fresh_c[None, :],
+                  jnp.asarray(-1.0, dt), 0.0)
+    sf = sf._replace(ff=ff * A + B)
+
+    n_valid = jnp.maximum(jnp.sum(vmask.astype(dt)), 1.0)
+    certs = {
+        "map.staleness_downscale_total": jnp.sum((1.0 - decay) * vmask),
+        "map.staleness_strength": jnp.sum((1.0 - decay) * vmask) / n_valid,
+        "map.culled_count": jnp.sum(below.astype(dt)),
+        "map.culled_mass": jnp.sum(w_new * below.astype(dt)),
+    }
+    return sf, certs
 
 
 def slab_inflate_and_clear(sl: Slabs, fresh: jnp.ndarray, scan_seq,
@@ -379,6 +466,11 @@ def slab_inflate_and_clear(sl: Slabs, fresh: jnp.ndarray, scan_seq,
 # ---------------------------------------------------------------------------
 
 def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
+    """Row-major wrapper around ``ff_extract_view`` (tests / standalone)."""
+    return ff_extract_view(slabs_to_ff(sl), sl.fdata.shape[0], cfg)
+
+
+def ff_extract_view(sf: SlabsFF, S: int, cfg: GCConfig) -> MapView:
     """Stitched candidate view: per active slab, half the ``m_tile_view``
     budget goes to the top primitives BY WEIGHT and half to the MOST RECENTLY
     created ones.
@@ -388,38 +480,49 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     becomes matchable, every scan re-inserts duplicates of it, and the map
     bloats until the pose evidence degrades (observed at production budgets:
     ~200 re-insertions/scan and 2-rad rotation residuals). The recency half
-    keeps the insertion->associate->fuse loop closed. Duplicated rows between
-    the two halves are harmless (they compete as candidates).
+    keeps the insertion->associate->fuse loop closed.
+
+    Rows are DEDUPLICATED (a slot in both halves keeps only its weight-half
+    copy; the recency copy is invalidated and its ``put_idx`` dropped): the
+    scatter phase writes the view columns back with one ``.set`` scatter, so
+    every live row must own a unique column.
     """
-    fd = sl.fdata
-    S, cf, M = fd.shape
+    ff = sf.ff
+    cf, SM = ff.shape
+    M = SM // S
     o = _O_SCAL
     V = cfg.m_tile_view
-    dt = fd.dtype
+    dt = ff.dtype
     neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
-    vmask = fd[:, o + _ROW_V] > 0.5                          # (S, M)
+    vmask2 = (ff[o + _ROW_V] > 0.5).reshape(S, M)            # (S, M)
+    w2 = ff[o + _ROW_W].reshape(S, M)
+    cs2 = ff[o + _ROW_CS].reshape(S, M)
     kw = min(V - V // 2, M)
     kr = min(V // 2, M)
-    score_w = jnp.where(vmask, fd[:, o + _ROW_W], neg_inf)
+    score_w = jnp.where(vmask2, w2, neg_inf)
     _, idx_w = top_k_maybe_approx(score_w, kw, cfg.approx_topk)  # (S, kw)
-    score_r = jnp.where(vmask, fd[:, o + _ROW_CS], neg_inf)
+    score_r = jnp.where(vmask2, cs2, neg_inf)
     _, idx_r = top_k_maybe_approx(score_r, kr, cfg.approx_topk)  # (S, kr)
+    # Recency rows already selected by the weight half are duplicates.
+    dup_r = jnp.any(idx_r[:, :, None] == idx_w[:, None, :], axis=2)  # (S, kr)
+    dup = jnp.concatenate(
+        [jnp.zeros((S, kw), bool), dup_r], axis=1)           # (S, kw+kr)
     idx = jnp.concatenate([idx_w, idx_r], axis=1)            # (S, kw+kr)
     k = idx.shape[1]
     if k < V:  # tiny-config safety: pad with repeats of slot 0
         idx = jnp.pad(idx, ((0, 0), (0, V - k)))
+        dup = jnp.pad(dup, ((0, 0), (0, V - k)), constant_values=True)
     s_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), idx.shape[1])
     m_idx = idx.reshape(-1).astype(jnp.int32)
+    dup_f = dup.reshape(-1)
 
-    g = _pair_gather(fd, s_idx, m_idx)                       # (V', CF)
+    slab_cols = (s_idx * M + m_idx).astype(jnp.int32)
+    g = ff[:, slab_cols].T                                   # (V', CF)
     Lam = sym6_to_mat33(g[:, 0:6])                           # (V', 3, 3)
     the = g[:, 6:9]                                          # (V', 3)
     eta0 = g[:, _O_ETA:_O_ETA + 3]                           # (V', 3) lobe 0
     wv = g[:, o + _ROW_W]
-    val = g[:, o + _ROW_V] > 0.5
-    if k < V:
-        pad_col = jnp.arange(V, dtype=jnp.int32) >= k
-        val = val & ~jnp.tile(pad_col, (S,))
+    val = (g[:, o + _ROW_V] > 0.5) & ~dup_f
     pos = jnp.einsum("nij,nj->ni", inv3x3(Lam, cfg.eps_lift), the)
     kap = jnp.linalg.norm(eta0, axis=-1)
     ez = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=dt), eta0.shape)
@@ -443,19 +546,20 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     # (profiled ~100 us per 12288-row gather pass).
     # cols: 0:3 pos | 3:6 dir | 6 kappa | 7:13 shape6 | 13 weight
     #       14 valid | 15 last_supported | 16 slab_idx (exact < 2^24)
-    slab_idx = (s_idx * M + m_idx).astype(jnp.int32)
     packed = jnp.concatenate([
         pos, dirs, kap[:, None], shape6, wv[:, None],
         val.astype(dt)[:, None], g[:, o + _ROW_LS][:, None],
-        slab_idx.astype(dt)[:, None],
+        slab_cols.astype(dt)[:, None],
     ], axis=1)                                               # (V', 17)
     return MapView(
         positions=pos, Lambdas=Lam, directions=dirs, kappas=kap, weights=wv,
         valid=val,
         last_supported=g[:, o + _ROW_LS].astype(jnp.int32),
-        prim_ids=sl.prim_ids[s_idx, m_idx],
-        slab_idx=slab_idx,
+        prim_ids=sf.prim_ids[slab_cols],
+        slab_idx=slab_cols,
         packed=packed,
+        raw=g,
+        put_idx=jnp.where(dup_f, jnp.int32(SM), slab_cols),
     )
 
 
@@ -495,16 +599,19 @@ def slabs_from_ff(sf: SlabsFF, S: int) -> Slabs:
                  next_prim_id=sf.next_prim_id)
 
 
-def _fuse_base_rows(batch_w: MeasurementBatch, cf: int, dt):
+def _fuse_base_rows(batch_w: MeasurementBatch, cf: int, dt,
+                    marker_row: int | None = None):
     """Per-measurement (N, CF) additive contribution rows in field order.
-    The LS row carries a support marker (see ff_fuse)."""
+    ``marker_row`` (optional) gets a 1.0 support marker — ``ff_fuse`` rides
+    it through its scatter on a spare pad row (compact_fuse needs none: it
+    tests the weight delta directly)."""
     N = batch_w.weights.shape[0]
     is_cam = (batch_w.sources == 0).astype(dt)
     is_lid = (batch_w.sources == 1).astype(dt)
     w = batch_w.weights
     col = jnp.clip(batch_w.colors, 0.0, 1.0)
     n_pad = cf - _O_ETA - batch_w.etas.shape[1] * 3
-    return jnp.concatenate([
+    base = jnp.concatenate([
         mat33_to_sym6(batch_w.Lambdas),                      # (N, 6)
         batch_w.thetas,                                      # (N, 3)
         (w * is_cam)[:, None] * col,                         # (N, 3) rgb_acc
@@ -513,11 +620,14 @@ def _fuse_base_rows(batch_w: MeasurementBatch, cf: int, dt):
         (w * is_lid)[:, None],                               # lidar_mass
         (w * is_cam)[:, None],                               # rgb_denom
         jnp.zeros((N, 1), dtype=dt),                         # created_seq
-        jnp.ones((N, 1), dtype=dt),                          # LS support marker
+        jnp.zeros((N, 1), dtype=dt),                         # last_supported
         jnp.zeros((N, 1), dtype=dt),                         # valid
         batch_w.etas.reshape(N, -1),                         # (N, 3B)
         jnp.zeros((N, n_pad), dtype=dt),                     # tile-align pad
     ], axis=1)                                               # (N, CF)
+    if marker_row is not None:
+        base = base.at[:, marker_row].set(1.0)
+    return base
 
 
 def ff_fuse(sf: SlabsFF, batch_w: MeasurementBatch, resp: jnp.ndarray,
@@ -550,7 +660,13 @@ def ff_fuse(sf: SlabsFF, batch_w: MeasurementBatch, resp: jnp.ndarray,
     rf = r.reshape(-1)
     w = batch_w.weights
 
-    base = _fuse_base_rows(batch_w, cf, dt)
+    # Support marker rides a spare PAD row when one exists (vmf_n_lobes=3
+    # pads CF 28 -> 32): the old marker-on-the-LS-row trick silently failed
+    # to stamp once the responsibility mass fell below the f32 ulp of the
+    # stored seq (~seq * 6e-8).
+    has_pad = cf > _O_ETA + batch_w.etas.shape[1] * 3
+    marker = cf - 1 if has_pad else o + _ROW_LS
+    base = _fuse_base_rows(batch_w, cf, dt, marker_row=marker)
     vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 
     # Stage 1: compact per-view-row accumulation (contiguous windows).
@@ -563,14 +679,90 @@ def ff_fuse(sf: SlabsFF, batch_w: MeasurementBatch, resp: jnp.ndarray,
 
     # Dense rewrite of the LS row: support mass arrived => stamp scan_seq.
     seqf = jnp.asarray(scan_seq, dtype=dt)
-    ls_tmp = ff[o + _ROW_LS]
-    ff = ff.at[o + _ROW_LS].set(jnp.where(ls_tmp > ls_prev, seqf, ls_prev))
+    if has_pad:
+        ff = ff.at[o + _ROW_LS].set(
+            jnp.where(ff[marker] > 0.0, seqf, ls_prev))
+        ff = ff.at[marker].set(jnp.zeros_like(ff[marker]))
+    else:
+        ls_tmp = ff[o + _ROW_LS]
+        ff = ff.at[o + _ROW_LS].set(jnp.where(ls_tmp > ls_prev, seqf, ls_prev))
 
     certs = {
         "map.fused_mass": jnp.sum(rf * jnp.repeat(w, K)),
         "map.fuse_resp_total": jnp.sum(rf),
     }
     return sf._replace(ff=ff), certs
+
+
+def compact_fuse(view: MapView, batch_w: MeasurementBatch, resp: jnp.ndarray,
+                 cand_view_idx: jnp.ndarray, cand_valid: jnp.ndarray,
+                 scan_seq, cfg: GCConfig):
+    """PoE fuse on the COMPACT view rows (parity: primitive_map_fuse,
+    :992-1163): the N*K responsibility-weighted contributions accumulate into
+    a (V, CF) delta with one contiguous-window scatter-add, and the updated
+    rows are returned for the single end-of-phase write-back
+    (``ff_write_view``) instead of scattering into the slab block here.
+
+    The last-supported stamp tests the WEIGHT-row delta directly
+    (``delta_w > 0``), not the float-marker-on-seq trick of the legacy
+    ``ff_fuse`` whose stamp silently failed once the responsibility mass fell
+    below the f32 ulp of the stored seq.
+    """
+    raw = view.raw
+    V, cf = raw.shape
+    o = _O_SCAL
+    dt = raw.dtype
+    r = resp * batch_w.valid[:, None].astype(dt) * cand_valid.astype(dt)
+    rf = r.reshape(-1)
+    base = _fuse_base_rows(batch_w, cf, dt)
+    N, K = r.shape
+    vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
+
+    delta = jnp.zeros((V, cf), dtype=dt)
+    delta = delta.at[cand_view_idx.reshape(-1)].add(vals)
+    rows = raw + delta
+    # LS row: the base rows carry a 1.0 marker there (legacy scatter path);
+    # in compact form we overwrite it with the stamp rule directly.
+    supported = delta[:, o + _ROW_W] > 0.0
+    rows = rows.at[:, o + _ROW_LS].set(
+        jnp.where(supported, jnp.asarray(scan_seq, dt), raw[:, o + _ROW_LS]))
+    certs = {
+        "map.fused_mass": jnp.sum(rf * jnp.repeat(batch_w.weights, K)),
+        "map.fuse_resp_total": jnp.sum(rf),
+    }
+    return rows, certs
+
+
+def compact_merge_reduce(rows: jnp.ndarray, S: int, kw: int, cfg: GCConfig):
+    """Merge-reduce on the view's weight-half rows, in place in the compact
+    (V, CF) row matrix (parity: primitive_map_merge_reduce, :1501-2031).
+
+    ``kw`` is the per-tile weight-half length from the view extraction. The
+    merge subset (top-``merge_max_tile`` by weight per tile) is exactly a
+    PREFIX of each tile's weight-half view rows — the view's weight half is
+    already weight-sorted — so no extra top-k, gather, or scatter runs at
+    all. Deltas vs the reference, both bounded to one scan: the subset order
+    is pre-fuse weight order, and primitives inserted THIS scan (not yet in
+    the view) first become mergeable next scan.
+    """
+    if cfg.k_merge_pairs <= 0:
+        return rows, {"map.merged_pairs": jnp.zeros((), rows.dtype)}
+    V, cf = rows.shape
+    Vt = V // S                        # view rows per tile
+    Sm = min(cfg.merge_max_tile, max(kw, 1))
+    g = rows.reshape(S, Vt, cf)[:, :Sm]                      # (S, Sm, CF)
+    outs, n_merged = _merge_tiles(g, cfg)
+    rows = rows.reshape(S, Vt, cf).at[:, :Sm].set(outs).reshape(V, cf)
+    certs = {"map.merged_pairs": jnp.sum(n_merged).astype(rows.dtype)}
+    return rows, certs
+
+
+def ff_write_view(sf: SlabsFF, view: MapView, rows: jnp.ndarray) -> SlabsFF:
+    """ONE column scatter writing the updated compact rows back to their slab
+    columns (duplicate/pad rows were pointed out of bounds at extraction)."""
+    SM = sf.ff.shape[1]
+    tgt = jnp.minimum(view.put_idx, jnp.int32(SM))
+    return sf._replace(ff=sf.ff.at[:, tgt].set(rows.T, mode="drop"))
 
 
 # ---------------------------------------------------------------------------
@@ -613,11 +805,15 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)
-    prefix = jnp.cumsum(do_f.astype(jnp.int32)) - 1
-    new_ids = jnp.where(do_f, sf.next_prim_id + prefix, jnp.int32(-1))
-
     gi = ins_idx.reshape(-1)                                 # (S*K,) meas rows
     w_new = (novelty[gi] * batch_w.weights[gi]).astype(dt)
+    # Pre-cull: a proposal whose insert weight is already below the cull
+    # threshold would be culled immediately (reference: inserted then culled
+    # the same scan); skipping it at insert reaches the same state without
+    # burning an eviction slot or a primitive id.
+    do_f = do_f & (w_new >= cfg.cull_weight_threshold)
+    prefix = jnp.cumsum(do_f.astype(jnp.int32)) - 1
+    new_ids = jnp.where(do_f, sf.next_prim_id + prefix, jnp.int32(-1))
     w_new = jnp.where(do_f, w_new, 0.0)
     sub = _fuse_base_rows(
         MeasurementBatch(
@@ -714,6 +910,30 @@ def ff_merge_reduce(sf: SlabsFF, S: int, cfg: GCConfig):
             + subs.reshape(-1).astype(jnp.int32))
     g = ff[:, gidx].T.reshape(S, Sm, cf)                     # (S, Sm, CF)
 
+    outs, n_merged = _merge_tiles(g, cfg)
+
+    # ONE column scatter back (disjoint across tiles and within tile).
+    ff = ff.at[:, gidx].set(outs.reshape(S * Sm, cf).T)
+    certs = {"map.merged_pairs": jnp.sum(n_merged).astype(dt)}
+    return sf._replace(ff=ff), certs
+
+
+def _merge_tiles(g: jnp.ndarray, cfg: GCConfig):
+    """Greedy Bhattacharyya pair merge on (S, Sm, CF) tile row blocks.
+
+    Shared body of ``ff_merge_reduce`` (standalone, gathers its own subset)
+    and ``compact_merge_reduce`` (runs on the view's weight-half prefix).
+    Returns (updated (S, Sm, CF), merged pair counts (S,)).
+    """
+    S, Sm, cf = g.shape
+    o = _O_SCAL
+    dt = g.dtype
+    eps_lift = cfg.eps_lift
+    eps_psd = cfg.eps_psd
+    thr = cfg.merge_threshold
+    P = cfg.k_merge_pairs
+    nB3 = 3 * cfg.vmf_n_lobes
+
     def one_tile(gt):
         # gt (Sm, CF): one tile's top-by-weight rows.
         Lam = sym6_to_mat33(gt[:, 0:6])                      # (Sm, 3, 3)
@@ -807,12 +1027,7 @@ def ff_merge_reduce(sf: SlabsFF, S: int, cfg: GCConfig):
         ], axis=1)                                           # (Sm, CF)
         return out, n_merged
 
-    outs, n_merged = jax.vmap(one_tile)(g)                   # (S, Sm, CF)
-
-    # ONE column scatter back (disjoint across tiles and within tile).
-    ff = ff.at[:, gidx].set(outs.reshape(S * Sm, cf).T)
-    certs = {"map.merged_pairs": jnp.sum(n_merged).astype(dt)}
-    return sf._replace(ff=ff), certs
+    return jax.vmap(one_tile)(g)                             # (S, Sm, CF)
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,98 @@ def _exchange_tpu(pool_f, pool_p, slab_f, slab_p, old_slots, new_slots,
     )(refresh, old_slots, new_slots, pool_f, pool_p, slab_f, slab_p)
 
 
+def _exchange_kernel_ff(S: int, M: int, refresh_ref, oslots_ref, nslots_ref,
+                        pool_f_in, pool_p_in, ff_in, fp_in,
+                        pool_f, pool_p, ff, fp, sem):
+    """ff-layout variant: the slab side is the resident col-major form
+    ``ff (CF, S*M)`` / ``fp (S, 8, M/8)``; tile s's block is the column range
+    ``[s*M, (s+1)*M)`` — a strided (CF, M) slice whose offset/extent are
+    tile-aligned (M % 1024 == 0), which the DMA engine moves directly."""
+
+    i32 = jnp.int32
+
+    @pl.when(refresh_ref[i32(0)] != 0)
+    def _():
+        def oslot(s):
+            return oslots_ref[i32(s)].astype(jnp.int32)
+
+        def nslot(s):
+            return nslots_ref[i32(s)].astype(jnp.int32)
+
+        def ffblk(s):
+            return ff.at[:, pl.ds(s * M, M)]
+
+        def fpblk(s):
+            return fp.at[jnp.int32(s)]
+
+        for s in range(S):
+            pltpu.make_async_copy(ffblk(s), pool_f.at[oslot(s)],
+                                  sem.at[i32(0), i32(s)]).start()
+            pltpu.make_async_copy(fpblk(s), pool_p.at[oslot(s)],
+                                  sem.at[i32(1), i32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(ffblk(s), pool_f.at[oslot(s)],
+                                  sem.at[i32(0), i32(s)]).wait()
+            pltpu.make_async_copy(fpblk(s), pool_p.at[oslot(s)],
+                                  sem.at[i32(1), i32(s)]).wait()
+        for s in range(S):
+            pltpu.make_async_copy(pool_f.at[nslot(s)], ffblk(s),
+                                  sem.at[i32(0), i32(s)]).start()
+            pltpu.make_async_copy(pool_p.at[nslot(s)], fpblk(s),
+                                  sem.at[i32(1), i32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(pool_f.at[nslot(s)], ffblk(s),
+                                  sem.at[i32(0), i32(s)]).wait()
+            pltpu.make_async_copy(pool_p.at[nslot(s)], fpblk(s),
+                                  sem.at[i32(1), i32(s)]).wait()
+
+
+def conditional_slab_exchange_ff(pool_f, pool_p, ff, fp, old_slots,
+                                 new_slots, refresh, use_kernel: bool = True):
+    """Predicated pool<->resident-ff exchange. ``ff (CF, S*M)``, ``fp (S*M,)``
+    int32; pool stays ``(P, CF, M)``. Returns (pool_f, pool_p, ff, fp)."""
+    P, CF, M = pool_f.shape
+    SM = ff.shape[1]
+    S = SM // M
+    aligned = (M % 1024 == 0) and (CF % 8 == 0)
+    if use_kernel and jax.default_backend() == "tpu" and aligned:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            scratch_shapes=[pltpu.SemaphoreType.DMA((2, S))],
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct(pool_f.shape, pool_f.dtype),
+            jax.ShapeDtypeStruct((P, 8, M // 8), pool_p.dtype),
+            jax.ShapeDtypeStruct(ff.shape, ff.dtype),
+            jax.ShapeDtypeStruct((S, 8, M // 8), fp.dtype),
+        ]
+        pf, pp, f2, p2 = pl.pallas_call(
+            functools.partial(_exchange_kernel_ff, S, M),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(jnp.asarray(refresh, jnp.int32).reshape(1),
+          old_slots.astype(jnp.int32), new_slots.astype(jnp.int32),
+          pool_f, pool_p.reshape(P, 8, M // 8),
+          ff, fp.reshape(S, 8, M // 8))
+        return pf, pp.reshape(P, M), f2, p2.reshape(SM)
+    # Portable fallback (CPU tests / vmapped replicas): express through the
+    # row-major fallback; the transposes are real copies but this path is
+    # off the single-chip hot loop.
+    slab_f = jnp.swapaxes(ff.reshape(CF, S, M), 0, 1)
+    slab_p = fp.reshape(S, M)
+    pool_f, pool_p, slab_f, slab_p = conditional_slab_exchange(
+        pool_f, pool_p, slab_f, slab_p, old_slots, new_slots, refresh,
+        use_kernel=False)
+    return (pool_f, pool_p,
+            jnp.swapaxes(slab_f, 0, 1).reshape(CF, SM),
+            slab_p.reshape(SM))
+
+
 def conditional_slab_exchange(pool_f, pool_p, slab_f, slab_p, old_slots,
                               new_slots, refresh, use_kernel: bool = True):
     """Predicated pool<->slab exchange. refresh () int32: 0 = no-op.

@@ -35,3 +35,21 @@ def test_exchange_kernel_matches_fallback(refresh):
                     )(*args, r)
     for k, x in zip(out_k, out_x):
         np.testing.assert_array_equal(np.asarray(k), np.asarray(x))
+
+
+@pytest.mark.parametrize("refresh", [0, 1])
+def test_exchange_kernel_ff_matches_fallback(refresh):
+    from fl_slam_tpu.structures.atlas_kernels import (
+        conditional_slab_exchange_ff)
+    rng = np.random.default_rng(1)
+    P, S, CF, M = 8, 3, 32, 2048
+    pool_f, pool_p, slab_f, slab_p, old, new = _mk(rng, P, S, CF, M)
+    ff = jnp.swapaxes(slab_f, 0, 1).reshape(CF, S * M)
+    fp = slab_p.reshape(S * M)
+    r = jnp.int32(refresh)
+    out_k = jax.jit(lambda *a: conditional_slab_exchange_ff(
+        *a, use_kernel=True))(pool_f, pool_p, ff, fp, old, new, r)
+    out_x = jax.jit(lambda *a: conditional_slab_exchange_ff(
+        *a, use_kernel=False))(pool_f, pool_p, ff, fp, old, new, r)
+    for k, x in zip(out_k, out_x):
+        np.testing.assert_array_equal(np.asarray(k), np.asarray(x))
