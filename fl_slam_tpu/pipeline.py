@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from fl_slam_tpu.config import (
-    GCConfig, GRAVITY_W, IDX_BA, IDX_BG, IDX_DT, IDX_POSE, IDX_VEL,
+    D_Z, GCConfig, GRAVITY_W, IDX_BA, IDX_BG, IDX_DT, IDX_POSE, IDX_VEL,
 )
 from fl_slam_tpu.core import se3
 from fl_slam_tpu.core.belief import (
@@ -156,10 +156,46 @@ def initial_belief(cfg: GCConfig, anchor0=None) -> Belief:
     return b._replace(L=L0.astype(d))
 
 
+def mht_enabled(cfg: GCConfig) -> bool:
+    """Static flag: the hypothesis bank carries real MHT semantics (diverse
+    initial poses + per-scan likelihood weight updates). Off (spread 0) is
+    reference parity: an identical bank with frozen uniform weights
+    (``backend_node.py:2079-2083``, ``docs/PIPELINE_DESIGN_GAPS.md:396``)."""
+    return cfg.k_hyp > 1 and (cfg.hyp_init_spread_rot > 0.0
+                              or cfg.hyp_init_spread_trans > 0.0)
+
+
+def hyp_perturbations(cfg: GCConfig) -> jnp.ndarray:
+    """(K, D_Z) deterministic pose-block offsets for the hypothesis bank.
+
+    Hypothesis 0 is unperturbed; k>=1 cycles [+yaw, +x, +y, -yaw, -x, -y]
+    scaled by the configured spreads (doubling each full cycle) — a fixed,
+    seedless design so replays stay bit-deterministic.
+    """
+    import numpy as np
+    out = np.zeros((cfg.k_hyp, D_Z))
+    pattern = [(5, cfg.hyp_init_spread_rot), (0, cfg.hyp_init_spread_trans),
+               (1, cfg.hyp_init_spread_trans)]
+    for k in range(1, cfg.k_hyp):
+        i = k - 1
+        idx, scale = pattern[i % 3]
+        sign = -1.0 if (i // 3) % 2 else 1.0
+        mag = scale * (1.0 + i // 6)
+        out[k, idx] = sign * mag
+    return jnp.asarray(out, dtype=cfg.jdtype)
+
+
 def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
                t0: float = 0.0) -> PipelineState:
     one = initial_belief(cfg, anchor0=anchor0)
     bank = jax.tree.map(lambda a: jnp.stack([a] * cfg.k_hyp), one)
+    if mht_enabled(cfg):
+        # Perturb the in-chart MEAN (h = L @ delta), not the anchor: the bank
+        # shares hypothesis 0's chart at t0, so the barycenter's information
+        # average starts exactly consistent.
+        delta = hyp_perturbations(cfg)                       # (K, D_Z)
+        bank = bank._replace(h=bank.h + jnp.einsum(
+            "kij,kj->ki", bank.L, delta))
     atlas = atlas_ops.empty_atlas(cfg)
     S = cfg.n_active_tiles
     slots0 = jnp.arange(S, dtype=jnp.int32)
@@ -529,7 +565,22 @@ def process_scan(state: PipelineState, scan: ScanInput,
                                             z_lin_k)
     certs.update(jax.tree.map(lambda a: a[0], certsB))
 
-    w_hyp = floor_and_normalize_weights(state.hyp_weights, cfg.hyp_weight_floor)
+    if mht_enabled(cfg):
+        # Bayes weight update from each hypothesis's own odometry-innovation
+        # NLL (its marginal-likelihood proxy; the residual is measured at
+        # that hypothesis's predicted pose, so diverse hypotheses score
+        # differently): w_k ∝ w_k exp(-nll_k / T). Rebased at the minimum
+        # for overflow safety; floored/renormalized as the reference floors
+        # its (static) weights.
+        nll_k = certsA["odom_pose.nll_proxy"]                # (K,)
+        logw = (jnp.log(jnp.maximum(state.hyp_weights, cfg.hyp_weight_floor))
+                - (nll_k - jnp.min(nll_k)) / cfg.hyp_nll_temp)
+        w_hyp = floor_and_normalize_weights(
+            jnp.exp(logw - jnp.max(logw)), cfg.hyp_weight_floor)
+        certs["hyp.nll_spread"] = jnp.max(nll_k) - jnp.min(nll_k)
+    else:
+        w_hyp = floor_and_normalize_weights(state.hyp_weights,
+                                            cfg.hyp_weight_floor)
     dpsi_q = jnp.einsum("k,kabc->abc", w_hyp, dpsi_q_k)
     dnu_q = jnp.einsum("k,ka->a", w_hyp, dnu_q_k)
     xi_err = dz_odom_k[0][IDX_POSE]
@@ -580,8 +631,23 @@ def process_scan(state: PipelineState, scan: ScanInput,
     certs.update(jax.tree.map(lambda a: a[0], certsC))
 
     # ---- step 15: hypothesis barycenter (published pose) ------------------------
+    if mht_enabled(cfg):
+        # Anchors diverge under per-hypothesis recompose/drift; transport
+        # each (L, h, z_lin) into hypothesis 0's chart before averaging
+        # (first order: z' = z + xi_k with xi_k = Log(X_a0^{-1} ∘ X_ak);
+        # exact for the small inter-anchor offsets the bank develops).
+        anchors_k = beliefs_final.anchor                     # (K, 6)
+        xi_k = jax.vmap(lambda a: se3.se3_log(
+            se3.se3_relative(anchors_k[0], a)))(anchors_k)   # (K, 6)
+        e_k = jnp.zeros((cfg.k_hyp, D_Z), dtype=dt).at[:, IDX_POSE].set(xi_k)
+        h_bar_in = beliefs_final.h + jnp.einsum(
+            "kij,kj->ki", beliefs_final.L, e_k)
+        z_bar_in = z_lin_new_k + e_k
+        certs["hyp.anchor_spread"] = jnp.sum(xi_k ** 2)
+    else:
+        h_bar_in, z_bar_in = beliefs_final.h, z_lin_new_k
     L_bar, h_bar, z_lin_bar, w_norm, c = hyp_ops.barycenter_projection(
-        beliefs_final.L, beliefs_final.h, z_lin_new_k, w_hyp,
+        beliefs_final.L, h_bar_in, z_bar_in, w_hyp,
         weight_floor=cfg.hyp_weight_floor, eps_psd=cfg.eps_psd,
         eps_lift=cfg.eps_lift)
     certs.update(c)

@@ -127,3 +127,46 @@ class TestReplay:
             poses.append(np.asarray(out.pose))
         np.testing.assert_allclose(np.stack(poses), np.asarray(outs.pose)[:3],
                                    rtol=1e-8, atol=1e-10)
+
+
+class TestHypothesisBank:
+    """MHT semantics (this build's upgrade of the reference's frozen bank,
+    docs/PIPELINE_DESIGN_GAPS.md:396): diverse initial hypotheses + per-scan
+    likelihood weight updates must actually move the weights, and the
+    barycenter must stay at least as good as raw odometry."""
+
+    def test_weights_respond_and_estimate_stays_good(self):
+        cfg = GCConfig.small().replace(hyp_init_spread_rot=0.08,
+                                       hyp_init_spread_trans=0.15,
+                                       hyp_nll_temp=1.0)
+        ds = simulate(cfg, n_scans=30, seed=5, odom_drift_vel_scale=1.03,
+                      odom_drift_yaw_rate=0.01)
+        scans = to_scan_inputs(ds, cfg)
+        anchor0 = jnp.asarray(ds.gt_poses[0], dtype=cfg.jdtype)
+        state = init_state(cfg, anchor0=anchor0,
+                           t0=float(ds.gt_stamps[0]) - 0.1)
+        fs, outs = replay(state, scans, cfg)
+        w = np.asarray(fs.hyp_weights)
+        assert np.isfinite(w).all() and abs(w.sum() - 1.0) < 1e-6
+        # Weights must respond to data: the unperturbed hypothesis 0 should
+        # dominate the deliberately-offset ones.
+        assert w.max() - w.min() > 0.05, w
+        assert int(np.argmax(w)) == 0, w
+        # The published barycenter must not be degraded by the bank.
+        m = ate(np.asarray(outs.pose), ds.gt_poses, align="initial")
+        mo = ate(np.asarray(ds.scans["odom_pose"]), ds.gt_poses,
+                 align="initial")
+        assert m["trans"]["rmse"] < mo["trans"]["rmse"], (m, mo)
+        assert m["rot_deg"]["rmse"] < mo["rot_deg"]["rmse"], (m, mo)
+
+    def test_zero_spread_is_reference_parity(self):
+        """Spread 0 (the default) keeps the bank identical and the weights
+        frozen uniform — bit-parity with the pre-MHT pipeline."""
+        cfg = GCConfig.small()
+        ds = simulate(cfg, n_scans=8, seed=3)
+        scans = to_scan_inputs(ds, cfg)
+        state = init_state(cfg, t0=float(ds.gt_stamps[0]) - 0.1)
+        fs, _ = replay(state, scans, cfg)
+        w = np.asarray(fs.hyp_weights)
+        np.testing.assert_allclose(w, np.full_like(w, 1.0 / cfg.k_hyp),
+                                   atol=1e-12)
