@@ -123,15 +123,41 @@ def backprojection_cov(u, v, z, intr: PinholeIntrinsics, sigma_px: float,
 _GCV = None
 _GCV_TRIED = False
 
+#: Which extractor produced the last extract_features() result ("native" /
+#: "orb"); staging audits record it so runs are attributable to a backend
+#: (the two differ numerically — corner ranking, depth fit weighting).
+LAST_BACKEND = None
+
+
+def _build_native() -> bool:
+    """Build libgcvision.so from src/gcvision.cpp (the binary is not
+    committed — it is platform-specific and unreviewable in git)."""
+    import os
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    script = os.path.join(root, "build_native.sh")
+    if not os.path.exists(script):
+        return False
+    try:
+        subprocess.run(["bash", script], cwd=root, check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
 
 def _gcvision():
-    """ctypes handle to the native extractor (src/gcvision.cpp), or None."""
+    """ctypes handle to the native extractor (src/gcvision.cpp), built on
+    demand when the .so is absent; None when the toolchain is unavailable."""
     global _GCV, _GCV_TRIED
     if not _GCV_TRIED:
         _GCV_TRIED = True
         import ctypes
         import os
         path = os.path.join(os.path.dirname(__file__), "libgcvision.so")
+        if not os.path.exists(path):
+            _build_native()
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
             u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -207,8 +233,11 @@ def extract_features(rgb: np.ndarray, depth: np.ndarray,
     backend: "native" (C++ FAST-9, the production staging path), "orb"
     (OpenCV ORB), or "auto" (native when built, else ORB).
     """
+    global LAST_BACKEND
     if backend == "native" or (backend == "auto" and _gcvision() is not None):
+        LAST_BACKEND = "native"
         return extract_native(rgb, depth, intr, n_feat, sigma_px)
+    LAST_BACKEND = "orb"
     import cv2
 
     gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)

@@ -43,6 +43,11 @@ def batched_step(cfg: GCConfig, mesh: Mesh, axis: str = "inst",
 
     Returns a jitted fn(states, scans) -> (states', outputs) where every leaf
     of states/scans carries a leading instance axis laid out on the mesh.
+
+    NOTE: like the single-instance carry, the returned states' ``atlas`` pool
+    is STALE for the active tiles (the truth is in the resident slabs). Any
+    reader of ``states.atlas`` (export, metrics) must first reconcile with
+    ``flush_states_batched`` — ``batched_replay`` does it for you.
     """
     # pallas_call has no batching rule -> force the XLA slab-exchange path
     # under the instance vmap.
@@ -76,6 +81,13 @@ def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
     shard = NamedSharding(mesh, P(axis))
     return jax.jit(run, in_shardings=(shard, shard),
                    out_shardings=(shard, shard))
+
+
+def flush_states_batched(states: PipelineState) -> PipelineState:
+    """Reconcile every instance's pool with its resident slabs (required
+    before reading ``states.atlas`` after ``batched_step`` loops)."""
+    from fl_slam_tpu.pipeline import flush_slabs
+    return jax.vmap(flush_slabs)(states)
 
 
 def shard_scan_inputs(scans: ScanInput, mesh: Mesh, axis: str = "inst"):

@@ -61,4 +61,4 @@ def atlas_bev(atlas, cfg, proj, max_prims: int = 16384):
     Sig = inv3x3(Lam, cfg.eps_lift)
     mu = jnp.einsum("nij,nj->ni", Sig, flat(dense_thetas(atlas))[idx])
     mu2, S2 = pushforward_gaussians(proj, mu, Sig)
-    return mu2, S2, flat(atlas.weights)[idx], flat(dense_rgb(atlas))[idx]
+    return mu2, S2, flat(atlas.weights)[idx], flat(dense_rgb(atlas, cfg.eps_mass))[idx]

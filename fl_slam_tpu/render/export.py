@@ -32,7 +32,7 @@ def atlas_to_arrays(atlas, cfg):
         "Lambdas": Lam,
         "etas": etas,
         "weights": flat(atlas.weights)[v],
-        "rgb": flat(dense_rgb(atlas))[v],
+        "rgb": flat(dense_rgb(atlas, cfg.eps_mass))[v],
         "cam_mass": flat(atlas.cam_mass)[v],
         "lidar_mass": flat(atlas.lidar_mass)[v],
         "created_seq": flat(atlas.created_seq)[v],

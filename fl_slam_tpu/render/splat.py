@@ -205,6 +205,6 @@ def render_atlas(atlas, cam: Camera, cfg, max_prims: int = 16384):
     Lam = flat(dense_Lambdas(atlas))[idx]
     the = flat(dense_thetas(atlas))[idx]
     pos = jnp.einsum("nij,nj->ni", inv3x3(Lam, cfg.eps_lift), the)
-    return render(pos, Lam, flat(dense_etas(atlas, cfg.vmf_n_lobes))[idx], flat(dense_rgb(atlas))[idx],
+    return render(pos, Lam, flat(dense_etas(atlas, cfg.vmf_n_lobes))[idx], flat(dense_rgb(atlas, cfg.eps_mass))[idx],
                   flat(atlas.weights)[idx], flat(atlas.valid)[idx], cam,
                   eps_lift=cfg.eps_lift)

@@ -14,7 +14,8 @@
 // contract (budget, spread, depth statistics) is what the pipeline depends
 // on, not the exact corner ranking.
 //
-// Build: ./build_native.sh  ->  fl_slam_tpu/io/libgcvision.so
+// Build: ./build_native.sh  ->  fl_slam_tpu/camera/libgcvision.so
+// (the binary is NOT committed; tests and staging build it on demand)
 
 #include <algorithm>
 #include <cmath>

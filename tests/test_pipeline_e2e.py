@@ -170,3 +170,30 @@ class TestHypothesisBank:
         w = np.asarray(fs.hyp_weights)
         np.testing.assert_allclose(w, np.full_like(w, 1.0 / cfg.k_hyp),
                                    atol=1e-12)
+
+
+class TestApproxTopK:
+    def test_approx_selection_matches_exact_metrics(self):
+        """The production TPU config runs every selection (view extraction,
+        association candidates, insert eviction, merge subsets) through
+        approx_max_k (recall ~0.95); the parity suite runs exact top_k. This
+        gate replays the same bag both ways and requires the approximate
+        path to stay in the same accuracy class and finite throughout
+        (ADVICE r1: the approx path was never exercised by tests)."""
+        ds = simulate(CFG, n_scans=25, seed=3)
+        results = {}
+        for approx in (False, True):
+            cfg = CFG.replace(approx_topk=approx)
+            scans = to_scan_inputs(ds, cfg)
+            state = init_state(cfg, anchor0=jnp.asarray(
+                ds.gt_poses[0], dtype=cfg.jdtype),
+                t0=float(ds.gt_stamps[0]) - 0.1)
+            _, outs = replay(state, scans, cfg)
+            poses = np.asarray(outs.pose)
+            assert np.isfinite(poses).all()
+            results[approx] = ate(poses, ds.gt_poses, align="initial")
+        exact, approx = results[False], results[True]
+        assert approx["trans"]["rmse"] < max(2.0 * exact["trans"]["rmse"],
+                                             0.05), results
+        assert approx["rot_deg"]["rmse"] < max(2.0 * exact["rot_deg"]["rmse"],
+                                               0.5), results
