@@ -289,6 +289,13 @@ class GCConfig:
     # eviction) so a ~5% tail miss is semantically benign. Exact top_k
     # remains the default for CPU parity tests.
     approx_topk: bool = False
+    # Run the three large SELECTION scans (view top-by-weight/recency, assoc
+    # candidate top-K scores) in bfloat16: selection is bandwidth-bound (the
+    # (n_meas, V) cost top-K alone reads ~44 MB f32, ~175 us) and feeds soft
+    # machinery that re-reads exact f32 values for the selected rows, so the
+    # only effect is rank swaps among candidates within ~0.4% of each other.
+    # Exact f32 selection remains the default for CPU parity tests.
+    select_bf16: bool = False
     # Use the Pallas predicated-DMA slab exchange (structures/atlas_kernels).
     # Must be False on paths that vmap process_scan (batched replicas):
     # pallas_call has no batching rule; the XLA fallback vmaps fine.
@@ -346,7 +353,7 @@ class GCConfig:
     @staticmethod
     def tpu(**overrides) -> "GCConfig":
         """Production budgets, float32 compute."""
-        base = dict(dtype="float32", approx_topk=True)
+        base = dict(dtype="float32", approx_topk=True, select_bf16=True)
         base.update(overrides)
         return GCConfig(**base)
 

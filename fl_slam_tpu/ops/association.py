@@ -101,18 +101,47 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     C_full = jnp.where(view.valid[None, :], C_full, COST_INVALID)
 
     # ---- top-K candidates per measurement (cost ascending) ----------------
+    # With cfg.select_bf16 the (N, V) score matrix materializes in bfloat16
+    # (the selection is bandwidth-bound; ~0.4% relative rank noise among
+    # near-tie candidates) and the EXACT f32 costs of the K selected
+    # candidates are recomputed below from the gathered packed rows.
     k_eff = min(K, C_full.shape[1])
-    neg_cost, cand_view_idx = top_k_maybe_approx(-C_full, k_eff,
+    C_score = C_full.astype(jnp.bfloat16) if cfg.select_bf16 else C_full
+    neg_cost, cand_view_idx = top_k_maybe_approx(-C_score, k_eff,
                                                  cfg.approx_topk)
     if k_eff < K:
         neg_cost = jnp.pad(neg_cost, ((0, 0), (0, K - k_eff)),
-                           constant_values=-COST_INVALID)
+                           constant_values=jnp.asarray(
+                               -COST_INVALID, neg_cost.dtype))
         cand_view_idx = jnp.pad(cand_view_idx, ((0, 0), (0, K - k_eff)))
-    C = -neg_cost                                              # (N, K)
     cand_view_idx = cand_view_idx.astype(jnp.int32)
     # ONE gather of all per-candidate fields (see MapView.packed).
     N = meas_pos.shape[0]
     cand_packed = view.packed[cand_view_idx.reshape(-1)].reshape(N, K, -1)
+    if cfg.select_bf16:
+        # Exact selected-candidate costs from the packed fields (same formula
+        # as the dense pass, on (N, K)).
+        cp = cand_packed[..., 0:3]
+        cd = cand_packed[..., 3:6]
+        ck = cand_packed[..., 6]
+        d_pos_k = jnp.sum((meas_pos[:, None, :] - cp) ** 2, axis=-1)
+        km2_k = (meas_kappa[:, None] ** 2 + ck ** 2
+                 + 2.0 * ck * jnp.einsum("ni,nki->nk", eta_m, cd))
+        km_k = 0.5 * jnp.sqrt(jnp.maximum(km2_k, 0.0))
+        bc_k = jnp.exp(_log_sinh_ratio(jnp.maximum(km_k, eig_min), eig_min)
+                       - 0.5 * (A_k1 + _log_sinh_ratio(
+                           jnp.maximum(ck, eig_min), eig_min)))
+        d_dir_k = jnp.where((meas_kappa[:, None] > 0.0) & (ck > 0.0),
+                            jnp.maximum(0.0, 1.0 - bc_k), 0.0)
+        dt_k = jnp.maximum(
+            seq - cand_packed[..., 15].astype(jnp.int32), 0).astype(dt)
+        sel_bad = (-neg_cost.astype(dt)) >= 0.5 * COST_INVALID  # pad/invalid
+        C = jnp.where((cand_packed[..., 14] > 0.5) & ~sel_bad,
+                      d_pos_k + COST_BETA * d_dir_k
+                      + (eps * cfg.recency_decay_lambda) * dt_k,
+                      COST_INVALID)                            # (N, K)
+    else:
+        C = -neg_cost.astype(dt)                               # (N, K)
     cand_valid = (cand_packed[..., 14] > 0.5) & (C < 0.5 * COST_INVALID)
     cand_slab_idx = cand_packed[..., 16].astype(jnp.int32)
 
@@ -179,6 +208,11 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     ess_ot = jnp.sum(row_masses) ** 2 / (jnp.sum(row_masses ** 2) + cfg.eps_mass)
 
     certs = {
+        # ExpectedEffect: declared transport budget (sum of the source
+        # marginal) vs mass the unbalanced plan actually moved; divergence =
+        # the KL-relaxed marginals' shrink (which novelty insertion absorbs).
+        "ot.effect_predicted": jnp.sum(a),
+        "ot.effect_realized": jnp.sum(pi),
         "ot.marginal_defect_a": jnp.linalg.norm(row_masses - a),
         "ot.marginal_defect_b": jnp.linalg.norm(col_masses - b),
         "ot.transport_mass_total": jnp.sum(pi),

@@ -71,6 +71,69 @@ def mean_sample_period(stamps):
     return jnp.maximum(jnp.where(n >= 2, span / denom, 0.0), 1e-12)
 
 
+def _pad_identity_pow2(x, axis_len):
+    """Pad leading axis of (N, 3, 3) up to the next power of two with I."""
+    n = 1
+    while n < axis_len:
+        n *= 2
+    if n == axis_len:
+        return x, axis_len
+    pad = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype),
+                           x.shape[:-3] + (n - axis_len, 3, 3))
+    return jnp.concatenate([x, pad], axis=-3), n
+
+
+def _sklansky_prefix(x):
+    """Inclusive left-to-right prefix products along axis -3 (power-of-2 len).
+
+    Each level splits 2s-blocks into halves and left-multiplies the right
+    half by the left half's last entry — pure reshape/slice/einsum (NO
+    gathers: non-major-axis gathers lower to serialized while loops on TPU,
+    which is exactly what this replaces; see docs/PERF_NOTES.md layout rules).
+    """
+    C = x.shape[-3]
+    lead = x.shape[:-3]
+    s = 1
+    while s < C:
+        y = x.reshape(lead + (C // (2 * s), 2 * s, 3, 3))
+        left = y[..., :s, :, :]                       # (..., B, s, 3, 3)
+        right = y[..., s:, :, :]
+        le = left[..., s - 1, :, :]                   # (..., B, 3, 3)
+        right = jnp.einsum("...ij,...njk->...nik", le, right)
+        x = jnp.concatenate([left, right], axis=-3).reshape(lead + (C, 3, 3))
+        s *= 2
+    return x
+
+
+def prefix_products(dR):
+    """Inclusive prefix products P_k = dR_0 @ ... @ dR_k, blocked for TPU.
+
+    Equivalent to ``lax.associative_scan(matmul, dR)`` but with every level a
+    large batched einsum: the scan's small tail levels (<= 32 matrices) lower
+    to serial ``while`` loops + dynamic-update-slices that cost ~500 us/scan
+    in the replay trace (round-2 profile). Here the chain is chunked
+    (n_chunks, 32): in-chunk Sklansky prefixes (5 levels, batch >= n_chunks),
+    a tiny Sklansky over the chunk totals, and one broadcast combine.
+    """
+    M = dR.shape[0]
+    C = 32                                                # chunk (power of 2)
+    while C > M:
+        C //= 2
+    Mp = ((M + C - 1) // C) * C
+    if Mp != M:
+        pad = jnp.broadcast_to(jnp.eye(3, dtype=dR.dtype), (Mp - M, 3, 3))
+        dR = jnp.concatenate([dR, pad], axis=0)
+    nc = Mp // C
+    x = _sklansky_prefix(dR.reshape(nc, C, 3, 3))         # (nc, C, 3, 3)
+    totals, _ = _pad_identity_pow2(x[:, -1], nc)          # (nc_pow2, 3, 3)
+    tp = _sklansky_prefix(totals)[:nc]                    # inclusive totals
+    t_excl = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=dR.dtype), (1, 3, 3)), tp[:-1]],
+        axis=0)                                           # (nc, 3, 3)
+    P = jnp.einsum("cij,cnjk->cnik", t_excl, x).reshape(-1, 3, 3)
+    return P[:M]
+
+
 def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
                  accel_bias, gravity_w):
     """Fixed-length weighted IMU preintegration, parallelized.
@@ -78,10 +141,9 @@ def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
     Math identical to the reference's sequential ``lax.scan``
     (imu_preintegration.py): per-sample R_{k} = R_{k-1} Exp(omega_k dt_k),
     v_k = v_{k-1} + a_world_k dt_k, p_k = p_{k-1} + v_{k-1} dt_k + 1/2 a dt^2.
-    TPU-first: the rotation chain is a prefix product computed with
-    ``lax.associative_scan`` (log2(M) levels of batched 3x3 matmuls instead of
-    M sequential steps — ~6 ms -> sub-ms at M=512), and the v/p integrals
-    become cumulative sums over the resulting rotations.
+    TPU-first: the rotation chain is a blocked prefix product (batched 3x3
+    einsum levels, ``prefix_products``; ~6 ms sequential -> ~50 us at M=512),
+    and the v/p integrals become cumulative sums over the resulting rotations.
 
     Returns a dict with delta quantities in the START BODY frame (the two
     frame-correctness rules of imu_preintegration.py:124-142):
@@ -96,7 +158,7 @@ def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
 
     # Prefix rotation products: P_k = dR_1 ... dR_k (inclusive).
     dR = se3.so3_exp(omega * dt_eff[:, None])                # (M, 3, 3)
-    P = jax.lax.associative_scan(lambda a, b: a @ b, dR)     # left-to-right
+    P = prefix_products(dR)                                  # left-to-right
     # R before step k (exclusive prefix): R_start @ P_{k-1}.
     eyeM = jnp.broadcast_to(jnp.eye(3, dtype=gyro.dtype), dR.shape)
     P_excl = jnp.concatenate([eyeM[:1], P[:-1]], axis=0)

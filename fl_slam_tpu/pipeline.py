@@ -255,12 +255,14 @@ def process_scan(state: PipelineState, scan: ScanInput,
     w_int = imu_ops.smooth_window_weights(
         scan.imu_stamps, state.prev_scan_t, scan.scan_start, sigma_warp) * imu_valid
 
-    pre_scan = imu_ops.preintegrate(scan.imu_stamps, scan.imu_gyro,
-                                    scan.imu_accel, w_scan, rotvec0,
-                                    gyro_bias, accel_bias, gravity_w)
-    pre_int = imu_ops.preintegrate(scan.imu_stamps, scan.imu_gyro,
-                                   scan.imu_accel, w_int, rotvec0,
-                                   gyro_bias, accel_bias, gravity_w)
+    # Both windows preintegrate in ONE vmapped call (batch axis 2): the op
+    # count halves and every 3x3 level of the blocked prefix product stays
+    # a single batched einsum.
+    pre2 = jax.vmap(lambda w: imu_ops.preintegrate(
+        scan.imu_stamps, scan.imu_gyro, scan.imu_accel, w, rotvec0,
+        gyro_bias, accel_bias, gravity_w))(jnp.stack([w_scan, w_int]))
+    pre_scan = jax.tree.map(lambda a: a[0], pre2)
+    pre_int = jax.tree.map(lambda a: a[1], pre2)
 
     dt_int = imu_ops.integration_time(scan.imu_stamps, state.prev_scan_t,
                                       scan.scan_start)

@@ -500,8 +500,19 @@ def ff_extract_view(sf: SlabsFF, S: int, cfg: GCConfig) -> MapView:
     kw = min(V - V // 2, M)
     kr = min(V // 2, M)
     score_w = jnp.where(vmask2, w2, neg_inf)
-    _, idx_w = top_k_maybe_approx(score_w, kw, cfg.approx_topk)  # (S, kw)
     score_r = jnp.where(vmask2, cs2, neg_inf)
+    if cfg.select_bf16:
+        # Selection-only bf16 (halves the two (S, M) selection scans' reads;
+        # the gathered rows below stay exact f32). Weights: ~0.4% rank noise
+        # among near-ties. Recency: created_seq rebased to the per-tile max
+        # so the RECENT end keeps full resolution (bf16 represents integers
+        # exactly only to 256; stale rows may tie, which only blurs which
+        # equally-old rows fill the recency half's tail).
+        score_w = score_w.astype(jnp.bfloat16)
+        r_top = jnp.max(score_r, axis=1, keepdims=True)
+        score_r = (score_r - jnp.where(jnp.isfinite(r_top), r_top, 0.0)
+                   ).astype(jnp.bfloat16)
+    _, idx_w = top_k_maybe_approx(score_w, kw, cfg.approx_topk)  # (S, kw)
     _, idx_r = top_k_maybe_approx(score_r, kr, cfg.approx_topk)  # (S, kr)
     # Recency rows already selected by the weight half are duplicates.
     dup_r = jnp.any(idx_r[:, :, None] == idx_w[:, None, :], axis=2)  # (S, kr)
@@ -729,6 +740,12 @@ def compact_fuse(view: MapView, batch_w: MeasurementBatch, resp: jnp.ndarray,
     certs = {
         "map.fused_mass": jnp.sum(rf * jnp.repeat(batch_w.weights, K)),
         "map.fuse_resp_total": jnp.sum(rf),
+        # ExpectedEffect: mass the OT plan intends to deposit vs the mass the
+        # masked scatter actually fused (certificates.py:348-510); divergence
+        # = invalid-candidate / invalid-measurement masking.
+        "map.effect_predicted": jnp.sum(
+            resp * jnp.repeat(batch_w.weights, K).reshape(N, K)),
+        "map.effect_realized": jnp.sum(rf * jnp.repeat(batch_w.weights, K)),
     }
     return rows, certs
 
@@ -759,10 +776,19 @@ def compact_merge_reduce(rows: jnp.ndarray, S: int, kw: int, cfg: GCConfig):
 
 def ff_write_view(sf: SlabsFF, view: MapView, rows: jnp.ndarray) -> SlabsFF:
     """ONE column scatter writing the updated compact rows back to their slab
-    columns (duplicate/pad rows were pointed out of bounds at extraction)."""
+    columns (duplicate/pad rows were pointed out of bounds at extraction).
+
+    The scatter runs in ASCENDING column order: XLA's TPU scatter is
+    row-serialized and markedly faster on monotone index streams (round-1
+    profile: the near-sorted fuse-site scatter beat a Pallas kernel). The
+    view's natural order is top-k rank order (column-random); one (V,) sort
+    + one contiguous row gather (~8 ns/row) buys locality for the ~48 ns/col
+    scatter stream."""
     SM = sf.ff.shape[1]
     tgt = jnp.minimum(view.put_idx, jnp.int32(SM))
-    return sf._replace(ff=sf.ff.at[:, tgt].set(rows.T, mode="drop"))
+    order = jnp.argsort(tgt)
+    return sf._replace(ff=sf.ff.at[:, tgt[order]].set(rows[order].T,
+                                                      mode="drop"))
 
 
 # ---------------------------------------------------------------------------
@@ -802,6 +828,8 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
                           ff[o + _ROW_W].reshape(S, M) *
                           jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
+    if cfg.select_bf16:  # selection-only (see ff_extract_view note)
+        retention = retention.astype(jnp.bfloat16)
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)
@@ -840,9 +868,16 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
         ff=ff, prim_ids=prim_ids,
         next_prim_id=sf.next_prim_id + jnp.sum(do_f, dtype=jnp.int32),
     )
+    ins_mass = jnp.sum(w_new * do_f.astype(dt))
     certs = {
         "map.inserted_count": jnp.sum(do_f.astype(dt)),
-        "map.inserted_mass": jnp.sum(w_new),
+        "map.inserted_mass": ins_mass,
+        # ExpectedEffect: novel mass the OT left unexplained (the insertion
+        # demand) vs mass actually inserted; divergence = the K-per-tile
+        # budget, out-of-tile proposals, and the pre-cull threshold.
+        "map.insert.effect_predicted": jnp.sum(
+            jnp.where(batch_w.valid, novelty * batch_w.weights, 0.0)),
+        "map.insert.effect_realized": ins_mass,
     }
     return sf, certs
 
@@ -968,64 +1003,79 @@ def _merge_tiles(g: jnp.ndarray, cfg: GCConfig):
         mask = jnp.asarray(np.triu(np.ones((Sm, Sm), dtype=bool), 1))
         D = jnp.where(pair_ok & mask, D, jnp.inf)
 
-        def body(_, carry):
-            D_c, Lam_c, the_c, eta_c, w_c, v_c, cm_c, lm_c, ra_c, rd_c, n_c = carry
-            flat_idx = jnp.argmin(D_c)
-            i = flat_idx // Sm
-            j = flat_idx % Sm
-            d = D_c[i, j]
-            do = jnp.isfinite(d) & (d < thr)
+        # Candidate pool: the 4P closest pairs, selected ONCE. The previous
+        # fori_loop re-argmined and rewrote the full (Sm, Sm) D each pick
+        # (~155 us/scan in the replay trace); greedy disjoint selection from
+        # the 4P-pair pool is identical whenever the true greedy picks fall
+        # inside the pool (each pick retires 2 rows, so 4P covers the worst
+        # case of P picks sharing endpoints with runners-up).
+        PC = min(4 * P, Sm * Sm)
+        negd, flat = jax.lax.top_k(-D.reshape(-1), PC)       # ascending dist
+        d_c = -negd                                          # (PC,)
+        i_c = (flat // Sm).astype(jnp.int32)
+        j_c = (flat % Sm).astype(jnp.int32)
 
-            Sig_i = inv3x3(Lam_c[i], eps_lift)
-            Sig_j = inv3x3(Lam_c[j], eps_lift)
-            mu_i = Sig_i @ the_c[i]
-            mu_j = Sig_j @ the_c[j]
-            w1, w2 = w_c[i], w_c[j]
-            ws = jnp.maximum(w1 + w2, eps_psd)
-            mu_m = (w1 * mu_i + w2 * mu_j) / ws
-            d1 = (mu_i - mu_m)[:, None]
-            d2 = (mu_j - mu_m)[:, None]
-            Sig_m = (w1 * (Sig_i + d1 @ d1.T) + w2 * (Sig_j + d2 @ d2.T)) / ws
-            Sig_m = Sig_m + eps_psd * jnp.eye(3, dtype=dt)
-            Lam_m = inv3x3(Sig_m)
-            the_m = Lam_m @ mu_m
-            eta_m = (w1 * eta_c[i] + w2 * eta_c[j]) / ws
+        # Unrolled greedy (P is a small static budget): pick the closest
+        # remaining candidate, retire every candidate sharing an endpoint.
+        sel_i, sel_j, sel_ok = [], [], []
+        d_work = d_c
+        for _ in range(P):
+            b = jnp.argmin(d_work)
+            d_b = d_work[b]
+            ok = jnp.isfinite(d_b) & (d_b < thr)
+            ib, jb = i_c[b], j_c[b]
+            sel_i.append(ib)
+            sel_j.append(jb)
+            sel_ok.append(ok)
+            conflict = ((i_c == ib) | (i_c == jb)
+                        | (j_c == ib) | (j_c == jb))
+            d_work = jnp.where(ok & conflict, jnp.inf,
+                               d_work.at[b].set(jnp.inf))
+        si = jnp.stack(sel_i)                                # (P,)
+        sj = jnp.stack(sel_j)
+        ok_p = jnp.stack(sel_ok)                             # (P,) bool
 
-            def upd(i_val, j_val, arr):
-                arr = arr.at[i].set(jnp.where(do, i_val, arr[i]))
-                return arr.at[j].set(jnp.where(do, j_val, arr[j]))
+        # Batched moment-matched merge of the selected pairs.
+        Sig_i, Sig_j = Sig[si], Sig[sj]                      # (P, 3, 3)
+        mu_i, mu_j = mu[si], mu[sj]
+        w1, w2 = w[si], w[sj]
+        ws = jnp.maximum(w1 + w2, eps_psd)
+        mu_m = (w1[:, None] * mu_i + w2[:, None] * mu_j) / ws[:, None]
+        d1 = mu_i - mu_m
+        d2 = mu_j - mu_m
+        Sig_m = (w1[:, None, None] * (Sig_i + d1[:, :, None] * d1[:, None, :])
+                 + w2[:, None, None] * (Sig_j + d2[:, :, None] * d2[:, None, :])
+                 ) / ws[:, None, None]
+        Sig_m = Sig_m + eps_psd * jnp.eye(3, dtype=dt)
+        Lam_m = inv3x3(Sig_m)
+        the_m = jnp.einsum("pij,pj->pi", Lam_m, mu_m)
+        eta_m = (w1[:, None] * eta[si] + w2[:, None] * eta[sj]) / ws[:, None]
 
-            Lam_c = upd(Lam_m, Lam_c[j], Lam_c)
-            the_c = upd(the_m, the_c[j], the_c)
-            eta_c = upd(eta_m, eta_c[j], eta_c)
-            w_c = upd(w1 + w2, jnp.asarray(0.0, dt), w_c)
-            v_c = upd(v_c[i], jnp.asarray(False), v_c)
-            cm_c = upd(cm_c[i] + cm_c[j], jnp.asarray(0.0, dt), cm_c)
-            lm_c = upd(lm_c[i] + lm_c[j], jnp.asarray(0.0, dt), lm_c)
-            ra_c = upd(ra_c[i] + ra_c[j], jnp.zeros(3, dt), ra_c)
-            rd_c = upd(rd_c[i] + rd_c[j], jnp.asarray(0.0, dt), rd_c)
-
-            # Retire both rows from further pairing this scan.
-            D_c = jnp.where(do, D_c.at[i, :].set(jnp.inf).at[:, i].set(jnp.inf)
-                                  .at[j, :].set(jnp.inf).at[:, j].set(jnp.inf),
-                            D_c)
-            n_c = n_c + do.astype(jnp.int32)
-            return (D_c, Lam_c, the_c, eta_c, w_c, v_c, cm_c, lm_c, ra_c,
-                    rd_c, n_c)
-
-        init = (D, Lam, the, eta, w, v, cm, lm, ra, rd, jnp.int32(0))
-        (_, Lam, the, eta, w, v, cm, lm, ra, rd, n_merged) = jax.lax.fori_loop(
-            0, P, body, init)
-        # Reassemble the fused-field row block (Sm, CF) for write-back;
-        # created_seq / last_supported pass through unchanged.
+        # Survivor (row i) and retired (row j) replacement rows (P, CF);
+        # created_seq / last_supported pass through from the original rows.
         n_pad = cf - _O_ETA - nB3
-        out = jnp.concatenate([
-            mat33_to_sym6(Lam), the, ra,
-            w[:, None], cm[:, None], lm[:, None], rd[:, None],
-            cs_k[:, None], ls_k[:, None], v.astype(dt)[:, None],
-            eta, jnp.zeros((eta.shape[0], n_pad), dtype=dt),
-        ], axis=1)                                           # (Sm, CF)
-        return out, n_merged
+        zcol = jnp.zeros((P, 1), dtype=dt)
+        row_i = jnp.concatenate([
+            mat33_to_sym6(Lam_m), the_m, ra[si] + ra[sj],
+            ws[:, None], (cm[si] + cm[sj])[:, None],
+            (lm[si] + lm[sj])[:, None], (rd[si] + rd[sj])[:, None],
+            cs_k[si][:, None], ls_k[si][:, None],
+            v[si].astype(dt)[:, None], eta_m,
+            jnp.zeros((P, n_pad), dtype=dt)], axis=1)
+        row_j = jnp.concatenate([
+            gt[sj][:, 0:9], jnp.zeros((P, 3), dtype=dt),     # Lam/the; ra=0
+            zcol, zcol, zcol, zcol,                          # w, cm, lm, rd
+            cs_k[sj][:, None], ls_k[sj][:, None], zcol,      # cs, ls, v=0
+            gt[sj][:, _O_ETA:_O_ETA + nB3],
+            jnp.zeros((P, n_pad), dtype=dt)], axis=1)
+
+        # Non-selected slots scatter out of bounds (dropped); selected pairs
+        # are disjoint by construction so the two scatters never collide.
+        ii = jnp.where(ok_p, si, Sm)
+        jjj = jnp.where(ok_p, sj, Sm)
+        out = gt.at[ii].set(row_i, mode="drop")
+        out = out.at[jjj].set(row_j, mode="drop")
+        return out, jnp.sum(ok_p.astype(jnp.int32))
 
     return jax.vmap(one_tile)(g)                             # (S, Sm, CF)
 

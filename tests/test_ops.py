@@ -2,6 +2,7 @@
 order-invariance of fusion, smoothness at extremes, units consistency,
 IW suffstat commutativity, evidence correctness on synthetic cases)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -83,6 +84,20 @@ def test_preintegration_constant_yaw():
                                rtol=1e-9)
     # stationary: a_world = R(a_body) + g ~ 0 -> no velocity change
     np.testing.assert_allclose(np.asarray(out["delta_v"]), 0.0, atol=1e-6)
+
+
+def test_prefix_products_matches_associative_scan():
+    """The blocked Sklansky prefix product is a reordering of the same matrix
+    chain; it must match lax.associative_scan to fp tolerance at every length
+    (incl. non-multiples of the 32-chunk and tiny M)."""
+    r = np.random.default_rng(3)
+    for m in (1, 2, 5, 31, 32, 33, 64, 100, 512):
+        rv = jnp.asarray(r.normal(size=(m, 3)) * 0.2, F64)
+        dR = se3.so3_exp(rv)
+        P = imu.prefix_products(dR)
+        P_ref = jax.lax.associative_scan(lambda a, b: a @ b, dR)
+        np.testing.assert_allclose(np.asarray(P), np.asarray(P_ref),
+                                   atol=1e-12, err_msg=f"M={m}")
 
 
 def test_integration_time_device():
