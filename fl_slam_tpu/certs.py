@@ -74,6 +74,26 @@ TRIGGER_KEYS = (
 
 NLL_SUFFIX = ".nll_proxy"
 
+# ExpectedEffect pairs (parity: reference ``ExpectedEffect{objective_name,
+# predicted, realized}``, certificates.py:348-510): each major operator emits
+# "<op>.effect_predicted" / "<op>.effect_realized" device scalars; their
+# divergence is the operator's realized approximation error (PSD projection,
+# Frobenius damping, budget caps, mask shrink). ``aggregate`` sums |p - r|.
+EFFECT_SUFFIX_P = ".effect_predicted"
+EFFECT_SUFFIX_R = ".effect_realized"
+
+
+def effect_pairs(certs: dict) -> dict:
+    """{op: (predicted, realized)} for every complete effect pair present."""
+    out = {}
+    for k in certs:
+        if k.endswith(EFFECT_SUFFIX_P):
+            op = k[: -len(EFFECT_SUFFIX_P)]
+            kr = op + EFFECT_SUFFIX_R
+            if kr in certs:
+                out[op] = (certs[k], certs[kr])
+    return out
+
 
 def category(key: str) -> str:
     return CATEGORY_OF_PREFIX.get(key.split(".", 1)[0], "other")
@@ -94,6 +114,8 @@ def aggregate(certs: dict) -> dict:
         "agg.lift_total": lift,
         "agg.psd_projection_total": proj,
         "agg.frobenius_applied": (trig > 0).astype(jnp.float32),
+        "agg.effect_divergence": sum(
+            (jnp.abs(p - r) for p, r in effect_pairs(certs).values()), z),
     }
     if "predict.cond" in certs:
         out["agg.cond_max"] = jnp.maximum(certs["predict.cond"],

@@ -99,10 +99,16 @@ def info_fusion_additive(belief_pred: Belief, L_evidence, h_evidence, alpha, *,
     """L_post = L_pred + alpha L_ev (PSD-projected); h likewise (fusion.py:150-230)."""
     L_post, proj = psd_guard(belief_pred.L + alpha * L_evidence, eps_psd)
     h_post = belief_pred.h + alpha * h_evidence
+    trace_inc = jnp.trace(L_post) - jnp.trace(belief_pred.L)
     certs = {
         "fusion.alpha": alpha * jnp.ones((), L_post.dtype),
         "fusion.psd_projection": proj,
-        "fusion.trace_increase": jnp.trace(L_post) - jnp.trace(belief_pred.L),
+        "fusion.trace_increase": trace_inc,
+        # ExpectedEffect: predicted information gain tr(alpha L_ev) vs the
+        # gain realized after PSD projection (certificates.py:348-510);
+        # divergence = the projection's bite.
+        "fusion.effect_predicted": alpha * jnp.trace(L_evidence),
+        "fusion.effect_realized": trace_inc,
     }
     return belief_pred._replace(L=L_post, h=h_post), certs
 

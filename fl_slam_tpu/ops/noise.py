@@ -154,7 +154,14 @@ def process_apply_suffstats(state: ProcessNoiseIW, dpsi, dnu, cfg: GCConfig,
     dims = jnp.asarray(_BLOCK_DIMS, dtype)
     nu_min = dims + 1.0 + cfg.iw_nu_weak_add
     nu = _smooth_nu_clip(rho * state.nu + dnu, nu_min, nu_max)
-    certs = {"iw_process.psd_projection": jnp.sum(proj)}
+    certs = {"iw_process.psd_projection": jnp.sum(proj),
+             # ExpectedEffect: scale-matrix mass the suffstats propose vs the
+             # mass retained after block masking + PSD guard.
+             "iw_process.effect_predicted": jnp.sum(
+                 jnp.trace(dpsi, axis1=-2, axis2=-1)),
+             "iw_process.effect_realized": jnp.sum(
+                 jnp.trace(psi_psd - rho[:, None, None] * state.psi,
+                           axis1=-2, axis2=-1))}
     return ProcessNoiseIW(nu=nu, psi=psi_psd), certs
 
 

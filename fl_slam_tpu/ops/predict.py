@@ -97,5 +97,18 @@ def predict_diffusion(b: Belief, Q, dt_sec, *, lambda_ou: float, eps_psd: float,
         "predict.motion_norm": (jnp.linalg.norm(mean_pred - mean_prev, axis=-1)
                                 if motion is not None
                                 else jnp.zeros(b.h.shape[:-1], dtype)),
+        # ExpectedEffect (parity: certificates.py:348-510): the operator's
+        # self-predicted objective delta vs what it realized. Predicted =
+        # magnitude of the mechanized body-frame increment it intends to
+        # apply; realized = the actual in-chart mean shift. Divergence =
+        # chart curvature (the exp/log composition) + clipping.
+        "predict.effect_predicted": (
+            jnp.linalg.norm(xi_rel, axis=-1)
+            + jnp.linalg.norm(motion.delta_v_body, axis=-1)
+            if motion is not None else jnp.zeros(b.h.shape[:-1], dtype)),
+        "predict.effect_realized": (
+            jnp.linalg.norm(mean_pred - mean_prev, axis=-1)
+            if motion is not None
+            else jnp.zeros(b.h.shape[:-1], dtype)),
     }
     return b._replace(L=L_pred_psd, h=h_pred), certs

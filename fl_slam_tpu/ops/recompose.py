@@ -47,6 +47,10 @@ def frobenius_recompose(belief_post: Belief, z_lin, total_trigger_magnitude, *,
         "recompose.frobenius_strength": strength,
         "recompose.bch_norm": jnp.linalg.norm(corr),
         "recompose.pose_increment_norm": jnp.linalg.norm(delta_corr),
+        # ExpectedEffect: pose shift the solve requested vs the shift applied
+        # after the Frobenius-blended BCH correction (certificates.py:348-510).
+        "recompose.effect_predicted": jnp.linalg.norm(delta_pose),
+        "recompose.effect_realized": jnp.linalg.norm(delta_corr),
     }
     return belief_new, z_lin_new, delta_corr, certs
 
@@ -71,5 +75,11 @@ def anchor_drift_update(belief: Belief, z_lin, *, m0: float, r0: float,
 
     belief_new = Belief(L=belief.L, h=h_new, anchor=X_new)
     certs = {"anchor.rho": rho, "anchor.drift_m": drift_m,
-             "anchor.drift_r": drift_r}
+             "anchor.drift_r": drift_r,
+             # ExpectedEffect: in-chart increment the drift absorbs vs the
+             # SE(3) displacement the anchor actually made; divergence =
+             # exp-map curvature over the absorbed increment.
+             "anchor.effect_predicted": rho * jnp.linalg.norm(delta_pose),
+             "anchor.effect_realized": jnp.linalg.norm(
+                 se3.se3_log(se3.se3_relative(belief.anchor, X_new)))}
     return belief_new, z_lin_new, certs

@@ -49,6 +49,51 @@ class TestCertSchema:
         assert np.isfinite(float(agg["agg.nll_total"]))
 
 
+class TestExpectedEffect:
+    """Per-operator predicted-vs-realized objective pairs (parity: reference
+    ExpectedEffect, certificates.py:348-510)."""
+
+    def test_pairs_present_and_complete(self):
+        certs = _one_scan_certs()
+        pairs = C.effect_pairs(certs)
+        # the major operators of the 14-step pipeline all report an effect
+        for op in ("predict", "fusion", "recompose", "anchor", "ot", "map",
+                   "map.insert", "iw_process"):
+            assert op in pairs, f"missing ExpectedEffect pair for {op}"
+        # no orphan halves
+        for k in certs:
+            if k.endswith(C.EFFECT_SUFFIX_P):
+                assert k[:-len(C.EFFECT_SUFFIX_P)] + C.EFFECT_SUFFIX_R in certs
+            if k.endswith(C.EFFECT_SUFFIX_R):
+                assert k[:-len(C.EFFECT_SUFFIX_R)] + C.EFFECT_SUFFIX_P in certs
+
+    def test_consistency_bounds(self):
+        certs = _one_scan_certs()
+        pairs = C.effect_pairs(certs)
+        for op, (p, r) in pairs.items():
+            p, r = float(p), float(r)
+            assert np.isfinite(p) and np.isfinite(r), op
+            # realized never exceeds predicted for the budgeted/masked ops
+            if op in ("ot", "map", "map.insert"):
+                assert r <= p + 1e-6, (op, p, r)
+        agg = C.aggregate(certs)
+        assert float(agg["agg.effect_divergence"]) >= 0.0
+
+    def test_fusion_effect_exact_without_projection(self):
+        """With PSD evidence and a PSD prior the projection is a no-op, so
+        predicted == realized information gain exactly."""
+        from fl_slam_tpu.core.belief import identity_belief
+        from fl_slam_tpu.ops import fusion
+        b = identity_belief(dtype=jnp.float64, prior_info=1.0)
+        L_ev = jnp.eye(b.L.shape[0], dtype=jnp.float64) * 0.5
+        h_ev = jnp.zeros(b.h.shape, jnp.float64)
+        _, certs = fusion.info_fusion_additive(b, L_ev, h_ev, 1.0,
+                                               eps_psd=1e-12)
+        np.testing.assert_allclose(float(certs["fusion.effect_predicted"]),
+                                   float(certs["fusion.effect_realized"]),
+                                   rtol=1e-9)
+
+
 class TestBudgetAssertions:
     """The fixed-cost contract: declared budgets are compile-time facts
     (spec section 12.9.1)."""

@@ -188,8 +188,60 @@ def _dashboard(out_dir, outs, poses, gt_poses, stamps):
     path = f"{out_dir}/dashboard.html"
     fig.write_html(path)
     print(f"[dashboard] {path}")
+    _effect_dashboard(out_dir, certs, t, backend="plotly")
 
 
+
+
+def _effect_dashboard(out_dir, certs, t, backend="mpl"):
+    """ExpectedEffect panel: predicted-vs-realized objective per operator
+    (parity: reference certificates.py:348-510 audit axis)."""
+    from fl_slam_tpu.certs import effect_pairs
+    pairs = effect_pairs(certs)
+    if not pairs:
+        return
+    if backend == "plotly":
+        try:
+            import plotly.graph_objects as go
+            from plotly.subplots import make_subplots
+        except Exception:
+            backend = "mpl"
+    if backend == "plotly":
+        n = len(pairs)
+        cols = 2
+        rows = (n + cols - 1) // cols
+        fig = make_subplots(rows=rows, cols=cols,
+                            subplot_titles=list(pairs))
+        for i, (op, (p, r)) in enumerate(sorted(pairs.items())):
+            fig.add_trace(go.Scatter(x=t, y=p, name=f"{op} predicted"),
+                          row=i // cols + 1, col=i % cols + 1)
+            fig.add_trace(go.Scatter(x=t, y=r, name=f"{op} realized"),
+                          row=i // cols + 1, col=i % cols + 1)
+        path = f"{out_dir}/expected_effect.html"
+        fig.write_html(path)
+    else:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        n = len(pairs)
+        cols = 2
+        rows = (n + cols - 1) // cols
+        fig, ax = plt.subplots(rows, cols, figsize=(12, 3 * rows),
+                               squeeze=False)
+        for i, (op, (p, r)) in enumerate(sorted(pairs.items())):
+            a = ax[i // cols][i % cols]
+            a.plot(t, p, label="predicted")
+            a.plot(t, r, "--", label="realized")
+            a.set_title(op)
+            a.legend(fontsize=7)
+        fig.tight_layout()
+        path = f"{out_dir}/expected_effect.png"
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    print(f"[dashboard] {path}")
 
 
 def _dashboard_mpl(out_dir, outs, poses, gt_poses, stamps):
@@ -227,6 +279,7 @@ def _dashboard_mpl(out_dir, outs, poses, gt_poses, stamps):
     fig.savefig(path, dpi=110)
     plt.close(fig)
     print(f"[dashboard] {path}")
+    _effect_dashboard(out_dir, certs, t, backend="mpl")
 
 
 if __name__ == "__main__":
