@@ -289,11 +289,12 @@ class GCConfig:
     # eviction) so a ~5% tail miss is semantically benign. Exact top_k
     # remains the default for CPU parity tests.
     approx_topk: bool = False
-    # Run the three large SELECTION scans (view top-by-weight/recency, assoc
-    # candidate top-K scores) in bfloat16: selection is bandwidth-bound (the
-    # (n_meas, V) cost top-K alone reads ~44 MB f32, ~175 us) and feeds soft
-    # machinery that re-reads exact f32 values for the selected rows, so the
-    # only effect is rank swaps among candidates within ~0.4% of each other.
+    # Materialize the association candidate SCORE matrix in bfloat16: that
+    # selection is bandwidth-bound (the (n_meas, V) cost matrix is ~44 MB in
+    # f32) and feeds soft machinery that recomputes exact f32 costs for the
+    # selected candidates, so the only effect is rank swaps among candidates
+    # within ~0.4% of each other. (The view/eviction selections measured
+    # SLOWER in bf16 — they are sort-bound — and stay f32 regardless.)
     # Exact f32 selection remains the default for CPU parity tests.
     select_bf16: bool = False
     # Use the Pallas predicated-DMA slab exchange (structures/atlas_kernels).

@@ -63,14 +63,42 @@ def _sinc_coeffs(theta, theta_sq):
     return a, b, c
 
 
+def _axx(w, a_diag, s, b):
+    """Elementwise a_diag*I + s*W + b*w w^T assembly (shared by exp/V/V_inv:
+    avoids the tiny batched ``W @ W`` dot_general — see so3_exp note)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    swx, swy, swz = s * wx, s * wy, s * wz
+    bwx, bwy, bwz = b * wx, b * wy, b * wz
+    return jnp.stack([
+        jnp.stack([a_diag + bwx * wx, bwx * wy - swz, bwx * wz + swy],
+                  axis=-1),
+        jnp.stack([bwy * wx + swz, a_diag + bwy * wy, bwy * wz - swx],
+                  axis=-1),
+        jnp.stack([bwz * wx - swy, bwz * wy + swx, a_diag + bwz * wz],
+                  axis=-1),
+    ], axis=-2)
+
+
 def so3_exp(w):
-    """Rodrigues: (..., 3) rotvec -> (..., 3, 3) rotation matrix."""
+    """Rodrigues: (..., 3) rotvec -> (..., 3, 3) rotation matrix.
+
+    Fully ELEMENTWISE via W^2 = w w^T - theta^2 I: R = (1 - b theta^2) I
+    + a W + b w w^T, assembled with one stack. The naive ``W @ W`` form costs
+    a batched 3x3 dot_general per call site — too small for the MXU, XLA
+    shreds it into ~30 VPU micro-ops each, and the pipeline's ~40 small-batch
+    call sites made that single line a ~330 us/scan serial tail (round-2
+    trace, source-attributed)."""
     theta, theta_sq = _theta(w)
     a, b, _ = _sinc_coeffs(theta, theta_sq)
-    W = hat(w)
-    W2 = W @ W
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + a[..., None, None] * W + b[..., None, None] * W2
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    c = 1.0 - b * theta_sq
+    awx, awy, awz = a * wx, a * wy, a * wz
+    bwx, bwy, bwz = b * wx, b * wy, b * wz
+    return jnp.stack([
+        jnp.stack([c + bwx * wx, bwx * wy - awz, bwx * wz + awy], axis=-1),
+        jnp.stack([bwy * wx + awz, c + bwy * wy, bwy * wz - awx], axis=-1),
+        jnp.stack([bwz * wx - awy, bwz * wy + awx, c + bwz * wz], axis=-1),
+    ], axis=-2)
 
 
 def _promote64(x):
@@ -137,10 +165,7 @@ def so3_V(w):
     """Left Jacobian of SO(3) (a.k.a. V): Exp(w)'s translation mixer."""
     theta, theta_sq = _theta(w)
     _, b, c = _sinc_coeffs(theta, theta_sq)
-    W = hat(w)
-    W2 = W @ W
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + b[..., None, None] * W + c[..., None, None] * W2
+    return _axx(w, 1.0 - c * theta_sq, b, c)
 
 
 def so3_V_inv(w):
@@ -155,10 +180,7 @@ def so3_V_inv(w):
         1.0 / 12.0 + theta_sq / 720.0,
         (1.0 - cot) / (safe * safe),
     )
-    W = hat(w)
-    W2 = W @ W
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye - 0.5 * W + coef[..., None, None] * W2
+    return _axx(w, 1.0 - coef * theta_sq, -0.5, coef)
 
 
 def so3_right_jacobian(w):

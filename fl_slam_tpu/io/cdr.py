@@ -304,3 +304,90 @@ def encode_pointcloud2(stamp, xyz, ring=None, point_time=None) -> bytes:
     w.bytes_seq(raw.tobytes())
     w.u8(1)         # is_dense
     return bytes(w.parts)
+
+
+# ---------------------------------------------------------------------------
+# Camera wire formats (parity: reference src/camera_rgbd_node.cpp:49-90 —
+# compressed RGB + raw 16UC1 depth in, stamp-paired RGBD out).
+# ---------------------------------------------------------------------------
+
+
+class CompressedImageMsg(NamedTuple):
+    stamp: float
+    format: str              # e.g. "rgb8; jpeg compressed bgr8"
+    data: bytes              # the compressed payload (JPEG/PNG)
+
+
+def decode_compressed_image(buf: bytes) -> CompressedImageMsg:
+    """sensor_msgs/msg/CompressedImage."""
+    c = _Cursor(buf)
+    stamp = _header(c)
+    fmt = c.string()
+    data = bytes(c.bytes_seq())
+    return CompressedImageMsg(stamp=stamp, format=fmt, data=data)
+
+
+class ImageMsg(NamedTuple):
+    stamp: float
+    height: int
+    width: int
+    encoding: str            # e.g. "16UC1", "rgb8"
+    step: int
+    data: memoryview
+
+
+def decode_image(buf: bytes) -> ImageMsg:
+    """sensor_msgs/msg/Image (raw)."""
+    c = _Cursor(buf)
+    stamp = _header(c)
+    height = c.u32()
+    width = c.u32()
+    encoding = c.string()
+    c.u8()                   # is_bigendian
+    step = c.u32()
+    data = c.bytes_seq()
+    return ImageMsg(stamp=stamp, height=height, width=width,
+                    encoding=encoding, step=step, data=data)
+
+
+def depth_image_to_m(msg: ImageMsg) -> np.ndarray:
+    """Depth image -> (H, W) float32 meters (16UC1 mm or 32FC1 m; parity:
+    camera_rgbd_node.cpp mm->m conversion / depth_passthrough.py)."""
+    if msg.encoding in ("16UC1", "mono16"):
+        d = np.frombuffer(msg.data, dtype="<u2").reshape(msg.height,
+                                                         msg.width)
+        return d.astype(np.float32) * 1e-3
+    if msg.encoding == "32FC1":
+        return np.frombuffer(msg.data, dtype="<f4").reshape(
+            msg.height, msg.width).copy()
+    raise ValueError(f"unsupported depth encoding {msg.encoding!r}")
+
+
+def encode_compressed_image(stamp: float, payload: bytes,
+                            fmt: str = "rgb8; jpeg compressed bgr8") -> bytes:
+    w = _Writer()
+    w.header(stamp)
+    w.string(fmt)
+    w.bytes_seq(payload)
+    return bytes(w.parts)
+
+
+def encode_image(stamp: float, array: np.ndarray, encoding: str) -> bytes:
+    """Raw image encoder (tests/synthetic bags): 16UC1 (H, W) u16 or rgb8."""
+    if encoding in ("16UC1", "mono16"):
+        raw = np.ascontiguousarray(array, dtype="<u2")
+        step = raw.shape[1] * 2
+    elif encoding == "rgb8":
+        raw = np.ascontiguousarray(array, dtype=np.uint8)
+        step = raw.shape[1] * 3
+    else:
+        raise ValueError(encoding)
+    w = _Writer()
+    w.header(stamp)
+    w.u32(array.shape[0])
+    w.u32(array.shape[1])
+    w.string(encoding)
+    w.u8(0)
+    w.u32(step)
+    w.bytes_seq(raw.tobytes())
+    return bytes(w.parts)

@@ -46,6 +46,48 @@ class BagTopics(NamedTuple):
     odom: str
 
 
+class CameraTopics(NamedTuple):
+    """RGB-D topics (parity: reference ``src/camera_rgbd_node.cpp`` inputs:
+    compressed color + raw rectified depth)."""
+
+    rgb: str        # sensor_msgs/CompressedImage (JPEG/PNG payload)
+    depth: str      # sensor_msgs/Image (16UC1 mm or 32FC1 m)
+
+
+def load_calibration(path: str) -> dict:
+    """Rig calibration JSON -> {T_base_lidar (4,4), T_base_cam (4,4),
+    intrinsics PinholeIntrinsics} (parity: the reference parses extrinsics
+    inline/from file, ``backend_node.py:247-283,672-704``, and ships a Kimera
+    converter ``tools/kimera_calibration_to_gc.py``).
+
+    Schema: {"T_base_lidar": 4x4 nested list (optional),
+             "T_base_cam": 4x4 (optional),
+             "intrinsics": {fx, fy, cx, cy, width, height} (optional)}.
+    """
+    import json
+    with open(path) as fh:
+        raw = json.load(fh)
+    out = {}
+    for k in ("T_base_lidar", "T_base_cam"):
+        if k in raw:
+            T = np.asarray(raw[k], dtype=np.float64)
+            if T.shape != (4, 4):
+                raise ValueError(f"{k} must be 4x4, got {T.shape}")
+            R = T[:3, :3]
+            if abs(np.linalg.det(R) - 1.0) > 1e-3:
+                raise ValueError(f"{k} rotation det {np.linalg.det(R):.6f}"
+                                 " != 1 (not a rigid transform)")
+            out[k] = T
+    if "intrinsics" in raw:
+        from fl_slam_tpu.camera.features import PinholeIntrinsics
+        ii = raw["intrinsics"]
+        out["intrinsics"] = PinholeIntrinsics(
+            fx=float(ii["fx"]), fy=float(ii["fy"]), cx=float(ii["cx"]),
+            cy=float(ii["cy"]), width=int(ii["width"]),
+            height=int(ii["height"]))
+    return out
+
+
 class RosbagReader:
     """Reads all messages of the needed topics from a ROS 2 bag directory."""
 
@@ -112,14 +154,115 @@ def _budget_resample(points, stamps, weights, n_cap):
     return out_p, out_t, out_w
 
 
+def _decode_rgb(payload: bytes) -> np.ndarray:
+    """Compressed RGB payload (JPEG/PNG) -> (H, W, 3) uint8 (parity:
+    camera_rgbd_node.cpp cv::imdecode; PIL is libjpeg/libpng-backed)."""
+    import io as _io
+
+    from PIL import Image
+    img = Image.open(_io.BytesIO(payload))
+    return np.asarray(img.convert("RGB"))
+
+
+def _stage_camera(reader: "RosbagReader", cam: CameraTopics, intrinsics,
+                  T_base_cam: np.ndarray, scan_starts, scan_points, cfg,
+                  audit: dict, pair_window_s: float = 0.05,
+                  scan_window_s: float = 0.15) -> dict:
+    """Stage the camera slice from real bag RGB-D (parity: the 3-process
+    reference chain ``camera_rgbd_node.cpp:49-90`` [decode + mm->m + stamp
+    pairing <= 50 ms] -> ``visual_feature_node.cpp`` [features + depth
+    naturals] -> ``backend_node.py:1865-1925`` [PoE depth fusion + base-frame
+    camera batch], collapsed into one host-side pass).
+
+    Frames are decoded lazily: only the RGB-D pair actually selected for a
+    scan is JPEG-decoded and feature-extracted, once (consecutive scans that
+    select the same frame reuse it).
+    """
+    from fl_slam_tpu.camera.depth_fusion import (camera_slice_fields,
+                                                 splat_prep_fused)
+    from fl_slam_tpu.camera.features import extract_features
+
+    T = len(scan_starts)
+    B = cfg.vmf_n_lobes
+    NF = cfg.n_feat
+    out = {
+        "cam_Lambdas": np.zeros((T, NF, 3, 3)),
+        "cam_thetas": np.zeros((T, NF, 3)),
+        "cam_etas": np.zeros((T, NF, B, 3)),
+        "cam_weights": np.zeros((T, NF)),
+        "cam_valid": np.zeros((T, NF)),
+        "cam_colors": np.full((T, NF, 3), 0.5),
+    }
+    from fl_slam_tpu.io.cdr import (decode_compressed_image, decode_image,
+                                    depth_image_to_m)
+    rgb_msgs = [decode_compressed_image(b)
+                for _, b in reader.read_topic(cam.rgb)]
+    depth_msgs = [decode_image(b) for _, b in reader.read_topic(cam.depth)]
+    audit["consumed"][cam.rgb] = len(rgb_msgs)
+    audit["consumed"][cam.depth] = len(depth_msgs)
+    if not rgb_msgs or not depth_msgs:
+        audit["camera_scans"] = 0
+        return out
+
+    rgb_stamps = np.asarray([m.stamp for m in rgb_msgs])
+    depth_stamps = np.asarray([m.stamp for m in depth_msgs])
+    # Pair each RGB with the nearest depth (<= pair_window_s, reference
+    # camera_rgbd_node pairing tolerance).
+    d_idx = np.argmin(np.abs(depth_stamps[None, :] - rgb_stamps[:, None]),
+                      axis=1)
+    pair_ok = np.abs(depth_stamps[d_idx] - rgb_stamps) <= pair_window_s
+    audit["camera_pairs"] = int(pair_ok.sum())
+
+    R_bc = np.asarray(T_base_cam)[:3, :3]
+    t_bc = np.asarray(T_base_cam)[:3, 3]
+    feat_cache: dict = {}
+    n_cam_scans = 0
+    for i, t_scan in enumerate(np.asarray(scan_starts)):
+        cand = np.where(pair_ok)[0]
+        if cand.size == 0:
+            break
+        j = cand[np.argmin(np.abs(rgb_stamps[cand] - t_scan))]
+        if abs(rgb_stamps[j] - t_scan) > scan_window_s:
+            continue
+        if j not in feat_cache:
+            rgb = _decode_rgb(rgb_msgs[j].data)
+            depth = depth_image_to_m(depth_msgs[d_idx[j]])
+            if (rgb.shape[0] != intrinsics.height
+                    or rgb.shape[1] != intrinsics.width):
+                raise ValueError(
+                    f"intrinsics {intrinsics.width}x{intrinsics.height} do "
+                    f"not match bag image {rgb.shape[1]}x{rgb.shape[0]}")
+            feat_cache = {j: extract_features(rgb, depth, intrinsics, NF)}
+        feats = feat_cache[j]
+        # This scan's lidar points (base frame) -> camera frame for the
+        # Route A/B lidar-depth evidence.
+        pts_cam = (scan_points[i] - t_bc) @ R_bc
+        fused = splat_prep_fused(feats, intrinsics, pts_cam)
+        fields = camera_slice_fields(fused, T_base_cam, B)
+        out["cam_Lambdas"][i] = fields["Lambdas"]
+        out["cam_thetas"][i] = fields["thetas"]
+        out["cam_etas"][i] = fields["etas"]
+        out["cam_weights"][i] = fields["weights"]
+        out["cam_valid"][i] = fields["valid"].astype(np.float64)
+        out["cam_colors"][i] = fields["colors"]
+        n_cam_scans += 1
+    audit["camera_scans"] = n_cam_scans
+    return out
+
+
 def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
                       T_base_lidar: Optional[np.ndarray] = None,
+                      cam_topics: Optional[CameraTopics] = None,
+                      intrinsics=None,
+                      T_base_cam: Optional[np.ndarray] = None,
                       max_scans: Optional[int] = None,
                       raw_point_cap: int = 60000) -> dict:
     """Read a bag and build the stacked ScanInput dict (numpy, leading T).
 
     T_base_lidar: optional 4x4 lidar->base extrinsic applied host-side
-    (parity: backend_node.py:1680).
+    (parity: backend_node.py:1680). cam_topics + intrinsics + T_base_cam
+    enable the RGB-D camera slice (parity: camera_rgbd_node ->
+    visual_feature_node -> backend camera batch).
     """
     reader = RosbagReader(bag_dir)
     sentinel = cfg.nonfinite_sentinel
@@ -228,18 +371,26 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
     out = {k: np.asarray(v) for k, v in recs.items()}
     audit["n_scans"] = int(out["scan_start"].shape[0])
     audit["consumed"][topics.lidar] = audit["n_scans"]
-    # Camera slice placeholders (the Kimera camera path stages separately;
-    # zeros = no camera, every consumer masks on valid).
     T = out["scan_start"].shape[0]
     B = cfg.vmf_n_lobes
-    out.update({
-        "cam_Lambdas": np.zeros((T, cfg.n_feat, 3, 3)),
-        "cam_thetas": np.zeros((T, cfg.n_feat, 3)),
-        "cam_etas": np.zeros((T, cfg.n_feat, B, 3)),
-        "cam_weights": np.zeros((T, cfg.n_feat)),
-        "cam_valid": np.zeros((T, cfg.n_feat)),
-        "cam_colors": np.full((T, cfg.n_feat, 3), 0.5),
-    })
+    if cam_topics is not None and T > 0:
+        if intrinsics is None:
+            raise ValueError("camera staging needs intrinsics "
+                             "(load_calibration --calib JSON)")
+        out.update(_stage_camera(
+            reader, cam_topics, intrinsics,
+            np.eye(4) if T_base_cam is None else T_base_cam,
+            out["scan_start"], out["points"], cfg, audit))
+    else:
+        # No camera: zero slice (every consumer masks on valid).
+        out.update({
+            "cam_Lambdas": np.zeros((T, cfg.n_feat, 3, 3)),
+            "cam_thetas": np.zeros((T, cfg.n_feat, 3)),
+            "cam_etas": np.zeros((T, cfg.n_feat, B, 3)),
+            "cam_weights": np.zeros((T, cfg.n_feat)),
+            "cam_valid": np.zeros((T, cfg.n_feat)),
+            "cam_colors": np.full((T, cfg.n_feat, 3), 0.5),
+        })
     audit["staged_bytes"] = int(sum(v.nbytes for v in out.values()))
     audit["dead_end_topics"] = sorted(
         set(audit["topics_in_bag"]) - set(audit["consumed"]))

@@ -499,19 +499,10 @@ def ff_extract_view(sf: SlabsFF, S: int, cfg: GCConfig) -> MapView:
     cs2 = ff[o + _ROW_CS].reshape(S, M)
     kw = min(V - V // 2, M)
     kr = min(V // 2, M)
+    # (bf16 scores were tried here and MEASURED SLOWER: these selections are
+    # bound by the bucket sort, and the TPU sorts bf16 keys slower than f32.)
     score_w = jnp.where(vmask2, w2, neg_inf)
     score_r = jnp.where(vmask2, cs2, neg_inf)
-    if cfg.select_bf16:
-        # Selection-only bf16 (halves the two (S, M) selection scans' reads;
-        # the gathered rows below stay exact f32). Weights: ~0.4% rank noise
-        # among near-ties. Recency: created_seq rebased to the per-tile max
-        # so the RECENT end keeps full resolution (bf16 represents integers
-        # exactly only to 256; stale rows may tie, which only blurs which
-        # equally-old rows fill the recency half's tail).
-        score_w = score_w.astype(jnp.bfloat16)
-        r_top = jnp.max(score_r, axis=1, keepdims=True)
-        score_r = (score_r - jnp.where(jnp.isfinite(r_top), r_top, 0.0)
-                   ).astype(jnp.bfloat16)
     _, idx_w = top_k_maybe_approx(score_w, kw, cfg.approx_topk)  # (S, kw)
     _, idx_r = top_k_maybe_approx(score_r, kr, cfg.approx_topk)  # (S, kr)
     # Recency rows already selected by the weight half are duplicates.
@@ -778,17 +769,12 @@ def ff_write_view(sf: SlabsFF, view: MapView, rows: jnp.ndarray) -> SlabsFF:
     """ONE column scatter writing the updated compact rows back to their slab
     columns (duplicate/pad rows were pointed out of bounds at extraction).
 
-    The scatter runs in ASCENDING column order: XLA's TPU scatter is
-    row-serialized and markedly faster on monotone index streams (round-1
-    profile: the near-sorted fuse-site scatter beat a Pallas kernel). The
-    view's natural order is top-k rank order (column-random); one (V,) sort
-    + one contiguous row gather (~8 ns/row) buys locality for the ~48 ns/col
-    scatter stream."""
+    (Measured: pre-sorting the columns into ascending order does NOT speed
+    this scatter up — the ~48 ns/column serialization is order-independent on
+    this TPU — so the rows scatter in view order directly.)"""
     SM = sf.ff.shape[1]
     tgt = jnp.minimum(view.put_idx, jnp.int32(SM))
-    order = jnp.argsort(tgt)
-    return sf._replace(ff=sf.ff.at[:, tgt[order]].set(rows[order].T,
-                                                      mode="drop"))
+    return sf._replace(ff=sf.ff.at[:, tgt].set(rows.T, mode="drop"))
 
 
 # ---------------------------------------------------------------------------
@@ -828,8 +814,6 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
                           ff[o + _ROW_W].reshape(S, M) *
                           jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
-    if cfg.select_bf16:  # selection-only (see ff_extract_view note)
-        retention = retention.astype(jnp.bfloat16)
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)

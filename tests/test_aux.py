@@ -39,8 +39,9 @@ class TestCheckpoint:
         for i in range(3):
             s2, _ = step(s2, i)
         path = os.path.join(tmp_path, "ckpt.npz")
-        save_state(path, s2)
-        s3 = load_state(path, init_state(CFG, anchor0=anchor0, t0=t0))
+        save_state(path, s2, cfg=CFG)
+        s3 = load_state(path, init_state(CFG, anchor0=anchor0, t0=t0),
+                        cfg=CFG)
         for i in range(3, 6):
             s3, out_resumed = step(s3, i)
 
@@ -53,8 +54,13 @@ class TestCheckpoint:
         import pytest
         s = init_state(CFG)
         path = os.path.join(tmp_path, "c.npz")
-        save_state(path, s)
-        other = init_state(CFG.replace(m_tile=CFG.m_tile * 2))
+        save_state(path, s, cfg=CFG)
+        cfg2 = CFG.replace(m_tile=CFG.m_tile * 2)
+        other = init_state(cfg2)
+        # config-aware load reports the exact mismatching field
+        with pytest.raises(ValueError, match="m_tile"):
+            load_state(path, other, cfg=cfg2)
+        # config-less load still fails on shape
         with pytest.raises(ValueError):
             load_state(path, other)
 

@@ -190,3 +190,119 @@ class TestBagReader:
             [0, 0, 0.4], atol=1e-12)
         np.testing.assert_allclose(
             quat_xyzw_to_rotvec(np.array([0.0, 0, 0, 1.0])), np.zeros(3))
+
+
+def _checker_rgb(w, h, seed=0):
+    """Random-dot RGB uint8 — dense FAST-9 corners for the extractor
+    (checkerboard X-corners lack the contiguous bright/dark arc FAST needs)."""
+    r = np.random.default_rng(seed)
+    img = ((r.random((h, w)) > 0.7) * 255).astype(np.uint8)
+    return np.stack([img, img, img], axis=-1)
+
+
+def _make_camera_bag(tmp_path, rng, n_scans=3, w=160, h=120):
+    """Bag with lidar+imu+odom AND compressed RGB + 16UC1 depth topics."""
+    import io as _io
+
+    from PIL import Image
+    bag = _make_bag(tmp_path, rng, n_scans=n_scans)
+    db = os.path.join(bag, "synth_0.db3")
+    con = sqlite3.connect(db)
+    con.executemany("INSERT INTO topics VALUES (?,?,?,?,?)", [
+        (4, "/cam/rgb", "sensor_msgs/msg/CompressedImage", "cdr", ""),
+        (5, "/cam/depth", "sensor_msgs/msg/Image", "cdr", "")])
+    mid = 100000
+    rgb = _checker_rgb(w, h)
+    buf = _io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=92)
+    jpeg = buf.getvalue()
+    depth_mm = np.full((h, w), 2500, dtype=np.uint16)   # 2.5 m everywhere
+    for i in range(n_scans):
+        # rgb 12 ms after the scan clock, depth 8 ms after rgb (pair <=50 ms)
+        t_rgb = 100.0 + 0.1 * i + 0.012
+        t_dep = t_rgb + 0.008
+        mid += 1
+        con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                    (mid, 4, int(t_rgb * 1e9),
+                     cdr.encode_compressed_image(t_rgb, jpeg)))
+        mid += 1
+        con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                    (mid, 5, int(t_dep * 1e9),
+                     cdr.encode_image(t_dep, depth_mm, "16UC1")))
+    con.commit()
+    con.close()
+    return bag
+
+
+class TestCameraBag:
+    """The real-bag camera path (parity: camera_rgbd_node.cpp:49-90 decode +
+    stamp pairing -> visual features -> camera slice)."""
+
+    def test_camera_cdr_roundtrip(self):
+        d = (np.arange(12, dtype=np.uint16) * 100).reshape(3, 4)
+        m = cdr.decode_image(cdr.encode_image(3.25, d, "16UC1"))
+        assert m.encoding == "16UC1" and m.stamp == pytest.approx(3.25)
+        np.testing.assert_allclose(cdr.depth_image_to_m(m),
+                                   d.astype(np.float32) * 1e-3)
+        c = cdr.decode_compressed_image(
+            cdr.encode_compressed_image(9.125, b"PAYLOAD"))
+        assert c.data == b"PAYLOAD" and c.stamp == pytest.approx(9.125)
+
+    def test_camera_slice_from_bag(self, tmp_path, rng):
+        from fl_slam_tpu.camera.features import PinholeIntrinsics
+        from fl_slam_tpu.io.rosbag import CameraTopics
+        w, h = 160, 120
+        bag = _make_camera_bag(str(tmp_path), rng)
+        intr = PinholeIntrinsics(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                                 width=w, height=h)
+        recs = load_scan_records(
+            bag, BagTopics("/lidar", "/imu", "/odom"), CFG,
+            cam_topics=CameraTopics("/cam/rgb", "/cam/depth"),
+            intrinsics=intr, T_base_cam=np.eye(4))
+        audit = recs["__audit__"]
+        assert audit["camera_pairs"] == 3
+        assert audit["camera_scans"] == 3
+        nv = recs["cam_valid"].sum(axis=1)
+        assert (nv > 0).all(), nv          # every scan got features
+        # valid features carry positive-definite position info at ~2.5 m
+        i, j = 0, int(np.argmax(recs["cam_valid"][0]))
+        Lam = recs["cam_Lambdas"][i, j]
+        assert np.linalg.eigvalsh(Lam).min() > 0
+        mu = np.linalg.solve(Lam, recs["cam_thetas"][i, j])
+        assert 1.5 < mu[2] < 3.5           # depth recovered (camera z fwd)
+        # weights only on valid rows
+        assert (recs["cam_weights"][recs["cam_valid"] < 0.5] == 0).all()
+
+    def test_no_camera_frames_within_window(self, tmp_path, rng):
+        """Scans far from any camera frame stage a zero camera slice."""
+        from fl_slam_tpu.camera.features import PinholeIntrinsics
+        from fl_slam_tpu.io.rosbag import CameraTopics
+        bag = _make_bag(str(tmp_path), rng, n_scans=2)
+        intr = PinholeIntrinsics(fx=100.0, fy=100.0, cx=80, cy=60,
+                                 width=160, height=120)
+        recs = load_scan_records(
+            bag, BagTopics("/lidar", "/imu", "/odom"), CFG,
+            cam_topics=CameraTopics("/cam/rgb", "/cam/depth"),
+            intrinsics=intr, T_base_cam=np.eye(4))
+        assert recs["__audit__"]["camera_scans"] == 0
+        assert recs["cam_valid"].sum() == 0
+
+    def test_load_calibration(self, tmp_path):
+        import json
+        from fl_slam_tpu.io.rosbag import load_calibration
+        T = np.eye(4)
+        T[:3, 3] = [0.1, 0.0, 0.2]
+        path = os.path.join(str(tmp_path), "calib.json")
+        with open(path, "w") as fh:
+            json.dump({"T_base_lidar": T.tolist(),
+                       "intrinsics": {"fx": 380.0, "fy": 380.0, "cx": 320.0,
+                                      "cy": 240.0, "width": 640,
+                                      "height": 480}}, fh)
+        c = load_calibration(path)
+        np.testing.assert_allclose(c["T_base_lidar"], T)
+        assert c["intrinsics"].fx == 380.0
+        bad = os.path.join(str(tmp_path), "bad.json")
+        with open(bad, "w") as fh:
+            json.dump({"T_base_cam": (2 * np.eye(4)).tolist()}, fh)
+        with pytest.raises(ValueError):
+            load_calibration(bad)

@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--lidar", default="/gc/sensors/lidar_points")
     ap.add_argument("--imu", default="/imu")
     ap.add_argument("--odom", default="/odom")
+    ap.add_argument("--rgb", default=None,
+                    help="CompressedImage topic (enables the camera slice)")
+    ap.add_argument("--depth", default=None, help="raw depth Image topic")
+    ap.add_argument("--calib", default=None,
+                    help="calibration JSON: T_base_lidar / T_base_cam / "
+                         "intrinsics (io.rosbag.load_calibration schema)")
     ap.add_argument("--gt", default=None, help="TUM ground-truth file")
     args = ap.parse_args()
 
@@ -63,19 +69,36 @@ def main():
     # ---- stage data -----------------------------------------------------------
     gt_poses = gt_stamps = None
     if args.bag:
-        from fl_slam_tpu.io.rosbag import BagTopics, load_scan_records
+        from fl_slam_tpu.io.rosbag import (BagTopics, CameraTopics,
+                                           load_calibration,
+                                           load_scan_records)
         from fl_slam_tpu.io.rosbag import to_scan_inputs as bag_to_inputs
+        calib = load_calibration(args.calib) if args.calib else {}
+        cam = None
+        if args.rgb and args.depth:
+            if "intrinsics" not in calib:
+                print("[FAIL] --rgb/--depth need --calib with intrinsics")
+                sys.exit(2)
+            cam = CameraTopics(rgb=args.rgb, depth=args.depth)
         recs = load_scan_records(args.bag,
                                  BagTopics(args.lidar, args.imu, args.odom),
-                                 cfg, max_scans=args.scans)
+                                 cfg, max_scans=args.scans,
+                                 T_base_lidar=calib.get("T_base_lidar"),
+                                 cam_topics=cam,
+                                 intrinsics=calib.get("intrinsics"),
+                                 T_base_cam=calib.get("T_base_cam"))
         scans = bag_to_inputs(recs, cfg)
         stamps = recs["scan_start"]
         if "__audit__" in recs:
             with open(os.path.join(args.out, "wiring_audit.json"), "w") as fh:
                 json.dump(recs["__audit__"], fh, indent=2)
-            print("[audit]", {k: recs["__audit__"][k] for k in
+            print("[audit]", {k: recs["__audit__"].get(k) for k in
                               ("n_scans", "missing_odom_scans",
-                               "dead_end_topics")})
+                               "dead_end_topics", "camera_pairs",
+                               "camera_scans")})
+        if cam is not None and recs["__audit__"].get("camera_scans", 0) == 0:
+            print("[FAIL] camera requested but no scan got camera features")
+            sys.exit(2)
         anchor0 = jnp.asarray(recs["odom_pose"][0], dtype=cfg.jdtype)
         t0 = float(stamps[0]) - 0.1
     else:
@@ -120,10 +143,27 @@ def main():
                "backend": jax.default_backend()}
     if args.gt:
         gt = np.loadtxt(args.gt)
-        # TUM: stamp tx ty tz qx qy qz qw -> align by nearest stamps
+        # TUM: stamp tx ty tz qx qy qz qw. HARD GATES first (parity:
+        # reference align_ground_truth.py + gt_checks.py run as gates,
+        # run_and_evaluate_gc.sh:522-529): estimate the GT time-base offset,
+        # then require temporal overlap before any metric is computed —
+        # nearest-stamp pairing on misaligned clocks silently produces
+        # garbage metrics.
         from fl_slam_tpu.io.rosbag import quat_xyzw_to_rotvec
-        idx = np.argmin(np.abs(gt[:, 0][None, :]
-                               - np.asarray(stamps)[:, None]), axis=1)
+        from fl_slam_tpu.io.time_alignment import (align_gt_timebase,
+                                                   overlap_fraction)
+        est_stamps = np.asarray(stamps, dtype=np.float64)
+        offset = align_gt_timebase(gt[:, 0], est_stamps)
+        overlap = overlap_fraction(gt[:, 0], est_stamps, offset=offset)
+        metrics["gt_time_offset_s"] = float(offset)
+        metrics["gt_overlap_fraction"] = float(overlap)
+        print(f"[gt] time offset {offset:+.3f} s, overlap {overlap:.2%}")
+        if overlap < 0.5:
+            print("[FAIL] GT overlap gate: trajectories share "
+                  f"{overlap:.0%} < 50% of their time span")
+            sys.exit(2)
+        gt_t = gt[:, 0] + offset       # map the GT clock onto the estimate's
+        idx = np.argmin(np.abs(gt_t[None, :] - est_stamps[:, None]), axis=1)
         gtp = np.stack([np.concatenate([
             gt[i, 1:4], quat_xyzw_to_rotvec(gt[i, 4:8])]) for i in idx])
         gt_poses = gtp
