@@ -404,8 +404,21 @@ def top_k_two_stage(x, k: int, recall: float = 0.95):
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
                     constant_values=fill)
     xr = x.reshape(x.shape[:-1] + (B, L))
-    vals = jnp.max(xr, axis=-1)                              # (..., B)
-    arg = jnp.argmax(xr, axis=-1).astype(jnp.int32)          # bucket-local
+    # ONE variadic reduce for (max, argmax) — separate jnp.max + jnp.argmax
+    # cost two full passes over the matrix (~40 us extra on (1536, 7168)).
+    iota = _jax.lax.broadcasted_iota(jnp.int32, xr.shape, xr.ndim - 1)
+
+    def _comb(acc, cur):
+        av, ai = acc
+        bv, bi = cur
+        pick = (bv > av) | ((bv == av) & (bi < ai))
+        return jnp.where(pick, bv, av), jnp.where(pick, bi, ai)
+
+    vals, arg = _jax.lax.reduce(
+        (xr, iota),
+        (jnp.asarray(-jnp.inf, xr.dtype), jnp.int32(L)),
+        _comb, [xr.ndim - 1])                                # (..., B) each
+    arg = jnp.minimum(arg, L - 1)        # all-(-inf) pad bucket: stay in range
     gidx = arg + (jnp.arange(B, dtype=jnp.int32) * L)        # global index
     neg_s, idx_s = _jax.lax.sort_key_val(-vals, gidx, dimension=-1)
     return -neg_s[..., :k], idx_s[..., :k]

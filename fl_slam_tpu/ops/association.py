@@ -79,18 +79,30 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     d_pos = x2 + m2 - 2.0 * meas_pos @ view.positions.T        # (N, V)
 
     eta_m = meas_kappa[:, None] * meas_dir                      # (N, 3)
-    eta_v = view.kappas[:, None] * view.directions              # (V, 3)
-    cross = eta_m @ eta_v.T
-    km2 = meas_kappa[:, None] ** 2 + view.kappas[None, :] ** 2 + 2.0 * cross
-    km = 0.5 * jnp.sqrt(jnp.maximum(km2, 0.0))
     eig_min = 1e-12
-    A_km = _log_sinh_ratio(jnp.maximum(km, eig_min), eig_min)
     A_k1 = _log_sinh_ratio(jnp.maximum(meas_kappa, eig_min), eig_min)[:, None]
-    A_k2 = _log_sinh_ratio(jnp.maximum(view.kappas, eig_min), eig_min)[None, :]
-    bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
-    d_dir = jnp.maximum(0.0, 1.0 - bc)
     dir_ok = (meas_kappa[:, None] > 0.0) & (view.kappas[None, :] > 0.0)
-    d_dir = jnp.where(dir_ok, d_dir, 0.0)
+    if cfg.select_bf16:
+        # SELECTION-pass direction term: cosine proxy 0.5 (1 - mu_m . mu_v)
+        # instead of the vMF Bhattacharyya distance. The exact 1 - BC needs
+        # log/sinh/exp over the full (N, V) matrix (~110M transcendental
+        # lanes, ~140 us/scan traced); both terms are monotone in direction
+        # misalignment with the same [0, 1] range, the selection feeds soft
+        # machinery, and the K selected candidates are re-scored with the
+        # EXACT Bhattacharyya cost below.
+        cross_dir = meas_dir @ view.directions.T                # (N, V)
+        d_dir = jnp.where(dir_ok, 0.5 * (1.0 - cross_dir), 0.0)
+    else:
+        eta_v = view.kappas[:, None] * view.directions          # (V, 3)
+        cross = eta_m @ eta_v.T
+        km2 = (meas_kappa[:, None] ** 2 + view.kappas[None, :] ** 2
+               + 2.0 * cross)
+        km = 0.5 * jnp.sqrt(jnp.maximum(km2, 0.0))
+        A_km = _log_sinh_ratio(jnp.maximum(km, eig_min), eig_min)
+        A_k2 = _log_sinh_ratio(jnp.maximum(view.kappas, eig_min),
+                               eig_min)[None, :]
+        bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
+        d_dir = jnp.where(dir_ok, jnp.maximum(0.0, 1.0 - bc), 0.0)
 
     # Recency bias (continuous; parity: recency_cost in associate_primitives_ot)
     seq = jnp.asarray(scan_seq, dtype=jnp.int32)

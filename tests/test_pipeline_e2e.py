@@ -66,6 +66,24 @@ class TestReplay:
         assert m["trans"]["rmse"] < m_odom["trans"]["rmse"], (m, m_odom)
         assert m["rot_deg"]["rmse"] < m_odom["rot_deg"]["rmse"], (m, m_odom)
 
+    @pytest.mark.parametrize("dtype", ["float64", "float32"])
+    def test_rotation_stress(self, dtype):
+        """Rotation-stress gate (VERDICT r1 weak 4 / next 10): >= pi total
+        yaw on tight arcs (3.5 rad, 1.1 m radius), run in BOTH dtypes — the
+        round-1 f32 conditioning cliff (1.1 -> 2.8 deg rotation walk) was
+        caught only by ad-hoc production runs; this pins it in the suite.
+        Calibrated margins ~2x over measured (f64 0.36 deg, f32 0.55 deg)."""
+        cfg = GCConfig.small(dtype=dtype)
+        ds = simulate(cfg, n_scans=50, seed=11, turn_rate=0.7)
+        scans = to_scan_inputs(ds, cfg)
+        state = init_state(cfg, anchor0=jnp.asarray(ds.gt_poses[0],
+                                                    cfg.jdtype),
+                           t0=float(ds.gt_stamps[0]) - 0.1)
+        _, outs = replay(state, scans, cfg)
+        m = ate(np.asarray(outs.pose), ds.gt_poses, align="initial")
+        assert m["trans"]["rmse"] < 0.10, m
+        assert m["rot_deg"]["rmse"] < (1.2 if dtype == "float32" else 0.7), m
+
     def test_rpe_within_gate(self, dataset, replay_result):
         _, outs = replay_result
         poses = np.asarray(outs.pose)
