@@ -297,6 +297,16 @@ class GCConfig:
     # SLOWER in bf16 — they are sort-bound — and stay f32 regardless.)
     # Exact f32 selection remains the default for CPU parity tests.
     select_bf16: bool = False
+    # Chunked view residency: the candidate view's MEMBERSHIP (selection +
+    # gather) and the slab write-back scatter run once every R scans at a
+    # STATIC chunk boundary of the replay scan (no predication); between
+    # boundaries the view rows stay resident in the carry and fuse/merge
+    # update them in place. R=1 is exact per-scan semantics (the default and
+    # the parity-test path). R>1 trades bounded staleness (membership,
+    # tile-set activation, forget/inflate/cull granularity — all <= R-1
+    # scans, ~0.4 s at R=4/10 Hz) for removing the dominant per-scan map
+    # costs (write-back scatter ~350 us, selection ~130 us, gather ~60 us).
+    view_refresh_every: int = 1
     # Use the Pallas predicated-DMA slab exchange (structures/atlas_kernels).
     # Must be False on paths that vmap process_scan (batched replicas):
     # pallas_call has no batching rule; the XLA fallback vmaps fine.
@@ -354,7 +364,8 @@ class GCConfig:
     @staticmethod
     def tpu(**overrides) -> "GCConfig":
         """Production budgets, float32 compute."""
-        base = dict(dtype="float32", approx_topk=True, select_bf16=True)
+        base = dict(dtype="float32", approx_topk=True, select_bf16=True,
+                    view_refresh_every=4)
         base.update(overrides)
         return GCConfig(**base)
 

@@ -135,6 +135,21 @@ class ScanOutput(NamedTuple):
     certs: dict                 # flat dict of device scalars
 
 
+class ViewCtx(NamedTuple):
+    """Per-chunk resident view (see GCConfig.view_refresh_every): the
+    gathered candidate rows live in the inner-scan carry; fuse/merge update
+    them in place and ONE scatter writes them back at the chunk boundary."""
+
+    rows: jnp.ndarray           # (V, CF) resident field rows
+    slab_cols: jnp.ndarray      # (V,) int32 slab-flat source columns
+    dup: jnp.ndarray            # (V,) bool duplicate rows (dropped on put)
+    prim_ids: jnp.ndarray       # (V,) int32
+    put_idx: jnp.ndarray        # (V,) int32 write-back columns (SM = drop)
+    resident: jnp.ndarray       # (S*M,) bool -> excluded from insert evict
+    active_keys: jnp.ndarray    # (S,) int64 tile keys of this chunk
+    certs: dict                 # boundary certs (constant within the chunk)
+
+
 def initial_belief(cfg: GCConfig, anchor0=None) -> Belief:
     """Datasheet-style per-block diagonal prior at the anchor.
 
@@ -222,10 +237,96 @@ def flush_slabs(state: PipelineState) -> PipelineState:
     return state._replace(atlas=atlas)
 
 
+def _chunk_begin(state: PipelineState, cfg: GCConfig, *,
+                 gamma_power: int = 1) -> tuple[PipelineState, ViewCtx]:
+    """Per-chunk map maintenance: tile activation + slab exchange + the
+    dense inflate/forget/cull pass + view membership selection/gather.
+
+    Runs once per ``view_refresh_every`` scans at a STATIC position in the
+    chunked replay (R=1 == per scan == the reference cadence). The tile set
+    derives from the CARRY's hypothesis-0 world pose (<= one scan staler
+    than the reference's z_lin-based activation; the active disk has >= 2 m
+    of margin at any ground-robot speed).
+    """
+    certs: dict = {}
+    seq = state.scan_seq
+    bel0 = jax.tree.map(lambda a: a[0], state.belief)
+    pose0 = world_pose(bel0, cfg.eps_lift)
+
+    offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
+    q, r, z = xyz_to_tile_axial(pose0[:3], cfg.h_tile)
+    active_keys = stencil_tile_keys(q, r, z, offs)
+
+    # Resident-slab refresh: the active tiles' slabs live in the carry and
+    # only move when the tile set changes (every ~15-20 scans). The
+    # reconciliation is a PREDICATED-DMA Pallas kernel with the pool and
+    # slabs aliased in place (structures/atlas_kernels.py): XLA cannot
+    # express a conditional no-op on a 358 MB buffer — a drop-mode scatter
+    # still costs ~400 us/scan and a lax.cond on the pool copies it wholly.
+    # The directory update (activate_tiles) runs unconditionally — with an
+    # unchanged set every key is found and it is idempotent.
+    refresh = ~jnp.all(active_keys == state.slab_keys)
+    touch = state.atlas.tile_touch_seq.at[state.slab_slots].set(seq)
+    atlas = state.atlas._replace(tile_touch_seq=touch,
+                                 next_prim_id=state.slabs.next_prim_id)
+    atlas, slots, fresh_mask, c = atlas_ops.activate_tiles(atlas, active_keys,
+                                                           seq)
+    certs.update(c)
+    pool_f, pool_p, slab_ff, slab_fp = atlas_kernels.conditional_slab_exchange_ff(
+        atlas.fdata, atlas.prim_ids, state.slabs.ff, state.slabs.prim_ids,
+        state.slab_slots, slots, refresh, use_kernel=cfg.slab_dma_kernel)
+    atlas = atlas._replace(fdata=pool_f, prim_ids=pool_p)
+    sff = atlas_ops.SlabsFF(ff=slab_ff, prim_ids=slab_fp,
+                            next_prim_id=state.slabs.next_prim_id)
+    # ONE dense pass: fresh-clear + recency inflation + forget + cull (the
+    # forget/cull scheduling delta is documented on ff_inflate_and_clear;
+    # gamma_power applies the chunk's deferred forgetting composite).
+    sff, c = atlas_ops.ff_inflate_and_clear(sff, fresh_mask, seq, cfg,
+                                            gamma_power=gamma_power)
+    certs.update(c)
+
+    SM = sff.ff.shape[1]
+    slab_cols, dup = atlas_ops.ff_select_view_cols(sff, cfg.n_active_tiles,
+                                                   cfg)
+    rows = sff.ff[:, slab_cols].T                            # (V, CF)
+    put_idx = jnp.where(dup, jnp.int32(SM), slab_cols)
+    resident = jnp.zeros((SM,), bool).at[put_idx].set(True, mode="drop")
+
+    state = state._replace(atlas=atlas, slabs=sff, slab_slots=slots,
+                           slab_keys=active_keys)
+    ctx = ViewCtx(rows=rows, slab_cols=slab_cols, dup=dup,
+                  prim_ids=sff.prim_ids[slab_cols], put_idx=put_idx,
+                  resident=resident, active_keys=active_keys, certs=certs)
+    return state, ctx
+
+
+def _chunk_end(state: PipelineState, ctx: ViewCtx) -> PipelineState:
+    """Write the resident view rows back to their slab columns (ONE column
+    scatter; inserts never target resident columns, so no clobbering)."""
+    SM = state.slabs.ff.shape[1]
+    view_meta = atlas_ops.MapView(
+        positions=None, Lambdas=None, directions=None, kappas=None,
+        weights=None, valid=None, last_supported=None, prim_ids=None,
+        slab_idx=ctx.slab_cols, packed=None, raw=None, put_idx=ctx.put_idx)
+    sff = atlas_ops.ff_write_view(state.slabs, view_meta, ctx.rows)
+    return state._replace(slabs=sff)
+
+
 def process_scan(state: PipelineState, scan: ScanInput,
                  cfg: GCConfig) -> tuple[PipelineState, ScanOutput]:
+    """One full scan at per-scan refresh cadence (reference parity; the
+    chunked replay calls ``_chunk_begin`` / ``_scan_core`` / ``_chunk_end``
+    at its own cadence)."""
+    state, ctx = _chunk_begin(state, cfg, gamma_power=1)
+    state, ctx, out = _scan_core(state, ctx, scan, cfg)
+    state = _chunk_end(state, ctx)
+    return state, out
+
+
+def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
+               cfg: GCConfig) -> tuple[PipelineState, ViewCtx, ScanOutput]:
     dt = cfg.jdtype
-    certs: dict = {}
+    certs: dict = dict(ctx.certs)
     seq = state.scan_seq
     bel0_prev = jax.tree.map(lambda a: a[0], state.belief)
 
@@ -438,36 +539,12 @@ def process_scan(state: PipelineState, scan: ScanInput,
         valid=scan.cam_valid > 0.5, colors=scan.cam_colors)
     batch_w = mb.transform_to_world(batch, z_lin_pose, eps_lift=cfg.eps_lift)
 
-    offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
-    q, r, z = xyz_to_tile_axial(z_lin_pose[:3], cfg.h_tile)
-    active_keys = stencil_tile_keys(q, r, z, offs)
-
-    # Resident-slab refresh: the active tiles' slabs live in the carry and
-    # only move when the tile set changes (every ~15-20 scans). The
-    # reconciliation is a PREDICATED-DMA Pallas kernel with the pool and
-    # slabs aliased in place (structures/atlas_kernels.py): XLA cannot
-    # express a conditional no-op on a 358 MB buffer — a drop-mode scatter
-    # still costs ~400 us/scan and a lax.cond on the pool copies it wholly.
-    # The directory update (activate_tiles) runs unconditionally — with an
-    # unchanged set every key is found and it is idempotent.
-    refresh = ~jnp.all(active_keys == state.slab_keys)
-    touch = state.atlas.tile_touch_seq.at[state.slab_slots].set(seq)
-    atlas = state.atlas._replace(tile_touch_seq=touch,
-                                 next_prim_id=state.slabs.next_prim_id)
-    atlas, slots, fresh_mask, c = atlas_ops.activate_tiles(atlas, active_keys,
-                                                           seq)
-    certs.update(c)
-    pool_f, pool_p, slab_ff, slab_fp = atlas_kernels.conditional_slab_exchange_ff(
-        atlas.fdata, atlas.prim_ids, state.slabs.ff, state.slabs.prim_ids,
-        state.slab_slots, slots, refresh, use_kernel=cfg.slab_dma_kernel)
-    atlas = atlas._replace(fdata=pool_f, prim_ids=pool_p)
-    sff = atlas_ops.SlabsFF(ff=slab_ff, prim_ids=slab_fp,
-                            next_prim_id=state.slabs.next_prim_id)
-    # ONE dense pass: fresh-clear + recency inflation + forget + cull (the
-    # forget/cull scheduling delta is documented on ff_inflate_and_clear).
-    sff, c = atlas_ops.ff_inflate_and_clear(sff, fresh_mask, seq, cfg)
-    certs.update(c)
-    view = atlas_ops.ff_extract_view(sff, cfg.n_active_tiles, cfg)
+    # The candidate view derives from the RESIDENT rows (updated in place by
+    # fuse/merge, so mid-chunk scans see the freshest data; only MEMBERSHIP
+    # is chunk-stale — bounded by view_refresh_every-1 scans).
+    sff = state.slabs
+    view = atlas_ops.view_from_rows(ctx.rows, ctx.slab_cols, ctx.dup,
+                                    ctx.prim_ids, sff.ff.shape[1], cfg)
 
     mu_w = mb.mean_positions(batch_w, cfg.eps_lift)
     dir_w = mb.mean_directions(batch_w, cfg.eps_mass)
@@ -613,16 +690,20 @@ def process_scan(state: PipelineState, scan: ScanInput,
     rows, c = atlas_ops.compact_merge_reduce(rows, cfg.n_active_tiles,
                                              kw_view, cfg)
     certs.update(c)
-    sff = atlas_ops.ff_write_view(sff, view, rows)
+    # The updated rows stay RESIDENT (ctx.rows); _chunk_end writes them back
+    # with one column scatter. Inserts go straight to slab columns, with the
+    # resident columns excluded from eviction (no write-back clobber); a
+    # mid-chunk insert becomes view-matchable at the next membership refresh
+    # (<= R-1 scans; merge-reduce absorbs interim duplicates).
     nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
-    sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys, active_keys,
-                                 seq, cfg)
+    sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys,
+                                 ctx.active_keys, seq, cfg,
+                                 evict_exclude=ctx.resident)
     certs.update(c)
     slabs = sff
-    # No scatter back: the slabs stay resident in the carry (flushed to the
-    # pool by the next tile-set change or by flush_slabs at end of replay).
+    ctx = ctx._replace(rows=rows)
 
     # ---- step 13 per hypothesis: anchor drift ----------------------------------
     def drift(bel, z_lin_new):
@@ -667,20 +748,17 @@ def process_scan(state: PipelineState, scan: ScanInput,
         state.meas_noise, dpsi_meas, dnu_meas, cfg)
     certs.update(c)
 
-    new_state = PipelineState(
+    new_state = state._replace(
         belief=beliefs_final,
         hyp_weights=w_norm,
         process_noise=proc_noise,
         meas_noise=meas_noise,
-        atlas=atlas,
         slabs=slabs,
-        slab_slots=slots,
-        slab_keys=active_keys,
         scan_seq=seq + 1,
         prev_scan_t=scan.scan_start,
     )
     out = ScanOutput(pose=pose_out, stamp=scan.scan_start, certs=certs)
-    return new_state, out
+    return new_state, ctx, out
 
 
 def make_step(cfg: GCConfig):
@@ -691,27 +769,60 @@ def make_step(cfg: GCConfig):
 
 
 def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
-    """lax.scan over a stacked ScanInput (leading time axis on every field).
+    """Chunked lax.scan over a stacked ScanInput (leading time axis).
 
-    Returns (final_state, ScanOutput with stacked fields). This is the single
-    compiled program for the whole bag (BASELINE.json north star).
+    Outer scan over T/R chunks, inner scan over R scans: the per-chunk map
+    maintenance (_chunk_begin: activation/exchange/inflate/selection/gather)
+    and the write-back scatter (_chunk_end) sit at STATIC chunk boundaries —
+    no predication, no dead per-scan refresh cost. R = view_refresh_every
+    (falls back to the largest divisor of T; R=1 == per-scan reference
+    cadence). Returns (final_state, ScanOutput with stacked (T, ...) fields)
+    — the single compiled program for the whole bag.
     """
+    T = scans.scan_start.shape[0]
+    R = max(1, int(cfg.view_refresh_every))
+    while T % R != 0:
+        R -= 1
+
     # The ~120 per-scan cert scalars are packed into ONE vector inside the
     # scanned body (one (T, C) output instead of ~120 per-scan update-slices
     # and output leaves; also shrinks the compiled graph) and unpacked to the
     # same dict shape afterwards — consumers see dict-of-(T,) either way.
     keys_box: list = []
 
-    def step(carry, scan):
-        new_state, out = process_scan(carry, scan, cfg)
+    def pack(out):
         keys = sorted(out.certs)
         if not keys_box:
             keys_box.append(keys)
         vec = jnp.stack([jnp.asarray(out.certs[k], dtype=cfg.jdtype)
                          for k in keys])
-        return new_state, out._replace(certs=vec)
+        return out._replace(certs=vec)
 
-    final, outs = jax.lax.scan(step, state, scans)
+    if R == 1:
+        def step(carry, scan):
+            new_state, out = process_scan(carry, scan, cfg)
+            return new_state, pack(out)
+
+        final, outs = jax.lax.scan(step, state, scans)
+        certs = {k: outs.certs[:, i] for i, k in enumerate(keys_box[0])}
+        return flush_slabs(final), outs._replace(certs=certs)
+
+    chunked = jax.tree.map(
+        lambda a: a.reshape((T // R, R) + a.shape[1:]), scans)
+
+    def inner(carry, scan):
+        st, ctx = carry
+        st, ctx, out = _scan_core(st, ctx, scan, cfg)
+        return (st, ctx), pack(out)
+
+    def chunk(carry, chunk_scans):
+        st, ctx = _chunk_begin(carry, cfg, gamma_power=R)
+        (st, ctx), outs = jax.lax.scan(inner, (st, ctx), chunk_scans)
+        return _chunk_end(st, ctx), outs
+
+    final, outs = jax.lax.scan(chunk, state, chunked)
+    outs = jax.tree.map(
+        lambda a: a.reshape((T,) + a.shape[2:]), outs)
     certs = {k: outs.certs[:, i] for i, k in enumerate(keys_box[0])}
     return flush_slabs(final), outs._replace(certs=certs)
 

@@ -80,9 +80,14 @@ def save_runtime_manifest(path, cfg, extra: dict | None = None):
     return manifest
 
 
-def log_rerun(atlas, cfg, poses=None, rrd_path=None, app_id="fl_slam_tpu"):
-    """Log the map + trajectory to rerun if the SDK is installed; returns
-    True when logged. (Parity: rerun_visualizer.py; optional dependency.)"""
+def log_rerun(atlas, cfg, poses=None, rrd_path=None, app_id="fl_slam_tpu",
+              lidar_points=None, max_ellipsoids: int = 2000,
+              max_arrows: int = 2000):
+    """Log the map (points + covariance ellipsoids + vMF arrows), the
+    trajectory, and optionally the last scan's lidar points to rerun when
+    the SDK is installed; returns True when logged.
+    (Parity: rerun_visualizer.py:34-172 — map Points3D, trajectory
+    LineStrips3D, LiDAR points, ellipsoid/vMF glyphs; optional dependency.)"""
     try:
         import rerun as rr  # type: ignore
     except Exception:
@@ -91,9 +96,41 @@ def log_rerun(atlas, cfg, poses=None, rrd_path=None, app_id="fl_slam_tpu"):
     rr.init(app_id)
     if rrd_path:
         rr.save(rrd_path)
-    rr.log("map/points", rr.Points3D(arrays["positions"],
-                                     colors=arrays["rgb"],
+    rgb8 = np.clip(arrays["rgb"] * 255.0, 0, 255).astype(np.uint8)
+    rr.log("map/points", rr.Points3D(arrays["positions"], colors=rgb8,
                                      radii=0.02 + 0.0 * arrays["weights"]))
+    w = arrays["weights"]
+    keep = np.argsort(-w)[:max_ellipsoids]
+    if keep.size:
+        vals, vecs = np.linalg.eigh(arrays["covariances"][keep])
+        half = np.sqrt(np.maximum(vals, 1e-12))
+        det = np.linalg.det(vecs)
+        vecs = vecs * np.sign(det)[:, None, None]
+        # rotation matrix -> xyzw quaternion (w-pivot; fine for glyphs)
+        t = np.trace(vecs, axis1=1, axis2=2)
+        s = np.sqrt(np.maximum(t + 1.0, 1e-12)) * 2.0
+        quat = np.stack([(vecs[:, 2, 1] - vecs[:, 1, 2]) / s,
+                         (vecs[:, 0, 2] - vecs[:, 2, 0]) / s,
+                         (vecs[:, 1, 0] - vecs[:, 0, 1]) / s,
+                         0.25 * s], axis=1)
+        quat /= np.maximum(np.linalg.norm(quat, axis=1, keepdims=True),
+                           1e-12)
+        rr.log("map/ellipsoids", rr.Ellipsoids3D(
+            centers=arrays["positions"][keep], half_sizes=half,
+            quaternions=quat, colors=rgb8[keep]))
+    eta0 = arrays["etas"][:, 0, :] if arrays["etas"].ndim == 3 \
+        else arrays["etas"][:, 0:3]
+    kap = np.linalg.norm(eta0, axis=-1)
+    akeep = np.argsort(-kap)[:max_arrows]
+    if akeep.size:
+        k = np.maximum(kap[akeep], 1e-9)
+        vec = eta0[akeep] / k[:, None] * (0.05 + 0.05 * np.log1p(k))[:, None]
+        rr.log("map/vmf", rr.Arrows3D(origins=arrays["positions"][akeep],
+                                      vectors=vec, colors=rgb8[akeep]))
+    if lidar_points is not None:
+        pts = np.asarray(lidar_points)
+        pts = pts[np.isfinite(pts).all(axis=1)]
+        rr.log("scan/lidar", rr.Points3D(pts, radii=0.01))
     if poses is not None:
         poses = np.asarray(poses)
         rr.log("trajectory", rr.LineStrips3D([poses[:, :3]]))

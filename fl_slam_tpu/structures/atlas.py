@@ -354,7 +354,8 @@ def slab_recency_inflate(sl: Slabs, scan_seq, cfg: GCConfig):
 
 
 def ff_inflate_and_clear(sf: SlabsFF, fresh: jnp.ndarray, scan_seq,
-                         cfg: GCConfig, *, forget_cull: bool = True):
+                         cfg: GCConfig, *, forget_cull: bool = True,
+                         gamma_power: int = 1):
     """ONE fused elementwise pass over ``ff`` doing ALL dense per-scan slab
     rewrites (expressed as ``ff * A + B`` with broadcast row/column masks):
 
@@ -389,9 +390,14 @@ def ff_inflate_and_clear(sf: SlabsFF, fresh: jnp.ndarray, scan_seq,
     decay = jnp.where(vmask, decay, 1.0)
 
     if forget_cull:
-        w_new = ff[o + _ROW_W] * cfg.forgetting_factor
+        # gamma_power > 1: the chunked replay applies the last R scans'
+        # deferred forgetting in one composite multiply (bounded delta: in-
+        # chunk fused additions receive up to R-1 extra gamma, <= 2% at
+        # gamma=0.995, R=4; orderings are unaffected by a uniform scale).
+        gamma = cfg.forgetting_factor ** gamma_power
+        w_new = ff[o + _ROW_W] * gamma
         below = vmask & (w_new < cfg.cull_weight_threshold)
-        w_scale = jnp.where(below | fresh_c, 0.0, cfg.forgetting_factor)
+        w_scale = jnp.where(below | fresh_c, 0.0, gamma)
         v_scale = jnp.where(below | fresh_c, 0.0, 1.0)
     else:
         w_new = ff[o + _ROW_W]
@@ -470,10 +476,10 @@ def slab_extract_view(sl: Slabs, cfg: GCConfig) -> MapView:
     return ff_extract_view(slabs_to_ff(sl), sl.fdata.shape[0], cfg)
 
 
-def ff_extract_view(sf: SlabsFF, S: int, cfg: GCConfig) -> MapView:
-    """Stitched candidate view: per active slab, half the ``m_tile_view``
+def ff_select_view_cols(sf: SlabsFF, S: int, cfg: GCConfig):
+    """View MEMBERSHIP selection: per active slab, half the ``m_tile_view``
     budget goes to the top primitives BY WEIGHT and half to the MOST RECENTLY
-    created ones.
+    created ones. Returns (slab_cols (V',), dup_f (V',) bool).
 
     Weight-only selection (the reference policy) starves young primitives
     once a tile holds more than m_tile_view mature ones: fresh geometry never
@@ -516,10 +522,21 @@ def ff_extract_view(sf: SlabsFF, S: int, cfg: GCConfig) -> MapView:
         dup = jnp.pad(dup, ((0, 0), (0, V - k)), constant_values=True)
     s_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), idx.shape[1])
     m_idx = idx.reshape(-1).astype(jnp.int32)
-    dup_f = dup.reshape(-1)
-
     slab_cols = (s_idx * M + m_idx).astype(jnp.int32)
-    g = ff[:, slab_cols].T                                   # (V', CF)
+    return slab_cols, dup.reshape(-1)
+
+
+def view_from_rows(g: jnp.ndarray, slab_cols: jnp.ndarray,
+                   dup_f: jnp.ndarray, prim_ids: jnp.ndarray, SM: int,
+                   cfg: GCConfig) -> MapView:
+    """Derive the full MapView (positions/dirs/kappas/packed/...) from the
+    gathered field rows ``g (V', CF)``. Split out of ``ff_extract_view`` so
+    the chunked replay can re-derive a fresh view each scan from the
+    RESIDENT rows (which fuse/merge update in place) without re-selecting or
+    re-gathering membership."""
+    cf = g.shape[1]
+    o = _O_SCAL
+    dt = g.dtype
     Lam = sym6_to_mat33(g[:, 0:6])                           # (V', 3, 3)
     the = g[:, 6:9]                                          # (V', 3)
     eta0 = g[:, _O_ETA:_O_ETA + 3]                           # (V', 3) lobe 0
@@ -557,12 +574,22 @@ def ff_extract_view(sf: SlabsFF, S: int, cfg: GCConfig) -> MapView:
         positions=pos, Lambdas=Lam, directions=dirs, kappas=kap, weights=wv,
         valid=val,
         last_supported=g[:, o + _ROW_LS].astype(jnp.int32),
-        prim_ids=sf.prim_ids[slab_cols],
+        prim_ids=prim_ids,
         slab_idx=slab_cols,
         packed=packed,
         raw=g,
         put_idx=jnp.where(dup_f, jnp.int32(SM), slab_cols),
     )
+
+
+def ff_extract_view(sf: SlabsFF, S: int, cfg: GCConfig) -> MapView:
+    """Membership selection + ONE row gather + view derivation (see
+    ``ff_select_view_cols`` / ``view_from_rows``)."""
+    cf, SM = sf.ff.shape
+    slab_cols, dup_f = ff_select_view_cols(sf, S, cfg)
+    g = sf.ff[:, slab_cols].T                                # (V', CF)
+    return view_from_rows(g, slab_cols, dup_f, sf.prim_ids[slab_cols], SM,
+                          cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -783,7 +810,7 @@ def ff_write_view(sf: SlabsFF, view: MapView, rows: jnp.ndarray) -> SlabsFF:
 
 def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
               meas_keys: jnp.ndarray, active_keys: jnp.ndarray, scan_seq,
-              cfg: GCConfig):
+              cfg: GCConfig, evict_exclude=None):
     """Insert top-``k_insert`` novel measurements per active tile.
 
     novelty: (N,) = max(a - row_mass, 0) from unbalanced OT. Insert weight =
@@ -814,6 +841,11 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
                           ff[o + _ROW_W].reshape(S, M) *
                           jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
+    if evict_exclude is not None:
+        # Chunked replay: RESIDENT view columns must never be evicted —
+        # the end-of-chunk write-back would clobber the inserted primitive
+        # with the stale resident row.
+        retention = jnp.where(evict_exclude.reshape(S, M), 1e30, retention)
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)

@@ -190,6 +190,54 @@ class TestHypothesisBank:
                                    atol=1e-12)
 
 
+class TestChunkedReplay:
+    """view_refresh_every > 1: membership/maintenance at chunk boundaries,
+    resident view rows in between (the production TPU cadence R=4)."""
+
+    def test_r4_matches_r1_accuracy_class(self):
+        ds = simulate(CFG, n_scans=24, seed=3)
+        a0 = jnp.asarray(ds.gt_poses[0], CFG.jdtype)
+        t0 = float(ds.gt_stamps[0]) - 0.1
+        metrics = {}
+        for R in (1, 4):
+            cfg = GCConfig.small(view_refresh_every=R)
+            scans = to_scan_inputs(ds, cfg)
+            _, outs = replay(init_state(cfg, anchor0=a0, t0=t0), scans, cfg)
+            poses = np.asarray(outs.pose)
+            assert np.isfinite(poses).all()
+            metrics[R] = ate(poses, ds.gt_poses, align="initial")
+        # bounded staleness: same accuracy class, not bit equality
+        assert metrics[4]["trans"]["rmse"] < 2.0 * metrics[1]["trans"]["rmse"] + 0.01
+        assert metrics[4]["rot_deg"]["rmse"] < 2.0 * metrics[1]["rot_deg"]["rmse"] + 0.05
+
+    def test_r_falls_back_to_divisor(self):
+        """T=10 with R=4 -> largest divisor (2) is used; replay still runs."""
+        cfg = GCConfig.small(view_refresh_every=4)
+        ds = simulate(cfg, n_scans=10, seed=7)
+        scans = to_scan_inputs(ds, cfg)
+        s = init_state(cfg, anchor0=jnp.asarray(ds.gt_poses[0], cfg.jdtype),
+                       t0=float(ds.gt_stamps[0]) - 0.1)
+        fs, outs = replay(s, scans, cfg)
+        assert np.isfinite(np.asarray(outs.pose)).all()
+        assert int(fs.scan_seq) == 10
+
+    def test_inserts_survive_chunk_writeback(self):
+        """Map mass inserted mid-chunk must survive the end-of-chunk view
+        write-back (eviction exclusion of resident columns)."""
+        from fl_slam_tpu.structures.atlas import total_count
+        cfg = GCConfig.small(view_refresh_every=4)
+        ds = simulate(cfg, n_scans=12, seed=3)
+        scans = to_scan_inputs(ds, cfg)
+        s = init_state(cfg, anchor0=jnp.asarray(ds.gt_poses[0], cfg.jdtype),
+                       t0=float(ds.gt_stamps[0]) - 0.1)
+        fs, outs = replay(s, scans, cfg)
+        ins = np.asarray(outs.certs["map.inserted_mass"]).sum()
+        assert ins > 0
+        assert int(total_count(fs.atlas)) > 0
+        w = np.asarray(fs.atlas.weights)
+        assert np.isfinite(w).all() and w.min() >= 0
+
+
 class TestApproxTopK:
     def test_approx_selection_matches_exact_metrics(self):
         """The production TPU config runs every selection (view extraction,
