@@ -126,12 +126,27 @@ def main():
     print(f"[replay] {n} scans in {wall:.1f}s "
           f"({n / wall:.2f} scans/s incl. compile)")
 
-    # ---- audit gates (parity: test_audit_invariants as a run gate) -------------
+    # ---- audit gates (parity: the reference runs the audit pytest as a
+    # hard gate plus backend-death greps, run_and_evaluate_gc.sh:483-510) ----
+    from fl_slam_tpu import certs as C
+    schema = C.tape_schema(outs.certs)
+    budget = C.compute_budget(cfg)
     gates = {
         "poses_finite": bool(np.isfinite(poses).all()),
         "certs_finite": all(bool(np.isfinite(np.asarray(v)).all())
                             for v in outs.certs.values()),
         "scan_seq_advanced": int(final_state.scan_seq) == n,
+        # cert-schema gate: every key categorized, schema non-trivial,
+        # ExpectedEffect pairs complete
+        "cert_schema": (len(schema) > 40
+                        and all(C.category(k) != "other" for k in schema)
+                        and len(C.effect_pairs(outs.certs)) >= 6),
+        # budget-shape gate: the staged tensors match the declared
+        # compile-time budgets (spec section 12.9.1)
+        "budget_shapes": (
+            tuple(np.asarray(scans.points).shape[1:]) == (budget["points_cap"], 3)
+            and np.asarray(scans.imu_gyro).shape[1] == budget["imu_len"]
+            and final_state.atlas.fdata.shape[0] == budget["largest_tensor_shape"][0]),
     }
     if not all(gates.values()):
         print("[FAIL] audit gates:", gates)
