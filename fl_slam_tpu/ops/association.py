@@ -177,21 +177,24 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     # pose evidence and zeroing novelty. Deliberate fix.
     ua = cfg.ot_tau_a / (cfg.ot_tau_a + eps)
     vb = cfg.ot_tau_b / (cfg.ot_tau_b + eps)
-    logKmat = -C / eps                                          # (N, K)
+    # K-MAJOR layout for the iteration: (N, K)=(1536, 8) arrays tile-pad the
+    # 8-wide minor dim to 128 lanes (16x memory) and reduce over the padded
+    # axis every iteration; transposed (K, N) keeps N on the lanes.
+    logKT = (-C / eps).T                                        # (K, N)
     neg_cap = jnp.asarray(-1e30, dtype=dt)
 
     def one_iter(_, fg):
-        log_u, log_v = fg
-        lse_v = jax.nn.logsumexp(logKmat + log_v[None, :], axis=1)
+        log_u, log_v = fg                                       # (N,), (K,)
+        lse_v = jax.nn.logsumexp(logKT + log_v[:, None], axis=0)   # (N,)
         log_u = ua * (log_a - jnp.maximum(lse_v, neg_cap))
         log_u = jnp.where(jnp.isfinite(log_a), log_u, -jnp.inf)
-        lse_u = jax.nn.logsumexp(logKmat + log_u[:, None], axis=0)
+        lse_u = jax.nn.logsumexp(logKT + log_u[None, :], axis=1)   # (K,)
         log_v = vb * (log_b - jnp.maximum(lse_u, neg_cap))
         return log_u, log_v
 
     log_u0 = jnp.zeros_like(log_a)
     log_v0 = jnp.zeros_like(log_b)
-    # lax.scan with unroll: the body is two (N, K) logsumexps — far too small
+    # lax.scan with unroll: the body is two logsumexps — far too small
     # to amortize per-iteration while-loop overhead on TPU (profiled ~1 ms
     # for 50 fori iterations); unrolling 10 bodies per step recovers it.
     def scan_body(fg, _):
@@ -199,7 +202,7 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     (log_u, log_v), _ = jax.lax.scan(
         scan_body, (log_u0, log_v0), None, length=cfg.k_sinkhorn,
         unroll=min(10, max(cfg.k_sinkhorn, 1)))
-    log_pi = log_u[:, None] + logKmat + log_v[None, :]
+    log_pi = log_u[:, None] + logKT.T + log_v[None, :]
     pi = jnp.where(jnp.isfinite(log_pi), jnp.exp(log_pi), 0.0)
     pi = pi * a_mask[:, None] * cand_valid.astype(dt)
 

@@ -60,7 +60,7 @@ from fl_slam_tpu.core.belief import (
 from fl_slam_tpu.core.hexgrid import (
     stencil_offsets_3d, stencil_tile_keys, tile_keys_from_xyz, xyz_to_tile_axial,
 )
-from fl_slam_tpu.core.linalg import spd_inverse_lifted, spd_solve_lifted
+from fl_slam_tpu.core.linalg import spd_solve_lifted
 from fl_slam_tpu.ops import association as assoc_ops
 from fl_slam_tpu.ops import deskew as deskew_ops
 from fl_slam_tpu.ops import fusion as fusion_ops
@@ -144,8 +144,9 @@ class ViewCtx(NamedTuple):
     slab_cols: jnp.ndarray      # (V,) int32 slab-flat source columns
     dup: jnp.ndarray            # (V,) bool duplicate rows (dropped on put)
     prim_ids: jnp.ndarray       # (V,) int32
-    put_idx: jnp.ndarray        # (V,) int32 write-back columns (SM = drop)
-    resident: jnp.ndarray       # (S*M,) bool -> excluded from insert evict
+    put_idx: jnp.ndarray        # (V,) int32 write-back columns (SM = drop);
+                                # doubles as the insert-eviction exclusion
+                                # list (ff_insert membership test)
     active_keys: jnp.ndarray    # (S,) int64 tile keys of this chunk
     certs: dict                 # boundary certs (constant within the chunk)
 
@@ -290,13 +291,12 @@ def _chunk_begin(state: PipelineState, cfg: GCConfig, *,
                                                    cfg)
     rows = sff.ff[:, slab_cols].T                            # (V, CF)
     put_idx = jnp.where(dup, jnp.int32(SM), slab_cols)
-    resident = jnp.zeros((SM,), bool).at[put_idx].set(True, mode="drop")
 
     state = state._replace(atlas=atlas, slabs=sff, slab_slots=slots,
                            slab_keys=active_keys)
     ctx = ViewCtx(rows=rows, slab_cols=slab_cols, dup=dup,
                   prim_ids=sff.prim_ids[slab_cols], put_idx=put_idx,
-                  resident=resident, active_keys=active_keys, certs=certs)
+                  active_keys=active_keys, certs=certs)
     return state, ctx
 
 
@@ -343,8 +343,12 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     accel_bias = mu_prev0[IDX_BA]
     rotvec0 = pose_prev0[3:6]
 
-    Sigma_prev, _ = spd_inverse_lifted(bel0_prev.L, cfg.eps_lift)
-    dt_std = jnp.sqrt(jnp.maximum(Sigma_prev[IDX_DT.start, IDX_DT.start], 0.0))
+    # Only the dt marginal is needed: ONE extra triangular solve against the
+    # mean solve's (CSE-shared) Cholesky factor instead of a full 22x22
+    # inverse (22-RHS trsm + layout copies).
+    e_dt = jnp.zeros((D_Z,), dtype=dt).at[IDX_DT.start].set(1.0)
+    col_dt, _ = spd_solve_lifted(bel0_prev.L, e_dt, cfg.eps_lift)
+    dt_std = jnp.sqrt(jnp.maximum(col_dt[IDX_DT.start], 0.0))
     # Window softness lives on the sensor time-offset scale (10-50 ms). The
     # reference only floors this (pipeline.py:438); without a ceiling a weak
     # initial dt prior (std ~ seconds) smears the windows flat and silently
@@ -700,7 +704,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
     sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys,
                                  ctx.active_keys, seq, cfg,
-                                 evict_exclude=ctx.resident)
+                                 evict_exclude=ctx.put_idx)
     certs.update(c)
     slabs = sff
     ctx = ctx._replace(rows=rows)

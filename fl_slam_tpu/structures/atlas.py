@@ -499,16 +499,23 @@ def ff_select_view_cols(sf: SlabsFF, S: int, cfg: GCConfig):
     o = _O_SCAL
     V = cfg.m_tile_view
     dt = ff.dtype
-    neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
     vmask2 = (ff[o + _ROW_V] > 0.5).reshape(S, M)            # (S, M)
     w2 = ff[o + _ROW_W].reshape(S, M)
     cs2 = ff[o + _ROW_CS].reshape(S, M)
     kw = min(V - V // 2, M)
     kr = min(V // 2, M)
+    # Invalid slots score a finite sentinel BIASED TOWARD HIGH slot indices:
+    # pad rows of sparse tiles then occupy the tile's top slots, disjoint
+    # from insert-eviction's choices (retention ties resolve to LOW indices)
+    # — required by the chunked replay, where an insert into a resident view
+    # column must be dropped (ff_insert evict_exclude) and a low-index
+    # overlap would starve map growth on fresh tiles.
     # (bf16 scores were tried here and MEASURED SLOWER: these selections are
     # bound by the bucket sort, and the TPU sorts bf16 keys slower than f32.)
-    score_w = jnp.where(vmask2, w2, neg_inf)
-    score_r = jnp.where(vmask2, cs2, neg_inf)
+    # step 1e24 >> ulp(1e30) in BOTH f32 (~1e23) and f64; max M*1e24 ~ 5e28
+    inv_score = (-1e30 + 1e24 * jnp.arange(M, dtype=dt))[None, :]  # (1, M)
+    score_w = jnp.where(vmask2, w2, inv_score)
+    score_r = jnp.where(vmask2, cs2, inv_score)
     _, idx_w = top_k_maybe_approx(score_w, kw, cfg.approx_topk)  # (S, kw)
     _, idx_r = top_k_maybe_approx(score_r, kr, cfg.approx_topk)  # (S, kr)
     # Recency rows already selected by the weight half are duplicates.
@@ -841,14 +848,22 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
                           ff[o + _ROW_W].reshape(S, M) *
                           jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
-    if evict_exclude is not None:
-        # Chunked replay: RESIDENT view columns must never be evicted —
-        # the end-of-chunk write-back would clobber the inserted primitive
-        # with the stale resident row.
-        retention = jnp.where(evict_exclude.reshape(S, M), 1e30, retention)
     _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)
+    if evict_exclude is not None:
+        # Chunked replay: RESIDENT view columns must never be evicted — the
+        # end-of-chunk write-back would clobber the inserted primitive with
+        # the stale resident row. Membership test on the selected slots
+        # ((S*K, V) compare, ~5 us) — building a (S*M,) bool mask costs a
+        # 7168-column scatter (~370 us/chunk, measured), defeating the
+        # chunking. Colliding proposals are DROPPED (not re-slotted):
+        # collisions only occur for invalid/weak view rows, and the dropped
+        # novelty re-proposes next scan.
+        sel_cols = (jnp.repeat(jnp.arange(S, dtype=jnp.int32), K) * M
+                    + evict_slot.reshape(-1).astype(jnp.int32))  # (S*K,)
+        hit = jnp.any(sel_cols[:, None] == evict_exclude[None, :], axis=1)
+        do_f = do_f & ~hit
     gi = ins_idx.reshape(-1)                                 # (S*K,) meas rows
     w_new = (novelty[gi] * batch_w.weights[gi]).astype(dt)
     # Pre-cull: a proposal whose insert weight is already below the cull
