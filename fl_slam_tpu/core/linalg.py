@@ -91,17 +91,74 @@ def project_psd3(A, eps: float = 1e-12):
     return A + lift[..., None, None] * jnp.eye(3, dtype=A.dtype), lift
 
 
+# Static size at or below which SPD solves use the UNROLLED elementwise
+# Cholesky instead of the LAPACK custom call. The pipeline executes ~150
+# cholesky/triangular_solve custom calls per scan, most of them on 3x3/6x6
+# evidence blocks; each call costs ~1.5-7 us of dispatch + layout copies and
+# cannot fuse with its neighbors. The unrolled form is the SAME algorithm as
+# scalar ops that XLA fuses into one VPU kernel (~136 -> ~40 us/scan traced).
+_UNROLL_CHOL_MAX_N = 8
+
+
+def _chol_unrolled(A_l):
+    """Lower-triangular Cholesky factor of a small (static n) SPD batch as a
+    list-of-lists of (...,)-shaped scalar arrays. Caller guarantees A_l is
+    symmetric and lifted; the sqrt argument is floored to stay total."""
+    n = A_l.shape[-1]
+    a = [[A_l[..., i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = a[j][j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(d, 1e-30))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    return L
+
+
+def _chol_solve_unrolled(L, b_cols):
+    """Solve L L^T x = b for each column in b_cols (list of length-n lists of
+    (...,) scalars); returns the same structure."""
+    n = len(L)
+    out = []
+    for b in b_cols:
+        y = [None] * n
+        for i in range(n):
+            s = b[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        out.append(x)
+    return out
+
+
 def spd_solve_lifted(A, b, eps: float = 1e-9):
     """Solve (A + eps I) x = b by Cholesky; total on PSD A.
 
     Returns (x, lift magnitude = eps * ||b|| proxy). The lift makes the solve
-    defined for singular PSD A (parity: primitives.py:141).
+    defined for singular PSD A (parity: primitives.py:141). Static sizes
+    <= _UNROLL_CHOL_MAX_N use the fused unrolled form (identical algorithm).
     """
     n = A.shape[-1]
     A_l = 0.5 * (A + jnp.swapaxes(A, -1, -2)) + eps * jnp.eye(n, dtype=A.dtype)
+    mag = jnp.asarray(eps, dtype=A.dtype) * jnp.ones(A.shape[:-2], dtype=A.dtype)
+    if n <= _UNROLL_CHOL_MAX_N and b.shape[-1] == n and b.ndim == A.ndim - 1:
+        L = _chol_unrolled(A_l)
+        (x_list,) = _chol_solve_unrolled(L, [[b[..., i] for i in range(n)]])
+        return jnp.stack(x_list, axis=-1), mag
     c, low = cho_factor(A_l)
     x = cho_solve((c, low), b)
-    mag = jnp.asarray(eps, dtype=A.dtype) * jnp.ones(A.shape[:-2], dtype=A.dtype)
     return x, mag
 
 
@@ -109,10 +166,20 @@ def spd_inverse_lifted(A, eps: float = 1e-9):
     """(A + eps I)^{-1} by Cholesky; total on PSD A."""
     n = A.shape[-1]
     A_l = 0.5 * (A + jnp.swapaxes(A, -1, -2)) + eps * jnp.eye(n, dtype=A.dtype)
+    mag = jnp.asarray(eps, dtype=A.dtype) * jnp.ones(A.shape[:-2], dtype=A.dtype)
+    if n <= _UNROLL_CHOL_MAX_N:
+        L = _chol_unrolled(A_l)
+        one = jnp.ones(A.shape[:-2], dtype=A.dtype)
+        zero = jnp.zeros(A.shape[:-2], dtype=A.dtype)
+        cols = [[one if i == j else zero for i in range(n)] for j in range(n)]
+        xs = _chol_solve_unrolled(L, cols)  # xs[j][i] = inv[i, j]
+        inv = jnp.stack([jnp.stack([xs[j][i] for j in range(n)], axis=-1)
+                         for i in range(n)], axis=-2)
+        inv = 0.5 * (inv + jnp.swapaxes(inv, -1, -2))
+        return inv, mag
     c, low = cho_factor(A_l)
     inv = cho_solve((c, low), jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A_l.shape))
     inv = 0.5 * (inv + jnp.swapaxes(inv, -1, -2))
-    mag = jnp.asarray(eps, dtype=A.dtype) * jnp.ones(A.shape[:-2], dtype=A.dtype)
     return inv, mag
 
 

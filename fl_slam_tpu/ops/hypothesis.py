@@ -13,8 +13,14 @@ from fl_slam_tpu.core.linalg import psd_guard, spd_solve_lifted
 
 
 def barycenter_projection(L_stack, h_stack, z_lin_stack, weights, *,
-                          weight_floor: float, eps_psd: float, eps_lift: float):
+                          weight_floor: float, eps_psd: float, eps_lift: float,
+                          means=None):
     """Weight-floored information barycenter + PSD projection.
+
+    ``means`` (the per-hypothesis mean increments, for the spread diagnostic)
+    may be passed by callers that know them analytically — after anchor drift
+    ``h = L @ z_lin`` holds exactly, so the pipeline passes its z_lin stack
+    and skips the batched 22x22 solve.
 
     Returns (L_out, h_out, z_lin_out, weights_normalized, certs).
     """
@@ -26,8 +32,9 @@ def barycenter_projection(L_stack, h_stack, z_lin_stack, weights, *,
     h_out = jnp.einsum("k,ki->i", w, h_stack)
     z_lin_out = jnp.einsum("k,ki->i", w, z_lin_stack)
 
-    means = jax.vmap(lambda L, h: spd_solve_lifted(L, h, eps_lift)[0])(
-        L_stack, h_stack)
+    if means is None:
+        means = jax.vmap(lambda L, h: spd_solve_lifted(L, h, eps_lift)[0])(
+            L_stack, h_stack)
     mean_bar = jnp.einsum("k,ki->i", w, means)
     spread = jnp.sum(w * jnp.sum((means - mean_bar) ** 2, axis=-1))
 

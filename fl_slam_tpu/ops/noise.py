@@ -115,14 +115,20 @@ def measurement_noise_mean(state: MeasurementNoiseIW, idx: int, eps_psd: float):
     return S
 
 
-def process_suffstats(L_pred, h_pred, L_post, h_post, eps_lift: float):
+def process_suffstats(L_pred, h_pred, L_post, h_post, eps_lift: float,
+                      mu_pred=None, mu_post=None):
     """dPsi = blocks of (r r^T + Sigma_post), r = mu_post - mu_pred; dnu = 1.
 
-    Commutative across hypotheses (weighted sums accumulate).
+    Commutative across hypotheses (weighted sums accumulate). ``mu_pred`` /
+    ``mu_post`` may be passed by callers that already solved them (the
+    pipeline hands in the mechanized prediction mean and the recompose
+    increment — two fewer serial 22x22 solves per scan).
     """
     dtype = L_pred.dtype
-    mu_pred, _ = spd_solve_lifted(L_pred, h_pred, eps_lift)
-    mu_post, _ = spd_solve_lifted(L_post, h_post, eps_lift)
+    if mu_pred is None:
+        mu_pred, _ = spd_solve_lifted(L_pred, h_pred, eps_lift)
+    if mu_post is None:
+        mu_post, _ = spd_solve_lifted(L_post, h_post, eps_lift)
     Sigma_post, _ = spd_inverse_lifted(L_post, eps_lift)
     r = mu_post - mu_pred
 

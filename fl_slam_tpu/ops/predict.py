@@ -48,9 +48,18 @@ class MotionDelta(NamedTuple):
 
 
 def predict_diffusion(b: Belief, Q, dt_sec, *, lambda_ou: float, eps_psd: float,
-                      eps_lift: float, motion: Optional[MotionDelta] = None):
-    """Returns (belief_pred, certs dict). All device-side; no host syncs."""
-    mean_prev, _ = spd_solve_lifted(b.L, b.h, eps_lift)
+                      eps_lift: float, motion: Optional[MotionDelta] = None,
+                      mean_prev=None):
+    """Returns (belief_pred, mean_pred, certs dict). All device-side.
+
+    ``mean_pred`` is the exact mechanized mean the predicted belief encodes
+    (h_pred = L_pred @ mean_pred): callers should use it instead of re-solving
+    ``mean_increment(belief_pred)`` — one fewer serial 22x22 Cholesky per scan
+    and exact (the lifted re-solve only approximates it to O(eps/lambda_min)).
+    ``mean_prev`` may be passed in when the caller already solved it.
+    """
+    if mean_prev is None:
+        mean_prev, _ = spd_solve_lifted(b.L, b.h, eps_lift)
     cov_prev, lift_prev = spd_inverse_lifted(b.L, eps_lift)
     dtype = b.h.dtype
 
@@ -111,4 +120,4 @@ def predict_diffusion(b: Belief, Q, dt_sec, *, lambda_ou: float, eps_psd: float,
             if motion is not None
             else jnp.zeros(b.h.shape[:-1], dtype)),
     }
-    return b._replace(L=L_pred_psd, h=h_pred), certs
+    return b._replace(L=L_pred_psd, h=h_pred), mean_pred, certs

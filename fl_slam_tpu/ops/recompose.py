@@ -28,7 +28,10 @@ def frobenius_recompose(belief_post: Belief, z_lin, total_trigger_magnitude, *,
     linearization offset; X_new = X_anchor o Exp(delta_corrected); then a chart
     shift h' = h - L shift preserving non-pose components.
 
-    Returns (belief_new, z_lin_new, delta_pose_corrected, certs).
+    Returns (belief_new, z_lin_new, delta_pose_corrected, dz_new, certs) —
+    ``dz_new`` is the post-shift mean increment solve(L, h_new) = dz - shift
+    (exact up to the O(eps_lift) lift), handed to ``anchor_drift_update`` so
+    the drift step does not repeat the 22x22 solve.
     """
     dz, _ = spd_solve_lifted(belief_post.L, belief_post.h, eps_lift)
     delta_pose = dz[IDX_POSE]
@@ -40,6 +43,7 @@ def frobenius_recompose(belief_post: Belief, z_lin, total_trigger_magnitude, *,
 
     shift = jnp.zeros((D_Z,), dtype=dz.dtype).at[IDX_POSE].set(delta_corr)
     z_lin_new = z_lin - shift
+    dz_new = dz - shift
     h_new = belief_post.h - belief_post.L @ shift
 
     belief_new = Belief(L=belief_post.L, h=h_new, anchor=X_new)
@@ -52,18 +56,22 @@ def frobenius_recompose(belief_post: Belief, z_lin, total_trigger_magnitude, *,
         "recompose.effect_predicted": jnp.linalg.norm(delta_pose),
         "recompose.effect_realized": jnp.linalg.norm(delta_corr),
     }
-    return belief_new, z_lin_new, delta_corr, certs
+    return belief_new, z_lin_new, delta_corr, dz_new, certs
 
 
 def anchor_drift_update(belief: Belief, z_lin, *, m0: float, r0: float,
-                        eps_lift: float):
+                        eps_lift: float, dz=None):
     """Continuous re-anchoring: rho = clip(max(|dt|/M0, |dtheta|/R0), 0, 1);
     anchor absorbs rho of the pose increment; z_lin scales by (1 - rho);
     h re-derived so mean is preserved (anchor_drift.py:64-191).
 
+    ``dz`` may be passed in when the caller already knows the mean increment
+    (the recompose step returns it); otherwise it is solved here.
+
     Returns (belief_new, z_lin_new, certs).
     """
-    dz, _ = spd_solve_lifted(belief.L, belief.h, eps_lift)
+    if dz is None:
+        dz, _ = spd_solve_lifted(belief.L, belief.h, eps_lift)
     delta_pose = dz[IDX_POSE]
     drift_m = jnp.linalg.norm(delta_pose[0:3])
     drift_r = jnp.linalg.norm(delta_pose[3:6])

@@ -60,13 +60,21 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     # the hot loop.
     # Normalized+floored shape precision, precomputed into the packed view
     # matrix at extraction time (structures/atlas.py slab_extract_view).
-    shape_nk = sym6_to_mat33(cp[..., 7:13])                     # (N, K, 3, 3)
+    # All shape algebra stays in PACKED sym6 components on (N, K) planes:
+    # materializing (N, K, 3, 3) pads 42x under the (8, 128) tiler (the
+    # original einsum form traced ~28 us/scan in pure padding traffic).
+    xx, xy, xz, yy, yz, zz = (cp[..., 7 + i] for i in range(6))  # (N, K) each
     s_meas = (jnp.trace(meas_prec_w, axis1=-2, axis2=-1) / 3.0)  # (N,)
     W = pi * s_meas[:, None]                                    # (N, K)
-    L_t_w = jnp.einsum("nk,nkij->ij", W, shape_nk)
+    L_t_w = sym6_to_mat33(jnp.einsum("nk,nks->s", W, cp[..., 7:13]))
     target = map_pos - meas_pos_w[:, None, :]                   # (N, K, 3)
-    h_t_w = jnp.einsum("nk,nkij,nkj->i", W, shape_nk, target)
-    res_cost = jnp.einsum("nkij,nkj,nki->nk", shape_nk, target, target)
+    tx, ty, tz = target[..., 0], target[..., 1], target[..., 2]
+    ltx = xx * tx + xy * ty + xz * tz                            # (Lambda t)_x
+    lty = xy * tx + yy * ty + yz * tz
+    ltz = xz * tx + yz * ty + zz * tz
+    h_t_w = jnp.stack([jnp.sum(W * ltx), jnp.sum(W * lty),
+                       jnp.sum(W * ltz)])
+    res_cost = tx * ltx + ty * lty + tz * ltz                    # t^T Lambda t
     trans_cost = jnp.sum(W * res_cost)
 
     # ---- rotation vMF scatter ----------------------------------------------

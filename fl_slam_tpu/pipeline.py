@@ -55,7 +55,7 @@ from fl_slam_tpu.config import (
 from fl_slam_tpu.core import se3
 from fl_slam_tpu.core.belief import (
     Belief, floor_and_normalize_weights, identity_belief, mean_increment,
-    world_pose,
+    world_pose, world_pose_from_increment,
 )
 from fl_slam_tpu.core.hexgrid import (
     stencil_offsets_3d, stencil_tile_keys, tile_keys_from_xyz, xyz_to_tile_axial,
@@ -337,18 +337,26 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # Windows + preintegration run BEFORE predict so the preintegrated deltas
     # can mechanize the prediction mean. Biases/start rotation come from
     # hypothesis 0 (all hypotheses see identical inputs; reference behavior).
-    pose_prev0 = world_pose(bel0_prev, cfg.eps_lift)
-    mu_prev0 = mean_increment(bel0_prev, cfg.eps_lift)
+    # ONE batched (K, 22, 22) solve covers the whole bank's previous means —
+    # hypothesis 0's slice feeds the shared bias/rotation inputs and the
+    # per-hypothesis copies feed predict (no separate unbatched solve, and
+    # predict does not re-solve).
+    mu_prev_k, _ = spd_solve_lifted(state.belief.L, state.belief.h,
+                                    cfg.eps_lift)
+    mu_prev0 = mu_prev_k[0]
+    pose_prev0 = world_pose_from_increment(bel0_prev, mu_prev0)
     gyro_bias = mu_prev0[IDX_BG]
     accel_bias = mu_prev0[IDX_BA]
     rotvec0 = pose_prev0[3:6]
 
     # Only the dt marginal is needed: ONE extra triangular solve against the
-    # mean solve's (CSE-shared) Cholesky factor instead of a full 22x22
-    # inverse (22-RHS trsm + layout copies).
+    # batched mean solve's (CSE-shared) Cholesky factor instead of a full
+    # 22x22 inverse (22-RHS trsm + layout copies).
     e_dt = jnp.zeros((D_Z,), dtype=dt).at[IDX_DT.start].set(1.0)
-    col_dt, _ = spd_solve_lifted(bel0_prev.L, e_dt, cfg.eps_lift)
-    dt_std = jnp.sqrt(jnp.maximum(col_dt[IDX_DT.start], 0.0))
+    col_dt, _ = spd_solve_lifted(state.belief.L,
+                                 jnp.broadcast_to(e_dt, (cfg.k_hyp, D_Z)),
+                                 cfg.eps_lift)
+    dt_std = jnp.sqrt(jnp.maximum(col_dt[0, IDX_DT.start], 0.0))
     # Window softness lives on the sensor time-offset scale (10-50 ms). The
     # reference only floors this (pipeline.py:438); without a ceiling a weak
     # initial dt prior (std ~ seconds) smears the windows flat and silently
@@ -413,15 +421,16 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     certs.update(c)
 
     # ---- steps 2+6 per hypothesis: mechanized predict + IMU/odom evidence -----
-    def predict_and_evidence(bel_prev: Belief):
+    def predict_and_evidence(bel_prev: Belief, mu_prev):
         k_certs: dict = {}
-        pose_prev = world_pose(bel_prev, cfg.eps_lift)
-        belief_pred, c = predict_ops.predict_diffusion(
+        pose_prev = world_pose_from_increment(bel_prev, mu_prev)
+        belief_pred, mu_pred, c = predict_ops.predict_diffusion(
             bel_prev, Q, dt_sec, lambda_ou=cfg.ou_lambda, eps_psd=cfg.eps_psd,
-            eps_lift=cfg.eps_lift, motion=motion)
+            eps_lift=cfg.eps_lift, motion=motion, mean_prev=mu_prev)
         k_certs.update(c)
-        pose_pred = world_pose(belief_pred, cfg.eps_lift)
-        mu_pred = mean_increment(belief_pred, cfg.eps_lift)
+        # Exact: h_pred = L_pred @ mu_pred by construction (predict returns
+        # the mechanized mean; no lifted re-solve).
+        pose_pred = world_pose_from_increment(belief_pred, mu_pred)
         vel_pred = mu_pred[IDX_VEL]
 
         L_io = jnp.zeros_like(belief_pred.L)
@@ -512,10 +521,10 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         # docs/PIPELINE_ORDER_AND_EVIDENCE.md:19-22).
         z_lin, _ = spd_solve_lifted(belief_pred.L + L_io,
                                     belief_pred.h + h_io, cfg.eps_lift)
-        return belief_pred, L_io, h_io, z_lin, dz_odom, k_certs
+        return belief_pred, mu_pred, L_io, h_io, z_lin, dz_odom, k_certs
 
-    (beliefs_pred, L_io_k, h_io_k, z_lin_k, dz_odom_k,
-     certsA) = jax.vmap(predict_and_evidence)(state.belief)
+    (beliefs_pred, mu_pred_k, L_io_k, h_io_k, z_lin_k, dz_odom_k,
+     certsA) = jax.vmap(predict_and_evidence)(state.belief, mu_prev_k)
     certs.update(jax.tree.map(lambda a: a[0], certsA))
 
     bel0_pred = jax.tree.map(lambda a: a[0], beliefs_pred)
@@ -524,7 +533,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
 
     # accel IW suffstats at the hyp-0 predicted rotation
     dpsi_accel = imu_ops.accel_iw_suffstats(
-        world_pose(bel0_pred, cfg.eps_lift)[3:6], scan.imu_accel, w_int,
+        world_pose_from_increment(bel0_pred, mu_pred_k[0])[3:6],
+        scan.imu_accel, w_int,
         accel_bias, gravity_w, dt_imu, eps_mass=cfg.eps_mass,
         eps_psd=cfg.eps_psd)
 
@@ -584,7 +594,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     ot_cost = certs["ot.total_cost"]
 
     # ---- steps 9-13 per hypothesis: temper + fuse + recompose + drift ----------
-    def fuse_and_recompose(belief_pred: Belief, L_io, h_io, z_lin):
+    def fuse_and_recompose(belief_pred: Belief, mu_pred, L_io, h_io, z_lin):
         k_certs: dict = {}
         # Residuals are measured at z_lin: lift to the absolute chart target,
         # then temper (scan-to-map evidence is overconfident by construction;
@@ -627,9 +637,10 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
 
         trigger_mag = (k_certs["fusion.psd_projection"]
                        + certs["imu_grav.psd_projection"])
-        belief_rec, z_lin_new, delta_pose, c = recompose_ops.frobenius_recompose(
-            belief_post, z_lin, trigger_mag, c_frob=cfg.c_frob,
-            eps_lift=cfg.eps_lift)
+        belief_rec, z_lin_new, delta_pose, dz_new, c = \
+            recompose_ops.frobenius_recompose(
+                belief_post, z_lin, trigger_mag, c_frob=cfg.c_frob,
+                eps_lift=cfg.eps_lift)
         k_certs.update(c)
         z_t = belief_rec.anchor
 
@@ -638,14 +649,19 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         # filter gain (small gain -> small updates -> small learned Q: the
         # filter can never loosen an overconfident prior); the innovation
         # measures the actual per-scan prediction error independent of gain.
+        # mu_pred = the mechanized prediction mean (pre excitation scaling —
+        # the scaled prior is a fusion artifact, not the prediction);
+        # mu_post = the recompose increment before the chart shift (same
+        # (L, h) system recompose solved — no second solve).
+        shift22 = jnp.zeros((D_Z,), dtype=dt).at[IDX_POSE].set(delta_pose)
         dpsi_q, dnu_q = noise_ops.process_suffstats(
             belief_pred.L, belief_pred.h, belief_post.L, belief_post.h,
-            cfg.eps_lift)
-        return belief_rec, z_lin_new, z_t, dpsi_q, dnu_q, k_certs
+            cfg.eps_lift, mu_pred=mu_pred, mu_post=dz_new + shift22)
+        return belief_rec, z_lin_new, z_t, dz_new, dpsi_q, dnu_q, k_certs
 
-    (beliefs_rec, z_lin_new_k, z_t_k, dpsi_q_k, dnu_q_k,
-     certsB) = jax.vmap(fuse_and_recompose)(beliefs_pred, L_io_k, h_io_k,
-                                            z_lin_k)
+    (beliefs_rec, z_lin_new_k, z_t_k, dz_new_k, dpsi_q_k, dnu_q_k,
+     certsB) = jax.vmap(fuse_and_recompose)(beliefs_pred, mu_pred_k,
+                                            L_io_k, h_io_k, z_lin_k)
     certs.update(jax.tree.map(lambda a: a[0], certsB))
 
     if mht_enabled(cfg):
@@ -710,11 +726,15 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     ctx = ctx._replace(rows=rows)
 
     # ---- step 13 per hypothesis: anchor drift ----------------------------------
-    def drift(bel, z_lin_new):
+    def drift(bel, z_lin_new, dz_new):
         return recompose_ops.anchor_drift_update(
             bel, z_lin_new, m0=cfg.anchor_drift_m0, r0=cfg.anchor_drift_r0,
-            eps_lift=cfg.eps_lift)
-    beliefs_final, _, certsC = jax.vmap(drift)(beliefs_rec, z_lin_new_k)
+            eps_lift=cfg.eps_lift, dz=dz_new)
+    # z_drift_k = (1 - rho) dz: after drift h = L @ z_drift holds exactly, so
+    # z_drift_k IS the per-hypothesis mean increment (feeds the barycenter's
+    # spread diagnostic below without a batched re-solve).
+    beliefs_final, z_drift_k, certsC = jax.vmap(drift)(beliefs_rec,
+                                                       z_lin_new_k, dz_new_k)
     certs.update(jax.tree.map(lambda a: a[0], certsC))
 
     # ---- step 15: hypothesis barycenter (published pose) ------------------------
@@ -730,13 +750,15 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         h_bar_in = beliefs_final.h + jnp.einsum(
             "kij,kj->ki", beliefs_final.L, e_k)
         z_bar_in = z_lin_new_k + e_k
+        means_in = z_drift_k + e_k
         certs["hyp.anchor_spread"] = jnp.sum(xi_k ** 2)
     else:
         h_bar_in, z_bar_in = beliefs_final.h, z_lin_new_k
+        means_in = z_drift_k
     L_bar, h_bar, z_lin_bar, w_norm, c = hyp_ops.barycenter_projection(
         beliefs_final.L, h_bar_in, z_bar_in, w_hyp,
         weight_floor=cfg.hyp_weight_floor, eps_psd=cfg.eps_psd,
-        eps_lift=cfg.eps_lift)
+        eps_lift=cfg.eps_lift, means=means_in)
     certs.update(c)
     bel_bar = Belief(L=L_bar, h=h_bar,
                      anchor=jax.tree.map(lambda a: a[0], beliefs_final).anchor)

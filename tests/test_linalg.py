@@ -140,3 +140,54 @@ class TestKabsch3x3:
         R = np.asarray(R)
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
         assert np.linalg.det(R) > 0.99
+
+
+class TestUnrolledSmallCholesky:
+    """spd_solve_lifted / spd_inverse_lifted dispatch static n <= 8 to the
+    fused unrolled Cholesky (no LAPACK custom call on the TPU hot path);
+    the unrolled form must agree with the LAPACK path it replaces."""
+
+    def test_solve_matches_lapack_small_sizes(self):
+        import jax.numpy as jnp
+        from jax.scipy.linalg import cho_factor, cho_solve
+        from fl_slam_tpu.core.linalg import spd_solve_lifted
+        rng = np.random.default_rng(7)
+        for n in (2, 3, 6, 7, 8):
+            G = rng.normal(size=(10, n, n))
+            A = G @ np.swapaxes(G, -1, -2) + 0.1 * np.eye(n)
+            b = rng.normal(size=(10, n))
+            x, _ = spd_solve_lifted(jnp.asarray(A), jnp.asarray(b), 1e-9)
+            c, low = cho_factor(jnp.asarray(A) + 1e-9 * jnp.eye(n))
+            x_ref = cho_solve((c, low), jnp.asarray(b))
+            np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_inverse_matches_lapack(self):
+        import jax.numpy as jnp
+        from fl_slam_tpu.core.linalg import spd_inverse_lifted
+        rng = np.random.default_rng(8)
+        for n in (3, 6):
+            G = rng.normal(size=(n, n))
+            A = G @ G.T + 0.1 * np.eye(n)
+            inv, _ = spd_inverse_lifted(jnp.asarray(A), 1e-9)
+            np.testing.assert_allclose(np.asarray(inv) @ A, np.eye(n),
+                                       atol=5e-4)
+            np.testing.assert_allclose(np.asarray(inv),
+                                       np.asarray(inv).T, atol=1e-7)
+
+    def test_singular_psd_is_total(self):
+        import jax.numpy as jnp
+        from fl_slam_tpu.core.linalg import spd_solve_lifted
+        A = np.zeros((6, 6)); A[0, 0] = 1.0
+        x, _ = spd_solve_lifted(jnp.asarray(A), jnp.ones(6), 1e-6)
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_large_n_still_lapack_vector_and_matrix_rhs(self):
+        import jax.numpy as jnp
+        from fl_slam_tpu.core.linalg import spd_solve_lifted
+        rng = np.random.default_rng(9)
+        G = rng.normal(size=(22, 22))
+        A = G @ G.T + 0.1 * np.eye(22)
+        x, _ = spd_solve_lifted(jnp.asarray(A), jnp.ones(22), 1e-9)
+        np.testing.assert_allclose(np.asarray(A @ np.asarray(x)),
+                                   np.ones(22), rtol=1e-3, atol=1e-3)

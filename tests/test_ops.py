@@ -30,9 +30,9 @@ def _strong_belief(info=1e4):
 def test_predict_cov_grows_and_saturates():
     b = _strong_belief(1e4)  # cov = 1e-4 I
     Q = jnp.eye(D_Z, dtype=F64) * 0.01
-    pred_small, _ = predict_op.predict_diffusion(
+    pred_small, _, _ = predict_op.predict_diffusion(
         b, Q, jnp.asarray(0.1), lambda_ou=0.1, eps_psd=1e-12, eps_lift=1e-9)
-    pred_large, _ = predict_op.predict_diffusion(
+    pred_large, _, _ = predict_op.predict_diffusion(
         b, Q, jnp.asarray(1000.0), lambda_ou=0.1, eps_psd=1e-12, eps_lift=1e-9)
     cov_small = np.linalg.inv(np.asarray(pred_small.L))
     cov_large = np.linalg.inv(np.asarray(pred_large.L))
@@ -46,9 +46,10 @@ def test_predict_preserves_mean():
     h = jnp.zeros((D_Z,), F64).at[0].set(1e4 * 0.3)  # mean x = 0.3
     b = b._replace(h=h)
     Q = jnp.eye(D_Z, dtype=F64) * 1e-6
-    pred, _ = predict_op.predict_diffusion(
+    pred, mean_pred, _ = predict_op.predict_diffusion(
         b, Q, jnp.asarray(0.1), lambda_ou=0.1, eps_psd=1e-12, eps_lift=1e-9)
     np.testing.assert_allclose(float(mean_increment(pred)[0]), 0.3, rtol=1e-6)
+    np.testing.assert_allclose(float(mean_pred[0]), 0.3, rtol=1e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +251,7 @@ def test_recompose_updates_anchor_and_zeroes_pose():
     h = jnp.zeros(D_Z, F64).at[0].set(1e2 * 0.4)  # mean x increment 0.4
     b = b._replace(h=h)
     z_lin = jnp.zeros(D_Z, F64)
-    b_new, z_lin_new, dpose, certs = recompose.frobenius_recompose(
+    b_new, z_lin_new, dpose, dz_new, certs = recompose.frobenius_recompose(
         b, z_lin, jnp.asarray(0.0, F64), c_frob=1.0, eps_lift=1e-9)
     # anchor moved by the pose increment
     np.testing.assert_allclose(float(b_new.anchor[0]), 0.4, rtol=1e-6)

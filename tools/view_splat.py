@@ -101,6 +101,15 @@ def main():
     if n > args.max_prims:  # keep the render budget fixed: top by weight
         keep = np.argsort(-w)[: args.max_prims]
         pos, Lam, etas, rgb, w = (a[keep] for a in (pos, Lam, etas, rgb, w))
+    if rgb.std() < 1e-3:
+        # Lidar-only maps carry a uniform provenance gray; tint by height so
+        # the render reads as structure instead of a flat wall.
+        z = pos[:, 2]
+        zn = (z - np.percentile(z, 5)) / max(
+            np.percentile(z, 95) - np.percentile(z, 5), 1e-6)
+        zn = np.clip(zn, 0.0, 1.0)[:, None]
+        rgb = (np.array([0.20, 0.35, 0.75]) * (1 - zn)
+               + np.array([0.95, 0.75, 0.25]) * zn)
 
     import jax.numpy as jnp
     from fl_slam_tpu.render.splat import render
@@ -114,7 +123,14 @@ def main():
     img, depth = render(jnp.asarray(pos), jnp.asarray(Lam), jnp.asarray(etas),
                         jnp.asarray(rgb), jnp.asarray(w),
                         jnp.ones((pos.shape[0],), bool), cam)
-    img8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    img = np.asarray(img)
+    # Auto-exposure: vMF shading attenuates strongly off-lobe (sensor-facing
+    # normals vs an external camera); normalize to the 99th percentile so the
+    # geometry reads regardless of lobe alignment.
+    p99 = np.percentile(img, 99)
+    if 1e-6 < p99 < 0.5:
+        img = img / p99 * 0.85
+    img8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
     try:
         from PIL import Image
         Image.fromarray(img8).save(out)

@@ -1,0 +1,125 @@
+"""Aggregate one steady-state replay scan's device time by SOURCE line.
+
+Every HLO op's xplane metadata carries the Python ``source`` (file:line) that
+produced it; summing self-times over one scan window by source attributes the
+tiny-op tail directly to repo code — much faster to act on than op names.
+
+Scan windows are anchored on a once-per-scan op (auto-detected: the op name
+whose occurrence count is closest to the expected scan count and spread
+evenly); the report averages the middle windows to dodge warmup/teardown.
+
+Usage:
+  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+    python tools/xplane_by_source.py [trace_dir] [--top N] [--by-op]
+
+Parity: the reference attributes per-stage wall time via MinimalScanTape
+timings (fl_slam_poc/backend/pipeline.py:383-394); this is the equivalent
+forensic view for the single fused TPU program.
+"""
+
+import collections
+import glob
+import os
+import sys
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+
+def load_events(trace_dir):
+    planes = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                              recursive=True), key=os.path.getmtime)
+    if not planes:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    xs = xplane_pb2.XSpace()
+    with open(planes[-1], "rb") as fh:
+        xs.ParseFromString(fh.read())
+    for p in xs.planes:
+        if "TPU" not in p.name:
+            continue
+        stat_names = {i: m.name for i, m in p.stat_metadata.items()}
+        for line in p.lines:
+            if line.name != "XLA Ops":
+                continue
+            evs = []
+            for ev in line.events:
+                md = p.event_metadata[ev.metadata_id]
+                src = ""
+                for st in list(ev.stats) + list(md.stats):
+                    nm = stat_names.get(st.metadata_id, "")
+                    if nm in ("source", "source_info", "tf_op"):
+                        v = (st.str_value
+                             or stat_names.get(st.ref_value, ""))
+                        if v:
+                            src = v
+                            break
+                t0 = (line.timestamp_ns * 1000 + ev.offset_ps) / 1e6  # us
+                evs.append((t0, ev.duration_ps / 1e6, md.name, src))
+            evs.sort()
+            if evs:
+                return evs
+    raise SystemExit("no TPU 'XLA Ops' line in trace")
+
+
+def detect_anchor(evs):
+    """Pick the op name that best tiles the trace into equal windows."""
+    by_name = collections.defaultdict(list)
+    for t0, dur, name, _ in evs:
+        by_name[name].append(t0)
+    span = evs[-1][0] - evs[0][0]
+    best, best_score = None, float("inf")
+    for name, ts in by_name.items():
+        n = len(ts)
+        if n < 4 or n > 4096:
+            continue
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        mean = sum(gaps) / len(gaps)
+        if mean <= 0 or n * mean < span * 0.5:
+            continue  # must cover most of the trace
+        var = sum((g - mean) ** 2 for g in gaps) / len(gaps)
+        cv = (var ** 0.5) / mean
+        if cv < best_score:
+            best, best_score = name, cv
+    return best
+
+
+def main():
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gc_trace"
+    top = 40
+    by_op = "--by-op" in sys.argv
+    for i, a in enumerate(sys.argv):
+        if a == "--top":
+            top = int(sys.argv[i + 1])
+    evs = load_events(trace_dir)
+    anchor = detect_anchor(evs)
+    if anchor is None:
+        raise SystemExit("no periodic anchor op found")
+    ts = [t0 for t0, _, name, _ in evs if name == anchor]
+    n_win = len(ts) - 1
+    lo = max(1, n_win // 3)
+    hi = max(lo + 1, 2 * n_win // 3)
+    windows = [(ts[i], ts[i + 1]) for i in range(lo, hi)]
+    print(f"anchor={anchor}  windows={len(windows)} "
+          f"(of {n_win}), mean period "
+          f"{(ts[-1] - ts[0]) / n_win:.1f} us")
+
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    busy = 0.0
+    for w0, w1 in windows:
+        for t0, dur, name, src in evs:
+            if w0 <= t0 < w1:
+                key = name.split(".")[0] if by_op else (src or "<no-source>")
+                agg[key] += dur
+                cnt[key] += 1
+                busy += dur
+    nw = len(windows)
+    print(f"device busy per scan: {busy / nw:.1f} us "
+          f"(window wall {sum(w1 - w0 for w0, w1 in windows) / nw:.1f} us)")
+    print(f"{'us/scan':>9}  {'ops':>6}  source")
+    for key, tot in agg.most_common(top):
+        print(f"{tot / nw:9.1f}  {cnt[key] / nw:6.1f}  {key[:100]}")
+
+
+if __name__ == "__main__":
+    main()
