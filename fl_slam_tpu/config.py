@@ -307,6 +307,20 @@ class GCConfig:
     # scans, ~0.4 s at R=4/10 Hz) for removing the dominant per-scan map
     # costs (write-back scatter ~350 us, selection ~130 us, gather ~60 us).
     view_refresh_every: int = 1
+    # PAGED view membership: when > 0, view residency is selected in pages of
+    # ``view_page`` contiguous slots (lane-aligned at 128 on TPU) instead of
+    # per slot. Page scores: weight half = sum of valid-slot weights, recency
+    # half = max created_seq; inserts cluster into the lowest-retention
+    # non-resident page of each tile. Turns the boundary gather + write-back
+    # (~7168 strided columns, ~48 ns/col each way — the top remaining sink)
+    # and the prim-id gather into a handful of tile-aligned page slices the
+    # DMA engine can stream, and the big (S, m_tile) selection sorts into
+    # tiny exact (S, m_tile/P) ones. Trade: membership/merge/eviction become
+    # page-granular (an isolated heavy primitive in an otherwise-dead page
+    # can lose view residency). 0 = per-slot selection (reference-shaped
+    # membership; the CPU parity default). Requires m_tile % view_page == 0
+    # and m_tile_view % view_page == 0.
+    view_page: int = 0
     # Use the Pallas predicated-DMA slab exchange (structures/atlas_kernels).
     # Must be False on paths that vmap process_scan (batched replicas):
     # pallas_call has no batching rule; the XLA fallback vmaps fine.
@@ -365,7 +379,7 @@ class GCConfig:
     def tpu(**overrides) -> "GCConfig":
         """Production budgets, float32 compute."""
         base = dict(dtype="float32", approx_topk=True, select_bf16=True,
-                    view_refresh_every=4)
+                    view_refresh_every=4, view_page=128)
         base.update(overrides)
         return GCConfig(**base)
 

@@ -149,6 +149,9 @@ class ViewCtx(NamedTuple):
                                 # list (ff_insert membership test)
     active_keys: jnp.ndarray    # (S,) int64 tile keys of this chunk
     certs: dict                 # boundary certs (constant within the chunk)
+    put_pages: object = None    # paged mode (cfg.view_page): (S*Vp,) int32
+                                # flat page write-back targets (S*npg = drop)
+                                # + the insert page-exclusion list
 
 
 def initial_belief(cfg: GCConfig, anchor0=None) -> Belief:
@@ -287,23 +290,37 @@ def _chunk_begin(state: PipelineState, cfg: GCConfig, *,
     certs.update(c)
 
     SM = sff.ff.shape[1]
-    slab_cols, dup = atlas_ops.ff_select_view_cols(sff, cfg.n_active_tiles,
-                                                   cfg)
-    rows = sff.ff[:, slab_cols].T                            # (V, CF)
+    if cfg.view_page:
+        pages, dupp = atlas_ops.ff_select_view_pages(sff, cfg.n_active_tiles,
+                                                     cfg)
+        rows, slab_cols, dup, view_pids, put_pages = atlas_ops.ff_gather_pages(
+            sff, pages, dupp, cfg.n_active_tiles, cfg)
+    else:
+        slab_cols, dup = atlas_ops.ff_select_view_cols(sff,
+                                                       cfg.n_active_tiles,
+                                                       cfg)
+        rows = sff.ff[:, slab_cols].T                        # (V, CF)
+        view_pids = sff.prim_ids[slab_cols]
+        put_pages = None
     put_idx = jnp.where(dup, jnp.int32(SM), slab_cols)
 
     state = state._replace(atlas=atlas, slabs=sff, slab_slots=slots,
                            slab_keys=active_keys)
     ctx = ViewCtx(rows=rows, slab_cols=slab_cols, dup=dup,
-                  prim_ids=sff.prim_ids[slab_cols], put_idx=put_idx,
-                  active_keys=active_keys, certs=certs)
+                  prim_ids=view_pids, put_idx=put_idx,
+                  active_keys=active_keys, certs=certs, put_pages=put_pages)
     return state, ctx
 
 
-def _chunk_end(state: PipelineState, ctx: ViewCtx) -> PipelineState:
-    """Write the resident view rows back to their slab columns (ONE column
-    scatter; inserts never target resident columns, so no clobbering)."""
-    SM = state.slabs.ff.shape[1]
+def _chunk_end(state: PipelineState, ctx: ViewCtx,
+               cfg: GCConfig) -> PipelineState:
+    """Write the resident view rows back to their slab columns (paged: one
+    page scatter; else ONE column scatter; inserts never target resident
+    columns/pages, so no clobbering)."""
+    if cfg.view_page:
+        sff = atlas_ops.ff_write_view_pages(state.slabs, ctx.put_pages,
+                                            ctx.rows, cfg.n_active_tiles, cfg)
+        return state._replace(slabs=sff)
     view_meta = atlas_ops.MapView(
         positions=None, Lambdas=None, directions=None, kappas=None,
         weights=None, valid=None, last_supported=None, prim_ids=None,
@@ -319,7 +336,7 @@ def process_scan(state: PipelineState, scan: ScanInput,
     at its own cadence)."""
     state, ctx = _chunk_begin(state, cfg, gamma_power=1)
     state, ctx, out = _scan_core(state, ctx, scan, cfg)
-    state = _chunk_end(state, ctx)
+    state = _chunk_end(state, ctx, cfg)
     return state, out
 
 
@@ -706,7 +723,13 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
                                      assoc.cand_view_idx, assoc.cand_valid,
                                      seq, cfg)
     certs.update(c)
-    kw_view = min(cfg.m_tile_view - cfg.m_tile_view // 2, cfg.m_tile)
+    if cfg.view_page:
+        # Paged membership: the weight half is whole pages (first in row
+        # order); the merge prefix covers them.
+        vp = cfg.m_tile_view // cfg.view_page
+        kw_view = (vp - vp // 2) * cfg.view_page
+    else:
+        kw_view = min(cfg.m_tile_view - cfg.m_tile_view // 2, cfg.m_tile)
     rows, c = atlas_ops.compact_merge_reduce(rows, cfg.n_active_tiles,
                                              kw_view, cfg)
     certs.update(c)
@@ -720,7 +743,10 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
     sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys,
                                  ctx.active_keys, seq, cfg,
-                                 evict_exclude=ctx.put_idx)
+                                 evict_exclude=(None if cfg.view_page
+                                                else ctx.put_idx),
+                                 resident_pages=(ctx.put_pages
+                                                 if cfg.view_page else None))
     certs.update(c)
     slabs = sff
     ctx = ctx._replace(rows=rows)
@@ -844,7 +870,7 @@ def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
     def chunk(carry, chunk_scans):
         st, ctx = _chunk_begin(carry, cfg, gamma_power=R)
         (st, ctx), outs = jax.lax.scan(inner, (st, ctx), chunk_scans)
-        return _chunk_end(st, ctx), outs
+        return _chunk_end(st, ctx, cfg), outs
 
     final, outs = jax.lax.scan(chunk, state, chunked)
     outs = jax.tree.map(

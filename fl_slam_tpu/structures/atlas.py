@@ -533,6 +533,89 @@ def ff_select_view_cols(sf: SlabsFF, S: int, cfg: GCConfig):
     return slab_cols, dup.reshape(-1)
 
 
+def ff_select_view_pages(sf: "SlabsFF", S: int, cfg: GCConfig):
+    """PAGED view membership (``cfg.view_page`` > 0): per active slab, the
+    ``m_tile_view / P`` view pages split between the top pages by SUM OF
+    VALID WEIGHTS (weight half, first — ``compact_merge_reduce`` merges a
+    prefix) and the top pages by MAX created_seq (recency half, keeping the
+    insertion->associate->fuse loop closed at page granularity; see
+    ``ff_select_view_cols`` for why a recency half exists at all).
+
+    Page selection replaces the (S, m_tile) approx_max_k sorts with exact
+    (S, m_tile/P) top-k — the payoff is in the GATHER: page-aligned slices
+    stream as contiguous DMA instead of ~48 ns/column serialized gathers
+    (the round-2 top sink).
+
+    Returns (pages (S, Vp) tile-local page indices, dup (S, Vp) bool —
+    recency copies of weight-selected pages, dropped on write-back).
+    """
+    P = cfg.view_page
+    ff = sf.ff
+    cf, SM = ff.shape
+    M = SM // S
+    assert M % P == 0 and cfg.m_tile_view % P == 0, (M, cfg.m_tile_view, P)
+    npg = M // P
+    Vp = cfg.m_tile_view // P
+    o = _O_SCAL
+    vmask = (ff[o + _ROW_V] > 0.5).reshape(S, npg, P)
+    w = jnp.where(vmask, ff[o + _ROW_W].reshape(S, npg, P), 0.0)
+    cs = jnp.where(vmask, ff[o + _ROW_CS].reshape(S, npg, P), -1.0)
+    kwp = min(Vp - Vp // 2, npg)
+    krp = min(Vp // 2, npg)
+    _, pw = jax.lax.top_k(jnp.sum(w, axis=-1), kwp)          # (S, kwp)
+    if krp > 0:
+        _, pr = jax.lax.top_k(jnp.max(cs, axis=-1), krp)     # (S, krp)
+        dup_r = jnp.any(pr[:, :, None] == pw[:, None, :], axis=2)
+        pages = jnp.concatenate([pw, pr], axis=1)
+        dup = jnp.concatenate([jnp.zeros((S, kwp), bool), dup_r], axis=1)
+    else:
+        pages, dup = pw, jnp.zeros((S, kwp), bool)
+    if pages.shape[1] < Vp:  # tiny-config safety: repeats of page 0, dropped
+        pad = Vp - pages.shape[1]
+        pages = jnp.pad(pages, ((0, 0), (0, pad)))
+        dup = jnp.pad(dup, ((0, 0), (0, pad)), constant_values=True)
+    return pages.astype(jnp.int32), dup
+
+
+def ff_gather_pages(sf: "SlabsFF", pages: jnp.ndarray, dup: jnp.ndarray,
+                    S: int, cfg: GCConfig):
+    """Gather the selected pages' rows + ids with page-aligned slices.
+
+    Returns (rows (V, CF), slab_cols (V,), dup_f (V,), prim_ids (V,),
+    put_pages (S*Vp,) flat page write-back targets — S*npg = drop)."""
+    P = cfg.view_page
+    cf, SM = sf.ff.shape
+    M = SM // S
+    npg = M // P
+    pflat = (jnp.arange(S, dtype=jnp.int32)[:, None] * npg
+             + pages).reshape(-1)                            # (S*Vp,)
+    g3 = jnp.take(sf.ff.reshape(cf, S * npg, P), pflat, axis=1)
+    rows = g3.reshape(cf, -1).T                              # (V, CF)
+    prim_ids = jnp.take(sf.prim_ids.reshape(S * npg, P), pflat,
+                        axis=0).reshape(-1)
+    base = (jnp.arange(S, dtype=jnp.int32)[:, None] * M
+            + pages * P)                                     # (S, Vp)
+    slab_cols = (base[..., None]
+                 + jnp.arange(P, dtype=jnp.int32)).reshape(-1)
+    dup_f = jnp.repeat(dup.reshape(-1), P)
+    put_pages = jnp.where(dup.reshape(-1), jnp.int32(S * npg), pflat)
+    return rows, slab_cols, dup_f, prim_ids, put_pages
+
+
+def ff_write_view_pages(sf: "SlabsFF", put_pages: jnp.ndarray,
+                        rows: jnp.ndarray, S: int, cfg: GCConfig) -> "SlabsFF":
+    """Paged counterpart of ``ff_write_view``: one drop-mode PAGE scatter
+    (each page a contiguous (CF, P) block; duplicate pages point out of
+    bounds)."""
+    P = cfg.view_page
+    cf, SM = sf.ff.shape
+    npg = SM // S // P
+    ff3 = sf.ff.reshape(cf, S * npg, P)
+    rows3 = jnp.swapaxes(rows, 0, 1).reshape(cf, -1, P)
+    ff3 = ff3.at[:, put_pages, :].set(rows3, mode="drop")
+    return sf._replace(ff=ff3.reshape(cf, SM))
+
+
 def view_from_rows(g: jnp.ndarray, slab_cols: jnp.ndarray,
                    dup_f: jnp.ndarray, prim_ids: jnp.ndarray, SM: int,
                    cfg: GCConfig) -> MapView:
@@ -817,12 +900,19 @@ def ff_write_view(sf: SlabsFF, view: MapView, rows: jnp.ndarray) -> SlabsFF:
 
 def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
               meas_keys: jnp.ndarray, active_keys: jnp.ndarray, scan_seq,
-              cfg: GCConfig, evict_exclude=None):
+              cfg: GCConfig, evict_exclude=None, resident_pages=None):
     """Insert top-``k_insert`` novel measurements per active tile.
 
     novelty: (N,) = max(a - row_mass, 0) from unbalanced OT. Insert weight =
     novelty * meas weight. Eviction per tile: invalid slots first, then lowest
     retention = weight * exp(-lambda * staleness).
+
+    ``resident_pages`` (paged view mode): flat resident page indices
+    (s * npg + p). Eviction then targets the K lowest-retention slots WITHIN
+    the single lowest-retention NON-RESIDENT page of each tile — inserts
+    cluster into one page per tile per scan, so the recency page score
+    surfaces them at the next membership refresh, and write-back clobbering
+    is impossible by construction (no per-slot exclusion test needed).
     """
     ff = sf.ff
     cf, SM = ff.shape
@@ -848,7 +938,38 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
                           ff[o + _ROW_W].reshape(S, M) *
                           jnp.exp(-cfg.recency_decay_lambda * stale),
                           -1.0)
-    _, evict_slot = top_k_maybe_approx(-retention, K, cfg.approx_topk)  # (S, K)
+    if resident_pages is not None:
+        P = cfg.view_page
+        npg = M // P
+        # Page choice, two regimes in one argmin (no cond):
+        #   space exists -> the FULLEST page that still fits K proposals
+        #     (free slots >= K). Preferring fullest-first packs pages densely
+        #     instead of opening a fresh page per scan — a half-empty page
+        #     per scan fragments the tile and the weight-sum view selection
+        #     then gathers half-invalid pages (measured: production
+        #     translation ATE doubled).
+        #   tile full -> the page with the least retention to evict.
+        # Resident pages are excluded wholesale.
+        inv_cnt = jnp.sum((~vmask).reshape(S, npg, P), axis=-1)  # (S, npg)
+        ret_pg = jnp.sum(jnp.where(vmask, retention, 0.0)
+                         .reshape(S, npg, P), axis=-1)       # (S, npg)
+        fits = inv_cnt >= K
+        score = jnp.where(fits, inv_cnt.astype(dt), 1e8 + ret_pg)
+        pages_glob = (jnp.arange(S, dtype=jnp.int32)[:, None] * npg
+                      + jnp.arange(npg, dtype=jnp.int32)[None, :])
+        excl = jnp.any(pages_glob[:, :, None]
+                       == resident_pages[None, None, :], axis=-1)
+        score = jnp.where(excl, jnp.inf, score)
+        tgt_page = jnp.argmin(score, axis=1)                 # (S,)
+        ret_in = jnp.take_along_axis(
+            retention.reshape(S, npg, P), tgt_page[:, None, None],
+            axis=1)[:, 0, :]                                 # (S, P)
+        assert K <= P, (K, P)  # one page must hold a scan's insert budget
+        _, slot_in = jax.lax.top_k(-ret_in, K)               # (S, K)
+        evict_slot = tgt_page[:, None] * P + slot_in
+    else:
+        _, evict_slot = top_k_maybe_approx(-retention, K,
+                                           cfg.approx_topk)  # (S, K)
 
     do_f = do_insert.reshape(-1)                             # (S*K,)
     if evict_exclude is not None:
