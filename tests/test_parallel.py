@@ -46,6 +46,22 @@ class TestBatchedReplay:
         # Instances have different seeds: trajectories must differ.
         assert np.abs(poses[0] - poses[1]).max() > 1e-6
 
+    def test_multiple_instances_per_device(self):
+        """The BASELINE stretch shape (64 instances on v5e-8) is instances =
+        k * devices: the leading axis shards k-per-device and vmap covers
+        the within-device batch. 16-on-8 exercises exactly that split."""
+        n = 2 * jax.device_count()
+        dss, scans, anchors = _instances(n, T=2)
+        mesh = make_mesh()
+        states = init_states_batched(CFG, n, anchors0=anchors)
+        run = batched_replay(CFG, mesh)
+        fs, outs = run(states, shard_scan_inputs(scans, mesh))
+        poses = np.asarray(outs.pose)
+        assert poses.shape == (n, 2, 6)
+        assert np.isfinite(poses).all()
+        # Distinct seeds on the SAME device must stay independent.
+        assert np.abs(poses[0] - poses[1]).max() > 1e-6
+
     def test_batched_matches_single(self):
         """Instance 0 of the batched run == a plain single replay."""
         from fl_slam_tpu.pipeline import init_state, replay
