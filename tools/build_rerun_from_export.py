@@ -20,6 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Honor the env var even against pre-seeded accelerator plugins that
+    # override it (this box's axon plugin).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _resolve_npz(path):
     if os.path.isdir(path):

@@ -43,6 +43,8 @@ def main():
                     help="calibration JSON: T_base_lidar / T_base_cam / "
                          "intrinsics (io.rosbag.load_calibration schema)")
     ap.add_argument("--gt", default=None, help="TUM ground-truth file")
+    ap.add_argument("--no-render", action="store_true",
+                    help="skip the chase/BEV map renders")
     args = ap.parse_args()
 
     if args.cpu:
@@ -209,7 +211,38 @@ def main():
     save_runtime_manifest(os.path.join(args.out, "runtime_manifest.json"),
                           cfg, extra={"metrics": {"wall_s": wall}})
     _dashboard(args.out, outs, poses, gt_poses, stamps)
+    if not args.no_render:
+        _render_views(args.out)
     print(f"[done] artifacts in {args.out}")
+
+
+def _render_views(out_dir):
+    """Chase-view + BEV renders of the exported map (parity: the reference
+    eval chains build_rerun_from_splat/view_splat_jaxsplat renders,
+    run_and_evaluate_gc.sh render step)."""
+    import subprocess
+    import jax
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "view_splat.py")
+    # The EWA renderer is sized for the TPU; on CPU drop the budget so the
+    # render finishes in seconds instead of minutes.
+    on_cpu = jax.default_backend() == "cpu"
+    small = ["--wh", "480", "360", "--max-prims", "4096"] if on_cpu else []
+    env = dict(os.environ)
+    if on_cpu:
+        # The subprocess must not try (and possibly hang on) an accelerator
+        # backend this process deliberately avoided.
+        env["JAX_PLATFORMS"] = "cpu"
+    for name, extra in (("map_chase.png", small),
+                        ("map_bev.png", small + ["--bev"])):
+        r = subprocess.run(
+            [sys.executable, tool, out_dir,
+             "--out", os.path.join(out_dir, name)] + extra,
+            capture_output=True, text=True, timeout=600, env=env)
+        if r.returncode == 0:
+            print(f"[render] {out_dir}/{name}")
+        else:
+            print(f"[render] {name} failed: {r.stderr.strip()[-200:]}")
 
 
 def _dashboard(out_dir, outs, poses, gt_poses, stamps):
