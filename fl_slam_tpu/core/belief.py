@@ -29,7 +29,12 @@ class Belief(NamedTuple):
     Fields:
       L: (..., 22, 22) information matrix.
       h: (..., 22) information vector.
-      anchor: (..., 6) SE(3) anchor pose [t, rotvec] (world frame).
+      anchor: (..., 7) SE(3) anchor pose [t, quat wxyz] (world frame).
+        Quaternion, NOT rotvec: the anchor compounds scan over scan, and the
+        rotvec chart's per-scan exp/log round trip is ill-conditioned at the
+        accumulated O(pi) rotation — it needed software-emulated f64 on TPU
+        (see se3.py pose7 block). 6-vector [t, rotvec] forms are derived at
+        the consumers (evidence residuals, published poses).
     """
 
     L: jnp.ndarray
@@ -39,12 +44,18 @@ class Belief(NamedTuple):
 
 def identity_belief(dtype=jnp.float64, prior_info: float = 1e-6,
                     anchor=None) -> Belief:
-    """Weak identity prior at a given anchor (default: origin)."""
+    """Weak identity prior at a given anchor (default: origin). ``anchor``
+    accepts a 6-vector [t, rotvec] (converted) or a 7-vector [t, quat]."""
     L = jnp.eye(D_Z, dtype=dtype) * prior_info
     h = jnp.zeros((D_Z,), dtype=dtype)
     if anchor is None:
-        anchor = jnp.zeros((6,), dtype=dtype)
-    return Belief(L=L, h=h, anchor=jnp.asarray(anchor, dtype=dtype))
+        anchor = jnp.zeros((3,), dtype=dtype)
+    anchor = jnp.asarray(anchor, dtype=dtype)
+    if anchor.shape[-1] == 3:
+        anchor = jnp.concatenate([anchor, jnp.zeros((3,), dtype=dtype)])
+    if anchor.shape[-1] == 6:
+        anchor = se3.pose7_from_pose6(anchor)
+    return Belief(L=L, h=h, anchor=anchor)
 
 
 def mean_increment(b: Belief, eps_lift: float = 1e-9) -> jnp.ndarray:
@@ -53,14 +64,25 @@ def mean_increment(b: Belief, eps_lift: float = 1e-9) -> jnp.ndarray:
     return x
 
 
-def world_pose(b: Belief, eps_lift: float = 1e-9) -> jnp.ndarray:
-    """X_anchor ∘ Exp(delta_xi_pose) as a 6-vector pose."""
+def world_pose7(b: Belief, eps_lift: float = 1e-9) -> jnp.ndarray:
+    """X_anchor ∘ Exp(delta_xi_pose) as a 7-vector [t, quat] pose."""
     dz = mean_increment(b, eps_lift)
-    return se3.se3_plus(b.anchor, dz[..., IDX_POSE])
+    return se3.pose7_plus(b.anchor, dz[..., IDX_POSE])
+
+
+def world_pose(b: Belief, eps_lift: float = 1e-9) -> jnp.ndarray:
+    """X_anchor ∘ Exp(delta_xi_pose) as a 6-vector [t, rotvec] pose
+    (output/evidence form; the rotvec log runs once here, outside the
+    state-compounding loop)."""
+    return se3.pose6_from_pose7(world_pose7(b, eps_lift))
+
+
+def world_pose7_from_increment(b: Belief, dz: jnp.ndarray) -> jnp.ndarray:
+    return se3.pose7_plus(b.anchor, dz[..., IDX_POSE])
 
 
 def world_pose_from_increment(b: Belief, dz: jnp.ndarray) -> jnp.ndarray:
-    return se3.se3_plus(b.anchor, dz[..., IDX_POSE])
+    return se3.pose6_from_pose7(world_pose7_from_increment(b, dz))
 
 
 def shift_chart(b: Belief, shift: jnp.ndarray) -> Belief:

@@ -101,11 +101,6 @@ def so3_exp(w):
     ], axis=-2)
 
 
-def _promote64(x):
-    """f32 -> f64 for the state-compounding compose chain (see se3_compose)."""
-    return x.astype(jnp.float64) if x.dtype == jnp.float32 else x
-
-
 def so3_log(R):
     """(..., 3, 3) rotation -> (..., 3) rotvec, f32-native and stable at ALL
     angles via the quaternion route (branchless Shepperd extraction + atan2).
@@ -216,31 +211,20 @@ def se3_log(pose):
 
 
 def se3_compose(a, b):
-    """a ∘ b for 6-vector poses: R = Ra Rb, t = Ra tb + ta.
+    """a ∘ b for 6-vector poses, f32-native via the quaternion route.
 
-    f64-INTERNAL, deliberately: this is the op through which the pose STATE
-    compounds scan over scan (anchor composition, world_pose, recompose,
-    anchor drift), so its rounding error feeds back into the filter rather
-    than averaging out — an all-f32 chain walked the production-scale
-    rotation ATE from 1.1 deg to 2.8 deg over 200 scans (bisected, then
-    confirmed by promoting exactly this op). It runs on a handful of single
-    poses per scan, so the emulated-f64 cost is negligible — unlike the
-    vmapped evidence-factor so3_log/so3_exp calls, which stay f32 (the
-    quaternion log keeps them well-conditioned; their residual errors enter
-    as measurement noise, not state)."""
-    # Production-scale bisect result: ONLY the a-side exp — Rodrigues of
-    # the accumulated large anchor rotvec — needs f64 (f32 sin/cos of an
-    # O(pi) argument loses absolute precision that then compounds through
-    # the state every scan). The b-side exp is a near-identity increment
-    # whose f32 error acts as ~1e-7 input jitter, and the product + log in
-    # f32 measured BEST of all variants (0.165 m / 1.01 deg over 200
-    # drifting-odom scans vs 1.13 deg all-f64 and 2.8 deg all-f32).
-    Ra = so3_exp(_promote64(a[..., 3:6])).astype(a.dtype)
-    ta = a[..., 0:3]
-    Rb = so3_exp(b[..., 3:6])
-    t = jnp.einsum("...ij,...j->...i", Ra, b[..., 0:3]) + ta
-    w = _so3_log_impl(Ra @ Rb)
-    return jnp.concatenate([t, w], axis=-1)
+    HISTORY: this op used to run the a-side Rodrigues in software-emulated
+    f64 because the pose STATE compounded through it scan over scan (an
+    all-f32 rotvec exp/compose/log chain walked production rotation ATE
+    1.1 -> 2.8 deg over 200 scans — the rotvec chart is ill-conditioned at
+    the accumulated O(pi) rotation). The state now compounds as a
+    QUATERNION anchor (``pose7_*``; Belief.anchor), so every remaining
+    se3_compose call is evidence-side (residuals at a single linearization
+    point) where f32 rounding enters as measurement noise, not state — and
+    the quaternion product + atan2 log are well-conditioned at all angles,
+    unlike the Rodrigues + trace-log pair this replaces."""
+    return pose6_from_pose7(pose7_compose(pose7_from_pose6(a),
+                                          pose7_from_pose6(b)))
 
 
 def se3_inverse(pose):
@@ -264,6 +248,131 @@ def se3_plus(pose, xi):
 def se3_minus(a, b):
     """Right-chart difference: Log(b^{-1} ∘ a) (so se3_plus(b, out) == a)."""
     return se3_log(se3_relative(b, a))
+
+
+# ---------------------------------------------------------------------------
+# SE(3) as 7-vector pose [t, quat wxyz] — the STATE-compounding
+# representation. The 6-vector [t, rotvec] chart needs an exp on one side
+# and a log after every compose; at the accumulated O(pi) anchor rotation
+# the rotvec chart is ill-conditioned (d rotvec / dR blows up near pi), so
+# scan-over-scan round trips walk the state unless the anchor-side Rodrigues
+# runs in SOFTWARE-EMULATED f64 (see se3_compose — the last ~0.2 ms/scan of
+# f64 on the TPU). Quaternions compound with one 16-multiply product + a
+# normalize, well-conditioned at every angle, all f32; rotvec/matrix forms
+# are derived only where consumers need them (evidence residuals, output
+# poses), where rounding enters as measurement noise, not state.
+# ---------------------------------------------------------------------------
+
+
+def quat_from_rotvec(w):
+    """(..., 3) rotvec -> (..., 4) unit quaternion [w, x, y, z]."""
+    d = w.dtype
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta_sq)
+    half = 0.5 * theta
+    small = theta < jnp.asarray(_EPS, d)
+    # sin(theta/2)/theta, series 1/2 - theta^2/48 below the branch point.
+    s = jnp.where(small, 0.5 - theta_sq / 48.0,
+                  jnp.sin(half) / jnp.where(small, 1.0, theta))
+    return jnp.concatenate([jnp.cos(half)[..., None], s[..., None] * w],
+                           axis=-1)
+
+
+def quat_to_rotvec(q):
+    """(..., 4) quaternion [w, x, y, z] -> (..., 3) rotvec; stable at 0 and
+    pi (theta = 2 atan2(|v|, w) on the w >= 0 representative)."""
+    d = q.dtype
+    q = q * jnp.where(q[..., 0:1] < 0.0, -1.0, 1.0)
+    w, v = q[..., 0], q[..., 1:4]
+    vn = jnp.linalg.norm(v, axis=-1)
+    theta = 2.0 * jnp.arctan2(vn, w)
+    small = vn < jnp.asarray(1e-6, d)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, jnp.asarray(1e-12, d)),
+                      theta / jnp.where(small, 1.0, vn))
+    return scale[..., None] * v
+
+
+def quat_mul(a, b):
+    """Hamilton product, [w, x, y, z] layout."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def quat_conj(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_normalize(q):
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                           jnp.asarray(1e-12, q.dtype))
+
+
+def quat_rotate(q, v):
+    """Rotate (..., 3) v by (..., 4) q: v + 2 qv x (qv x v + w v)."""
+    w, qv = q[..., 0:1], q[..., 1:4]
+    t = jnp.cross(qv, jnp.cross(qv, v) + w * v)
+    return v + 2.0 * t
+
+
+def quat_to_R(q):
+    """(..., 4) unit quaternion -> (..., 3, 3) rotation (elementwise)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack([
+        jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)], -1),
+        jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)], -1),
+        jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], -1),
+    ], axis=-2)
+
+
+def pose7_from_pose6(p6):
+    return jnp.concatenate([p6[..., 0:3], quat_from_rotvec(p6[..., 3:6])],
+                           axis=-1)
+
+
+def pose6_from_pose7(p7):
+    return jnp.concatenate([p7[..., 0:3], quat_to_rotvec(p7[..., 3:7])],
+                           axis=-1)
+
+
+def pose7_compose(a7, b7):
+    q = quat_normalize(quat_mul(a7[..., 3:7], b7[..., 3:7]))
+    t = quat_rotate(a7[..., 3:7], b7[..., 0:3]) + a7[..., 0:3]
+    return jnp.concatenate([t, q], axis=-1)
+
+
+def pose7_plus(a7, xi):
+    """Right-chart update a ∘ Exp(xi) for a 7-vector pose; the exp runs on
+    the SMALL increment only (well-conditioned small-angle transcendentals),
+    never on the accumulated state."""
+    rho, omega = xi[..., 0:3], xi[..., 3:6]
+    tb = jnp.einsum("...ij,...j->...i", so3_V(omega), rho)
+    qb = quat_from_rotvec(omega)
+    return pose7_compose(a7, jnp.concatenate([tb, qb], axis=-1))
+
+
+def pose7_relative(a7, b7):
+    """a^{-1} ∘ b as a 7-vector pose."""
+    qa_inv = quat_conj(a7[..., 3:7])
+    t = quat_rotate(qa_inv, b7[..., 0:3] - a7[..., 0:3])
+    q = quat_normalize(quat_mul(qa_inv, b7[..., 3:7]))
+    return jnp.concatenate([t, q], axis=-1)
+
+
+def pose7_minus(a7, b7):
+    """Log(b^{-1} ∘ a) as a 6-vector twist (so pose7_plus(b, out) == a)."""
+    rel = pose7_relative(b7, a7)
+    w = quat_to_rotvec(rel[..., 3:7])
+    rho = jnp.einsum("...ij,...j->...i", so3_V_inv(w), rel[..., 0:3])
+    return jnp.concatenate([rho, w], axis=-1)
 
 
 def se3_apply(pose, p):

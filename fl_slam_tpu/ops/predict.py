@@ -65,7 +65,7 @@ def predict_diffusion(b: Belief, Q, dt_sec, *, lambda_ou: float, eps_psd: float,
 
     # ---- mean mechanization --------------------------------------------------
     mean_pred = mean_prev
-    R_anchor = se3.so3_exp(b.anchor[..., 3:6])
+    R_anchor = se3.quat_to_R(b.anchor[..., 3:7])
     if motion is not None:
         pose_inc = mean_prev[..., IDX_POSE]
         vel_w = mean_prev[..., IDX_VEL]

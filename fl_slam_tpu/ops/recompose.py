@@ -39,7 +39,7 @@ def frobenius_recompose(belief_post: Belief, z_lin, total_trigger_magnitude, *,
     corr = bch3_correction(z_lin[IDX_POSE], delta_pose)
     delta_corr = delta_pose + strength * corr
 
-    X_new = se3.se3_compose(belief_post.anchor, se3.se3_exp(delta_corr))
+    X_new = se3.pose7_plus(belief_post.anchor, delta_corr)
 
     shift = jnp.zeros((D_Z,), dtype=dz.dtype).at[IDX_POSE].set(delta_corr)
     z_lin_new = z_lin - shift
@@ -77,7 +77,7 @@ def anchor_drift_update(belief: Belief, z_lin, *, m0: float, r0: float,
     drift_r = jnp.linalg.norm(delta_pose[3:6])
     rho = jnp.clip(jnp.maximum(drift_m / m0, drift_r / r0), 0.0, 1.0)
 
-    X_new = se3.se3_compose(belief.anchor, se3.se3_exp(rho * delta_pose))
+    X_new = se3.pose7_plus(belief.anchor, rho * delta_pose)
     z_lin_new = (1.0 - rho) * dz
     h_new = belief.L @ z_lin_new
 
@@ -89,5 +89,5 @@ def anchor_drift_update(belief: Belief, z_lin, *, m0: float, r0: float,
              # exp-map curvature over the absorbed increment.
              "anchor.effect_predicted": rho * jnp.linalg.norm(delta_pose),
              "anchor.effect_realized": jnp.linalg.norm(
-                 se3.se3_log(se3.se3_relative(belief.anchor, X_new)))}
+                 se3.pose7_minus(X_new, belief.anchor))}
     return belief_new, z_lin_new, certs

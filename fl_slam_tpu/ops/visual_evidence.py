@@ -96,7 +96,10 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     R_hat, A = kabsch3x3(S)
     L_r = (jnp.trace(A) * jnp.eye(3, dtype=dt) - A
            + cfg.eps_lift * jnp.eye(3, dtype=dt))
-    R_lin = se3.so3_exp(z_lin_pose[3:6])
+    # z_lin_pose is the 7-vector [t, quat] anchor-chart pose (6-vector
+    # [t, rotvec] accepted for standalone/test callers).
+    R_lin = (se3.quat_to_R(z_lin_pose[3:7]) if z_lin_pose.shape[-1] == 7
+             else se3.so3_exp(z_lin_pose[3:6]))
     rotvec_delta = se3.so3_log(R_lin.T @ R_hat)                 # right tangent
     h_r = L_r @ rotvec_delta
 

@@ -546,7 +546,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
 
     bel0_pred = jax.tree.map(lambda a: a[0], beliefs_pred)
     z_lin0 = z_lin_k[0]
-    z_lin_pose = se3.se3_plus(bel0_pred.anchor, z_lin0[IDX_POSE])
+    z_lin_pose = se3.pose7_plus(bel0_pred.anchor, z_lin0[IDX_POSE])
 
     # accel IW suffstats at the hyp-0 predicted rotation
     dpsi_accel = imu_ops.accel_iw_suffstats(
@@ -769,9 +769,9 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         # each (L, h, z_lin) into hypothesis 0's chart before averaging
         # (first order: z' = z + xi_k with xi_k = Log(X_a0^{-1} ∘ X_ak);
         # exact for the small inter-anchor offsets the bank develops).
-        anchors_k = beliefs_final.anchor                     # (K, 6)
-        xi_k = jax.vmap(lambda a: se3.se3_log(
-            se3.se3_relative(anchors_k[0], a)))(anchors_k)   # (K, 6)
+        anchors_k = beliefs_final.anchor                     # (K, 7)
+        xi_k = jax.vmap(lambda a: se3.pose7_minus(
+            a, anchors_k[0]))(anchors_k)                     # (K, 6)
         e_k = jnp.zeros((cfg.k_hyp, D_Z), dtype=dt).at[:, IDX_POSE].set(xi_k)
         h_bar_in = beliefs_final.h + jnp.einsum(
             "kij,kj->ki", beliefs_final.L, e_k)

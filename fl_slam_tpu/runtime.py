@@ -37,6 +37,18 @@ def _versioned_cache_dir() -> str:
         key += "-libtpu" + metadata.version("libtpu")
     except Exception:
         pass
+    # XLA:CPU stores AOT executables compiled for the EXACT host CPU feature
+    # set; this (virtualized) host exposes different features run to run, and
+    # a loaded mismatch "could lead to execution errors such as SIGILL"
+    # (xla cpu_aot_loader) — observed as fatal suite crashes. Key the cache
+    # by a fingerprint of the visible CPU flags.
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+        key += "-" + hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except Exception:
+        pass
     return f"/tmp/gc_jax_cache_{key}"
 
 

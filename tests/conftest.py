@@ -16,6 +16,13 @@ if not _ON_TPU:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # No persistent compile cache under the suite: cache WRITES
+    # (compilation_cache.put_executable_and_time, XLA:CPU executable
+    # serialization) segfault/abort nondeterministically late in a
+    # long-lived many-program process (reproduced 3x at the same stack with
+    # both shared and isolated cache dirs; the same test passes standalone).
+    # Suite compiles are small; correctness of the gate beats warm starts.
+    os.environ.setdefault("GC_COMPILE_CACHE", "off")
 
 import jax  # noqa: E402
 
