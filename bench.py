@@ -19,10 +19,33 @@ import time
 
 import numpy as np
 
-if "--cpu" in sys.argv:
+def _force_cpu():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+
+if "--cpu" in sys.argv:
+    _force_cpu()
+else:
+    # Accelerator preflight in a SUBPROCESS: when the tunneled TPU backend
+    # is unreachable, in-process init hangs ~25-40 min and then raises —
+    # observed killing whole bench runs. A bounded probe + marked CPU
+    # fallback keeps the bench record meaningful (parity: the reference
+    # eval's hard preflight, tools/run_and_evaluate_gc.sh:187-224).
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=600,
+            env={**os.environ, "GC_COMPILE_CACHE": "off"})
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("# accelerator preflight failed; falling back to CPU",
+              file=sys.stderr)
+        _force_cpu()
 
 SCAN_HZ = 10.0
 BASELINE_XRT = 0.1  # reference: ~1 s/scan at 10 Hz lidar (favorable reading)
