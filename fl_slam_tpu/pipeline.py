@@ -882,3 +882,35 @@ def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
 def replay_jit(cfg: GCConfig):
     return jax.jit(lambda state, scans: replay(state, scans, cfg),
                    donate_argnums=(0,))
+
+
+def replay_segments(state: PipelineState, segments, cfg: GCConfig):
+    """Replay a bag too large to stage on device at once: a host loop over
+    pre-staged fixed-shape segments, ONE compiled program reused for all.
+
+    One-shot staging costs ~0.5-1 MB/scan on device; an hour-long bag
+    (36k scans) would not fit beside the ~400 MB tile pool. Segments bound
+    staging memory, and the loop pipelines naturally: the jitted call
+    dispatches asynchronously, so the host stages/uploads segment i+1 while
+    the device replays segment i (the reference streams the bag through ROS
+    at 0.25-0.5x rate instead — backend_node.py:1340-1389). Per-segment
+    dispatch costs ~0.2 ms amortized over seg_len scans; use >= 512-scan
+    segments where memory allows.
+
+    ``segments``: iterable of stacked ScanInput, ALL with the same leading
+    length (one compile; a different length recompiles). The final state and
+    concatenated ScanOutput match the monolithic ``replay`` exactly when
+    segment boundaries fall on ``view_refresh_every`` chunk boundaries (the
+    inter-segment flush is an idempotent slab write-back and the resident
+    set is carried in the state).
+    """
+    run = replay_jit(cfg)
+    outs_list = []
+    for seg in segments:
+        state, outs = run(state, seg)
+        outs_list.append(outs)
+    if not outs_list:
+        raise ValueError("replay_segments: empty segment iterable")
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                          *outs_list)
+    return state, merged
