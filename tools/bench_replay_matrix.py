@@ -43,4 +43,8 @@ if __name__ == "__main__":
     run_case("n_surfel=512", n_surfel=512)
     run_case("view=512", m_tile_view=512)
     run_case("sinkhorn=20", k_sinkhorn=20)
-    run_case("m_tile=25000", m_tile=25000)
+    run_case("m_tile=24576", m_tile=24576)  # % 1024 == 0: DMA + page aligned
+    run_case("per-slot view (no pages)", view_page=0)
+    run_case("paged view 2048", m_tile_view=2048)
+    run_case("R=1 paged", view_refresh_every=1)
+    run_case("R=8 paged", view_refresh_every=8, T=64)
