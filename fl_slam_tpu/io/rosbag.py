@@ -403,3 +403,31 @@ def to_scan_inputs(recs: dict, cfg: GCConfig):
     from fl_slam_tpu.pipeline import ScanInput
     return ScanInput(**{k: jnp.asarray(v, dtype=cfg.jdtype)
                         for k, v in recs.items() if not k.startswith("__")})
+
+
+def scan_input_segments(recs: dict, cfg: GCConfig, seg_len: int):
+    """Yield fixed-shape ``ScanInput`` segments of ``seg_len`` scans for
+    ``pipeline.replay_segments`` (the big-bag path: staged host records are
+    cheap, but one-shot DEVICE staging of a long bag does not fit beside
+    the tile pool). The tail segment is padded by REPEATING the last scan —
+    every segment compiles to the same shape; callers trim outputs to
+    ``recs["scan_start"].shape[0]`` scans.
+
+    Repeated-scan padding is benign end-state-wise: a repeat advances the
+    belief with a ~0 s dt and re-fuses an already-explained scan (novelty
+    ~0); trimmed outputs never expose it.
+    """
+    T = recs["scan_start"].shape[0]
+    if T == 0:
+        return
+    for s in range(0, T, seg_len):
+        seg = {}
+        for k, v in recs.items():
+            if k.startswith("__"):
+                continue
+            part = v[s:s + seg_len]
+            if part.shape[0] < seg_len:
+                pad = np.repeat(part[-1:], seg_len - part.shape[0], axis=0)
+                part = np.concatenate([part, pad], axis=0)
+            seg[k] = part
+        yield to_scan_inputs(seg, cfg)

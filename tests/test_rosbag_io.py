@@ -306,3 +306,32 @@ class TestCameraBag:
             json.dump({"T_base_cam": (2 * np.eye(4)).tolist()}, fh)
         with pytest.raises(ValueError):
             load_calibration(bad)
+
+
+def test_scan_input_segments_pad_and_cover(tmp_path):
+    """Segment generator: fixed shapes, tail padded by repeating the last
+    scan, concatenated prefix equals the monolithic staging."""
+    import jax
+    import jax.numpy as jnp
+    from fl_slam_tpu.io.rosbag import (BagTopics, load_scan_records,
+                                       scan_input_segments, to_scan_inputs)
+    rng = np.random.default_rng(5)
+    d = str(tmp_path / "bag")
+    os.makedirs(d)
+    _make_bag(d, rng, n_scans=7)
+    cfg = CFG
+    recs = load_scan_records(d, BagTopics("/lidar", "/imu", "/odom"), cfg)
+    T = recs["scan_start"].shape[0]
+    segs = list(scan_input_segments(recs, cfg, seg_len=3))
+    assert len(segs) == -(-T // 3)
+    for s in segs:
+        assert s.scan_start.shape[0] == 3
+    whole = to_scan_inputs(recs, cfg)
+    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *segs)
+    np.testing.assert_allclose(
+        np.asarray(cat.points[:T]), np.asarray(whole.points), atol=0)
+    # tail padding repeats the final scan
+    tail = np.asarray(cat.points[T:])
+    np.testing.assert_allclose(
+        tail, np.broadcast_to(np.asarray(whole.points[-1]), tail.shape),
+        atol=0)
