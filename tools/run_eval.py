@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--gt", default=None, help="TUM ground-truth file")
     ap.add_argument("--no-render", action="store_true",
                     help="skip the chase/BEV map renders")
+    ap.add_argument("--seg-len", type=int, default=0,
+                    help="replay in fixed segments of N scans (bounds "
+                    "device staging memory for long bags; 0 = one shot)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -115,12 +118,31 @@ def main():
         anchor0 = jnp.asarray(ds.gt_poses[0], dtype=cfg.jdtype)
         t0 = float(ds.gt_stamps[0]) - 0.1
 
-    # ---- replay (one compiled program over the whole bag) ----------------------
+    # ---- replay (one compiled program over the whole bag; --seg-len bounds
+    # device staging memory for bags too large to stage at once) -----------------
     state = init_state(cfg, anchor0=anchor0, t0=t0)
-    run = replay_jit(cfg)
     print("[replay] compiling + running...")
     t_start = time.perf_counter()
-    final_state, outs = run(state, scans)
+    if args.seg_len:
+        from fl_slam_tpu.pipeline import replay_segments
+        T_total = int(scans.scan_start.shape[0])
+        L = args.seg_len
+
+        def segments():
+            for s in range(0, T_total, L):
+                def cut(a):
+                    part = a[s:s + L]
+                    if part.shape[0] < L:
+                        pad = jnp.repeat(part[-1:], L - part.shape[0], axis=0)
+                        part = jnp.concatenate([part, pad], axis=0)
+                    return part
+                yield jax.tree.map(cut, scans)
+
+        final_state, outs = replay_segments(state, segments(), cfg)
+        outs = jax.tree.map(lambda a: a[:T_total], outs)
+    else:
+        run = replay_jit(cfg)
+        final_state, outs = run(state, scans)
     jax.block_until_ready(outs.pose)
     wall = time.perf_counter() - t_start
     poses = np.asarray(outs.pose)
@@ -137,7 +159,11 @@ def main():
         "poses_finite": bool(np.isfinite(poses).all()),
         "certs_finite": all(bool(np.isfinite(np.asarray(v)).all())
                             for v in outs.certs.values()),
-        "scan_seq_advanced": int(final_state.scan_seq) == n,
+        # --seg-len pads the tail segment with repeats of the last scan;
+        # those repeats advance scan_seq past n by design (outputs trimmed).
+        "scan_seq_advanced": int(final_state.scan_seq) == (
+            n if not args.seg_len
+            else -(-n // args.seg_len) * args.seg_len),
         # cert-schema gate: every key categorized, schema non-trivial,
         # ExpectedEffect pairs complete
         "cert_schema": (len(schema) > 40
