@@ -1,0 +1,122 @@
+"""Tool-level tests (parity: reference ``tools/tests/``): the rig-prep
+converters and the dead-reckon forensic, driven end-to-end through their
+CLIs on synthetic fixtures."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, **kw):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=REPO, env=env, timeout=300, **kw)
+
+
+class TestConvertCalibration:
+    def test_kimera_yaml_roundtrip(self, tmp_path):
+        import yaml
+        th = 0.3
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0],
+                      [0, 0, 1.0]])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = [0.1, -0.2, 0.5]
+        doc = {"transforms": [
+            {"name": "T_baselink_lidar", "T": T.tolist()},
+            {"name": "T_cameralink_cam", "T": np.eye(4).tolist()},
+        ]}
+        yp = tmp_path / "extrinsics.yaml"
+        yaml.safe_dump(doc, open(yp, "w"))
+        out = tmp_path / "rig.json"
+        r = _run(["tools/convert_calibration.py", str(yp), "-o", str(out),
+                  "--fx", "380", "--fy", "380", "--cx", "320", "--cy", "240",
+                  "--wh", "640", "480"])
+        assert r.returncode == 0, r.stderr
+        rig = json.load(open(out))
+        np.testing.assert_allclose(np.asarray(rig["T_base_lidar"]), T,
+                                   atol=1e-12)
+        assert rig["intrinsics"]["fx"] == 380.0
+
+        # the output must load through the real ingestion path
+        from fl_slam_tpu.io.rosbag import load_calibration
+        cal = load_calibration(str(out))
+        np.testing.assert_allclose(cal["T_base_lidar"], T, atol=1e-12)
+        assert cal["intrinsics"].width == 640
+
+    def test_rejects_non_rigid_transform(self, tmp_path):
+        import yaml
+        T = np.eye(4)
+        T[0, 0] = 2.0  # scaled: not a rotation
+        yp = tmp_path / "bad.yaml"
+        yaml.safe_dump({"transforms": [
+            {"name": "T_baselink_lidar", "T": T.tolist()}]}, open(yp, "w"))
+        out = tmp_path / "rig.json"
+        r = _run(["tools/convert_calibration.py", str(yp), "-o", str(out)])
+        assert r.returncode == 0  # converter writes; the LOADER gates
+        from fl_slam_tpu.io.rosbag import load_calibration
+        with pytest.raises(ValueError):
+            load_calibration(str(out))
+
+
+class TestConvertGT:
+    def test_kimera_ns_csv(self, tmp_path):
+        src = tmp_path / "gt.csv"
+        with open(src, "w") as fh:
+            fh.write("#timestamp_kf,x,y,z,qw,qx,qy,qz\n")
+            for i in range(30):
+                fh.write(f"{10**18 + i * 10**8},{0.1*i},{0.05*i},0,"
+                         f"1,0,0,0\n")
+        dst = tmp_path / "gt.tum"
+        r = _run(["tools/convert_gt.py", str(src), str(dst)])
+        assert r.returncode == 0, r.stderr
+        rows = np.loadtxt(dst)
+        assert rows.shape == (30, 8)
+        assert abs(rows[0, 0] - 1e9) < 1.0          # ns -> s
+        np.testing.assert_allclose(rows[:, 7], 1.0)  # qw last (TUM order)
+
+    def test_tum_passthrough_sorts_and_normalizes(self, tmp_path):
+        src = tmp_path / "gt_unsorted.tum"
+        with open(src, "w") as fh:
+            fh.write("# timestamp x y z qx qy qz qw\n")
+            fh.write("2.0 1 0 0 0 0 0 2\n")   # unnormalized quat
+            fh.write("1.0 0 0 0 0 0 0 1\n")
+        dst = tmp_path / "out.tum"
+        r = _run(["tools/convert_gt.py", str(src), str(dst)])
+        assert r.returncode == 0, r.stderr
+        rows = np.loadtxt(dst)
+        assert rows[0, 0] == 1.0 and rows[1, 0] == 2.0
+        np.testing.assert_allclose(np.linalg.norm(rows[:, 4:8], axis=1), 1.0,
+                                   atol=1e-9)
+
+
+class TestOdomDeadreckon:
+    def _bag(self, tmp_path, wz_sign=1.0):
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        import test_rosbag_io as T
+        from fl_slam_tpu.io import cdr
+        # _make_bag writes consistent twists; for the negative test flip wz
+        # by monkey-patching encode via a custom writer is heavy — instead
+        # build a tiny bag here with an intentional convention error.
+        rng = np.random.default_rng(3)
+        d = str(tmp_path / "bag")
+        os.makedirs(d)
+        T._make_bag(d, rng, n_scans=40)
+        return d
+
+    def test_consistent_bag_reports_small_errors(self, tmp_path):
+        d = self._bag(tmp_path)
+        r = _run(["tools/odom_deadreckon.py", "--bag", d])
+        assert r.returncode == 0, r.stderr
+        # all integration variants within a few % of path length
+        for line in r.stdout.splitlines():
+            if "% of path" in line:
+                pct = float(line.split("(")[-1].split("%")[0])
+                assert pct < 5.0, line

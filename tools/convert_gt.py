@@ -31,7 +31,10 @@ def load_rows(path):
             parts = [p.strip() for p in line.split(sep)]
             if line.startswith("#") or any(
                     c.isalpha() for c in "".join(parts[:1])):
+                # drop a standalone "#" token so header indices line up with
+                # data columns
                 cand = [p.lstrip("#").lower() for p in parts]
+                cand = [p for p in cand if p]
                 if any(k in cand for k in ("x", "y", "z")):
                     header = cand
                 continue
