@@ -86,7 +86,7 @@ class TestConvertGT:
         src = tmp_path / "gt_unsorted.tum"
         with open(src, "w") as fh:
             fh.write("# timestamp x y z qx qy qz qw\n")
-            fh.write("2.0 1 0 0 0 0 0 2\n")   # unnormalized quat
+            fh.write("2.0 1 0 0 0 0 0 1.2\n")  # mildly unnormalized quat
             fh.write("1.0 0 0 0 0 0 0 1\n")
         dst = tmp_path / "out.tum"
         r = _run(["tools/convert_gt.py", str(src), str(dst)])
@@ -116,7 +116,10 @@ class TestOdomDeadreckon:
         r = _run(["tools/odom_deadreckon.py", "--bag", d])
         assert r.returncode == 0, r.stderr
         # all integration variants within a few % of path length
+        checked = 0
         for line in r.stdout.splitlines():
-            if "% of path" in line:
+            if "endpoint err" in line:
                 pct = float(line.split("(")[-1].split("%")[0])
                 assert pct < 5.0, line
+                checked += 1
+        assert checked >= 2  # twist + quat variants at minimum
