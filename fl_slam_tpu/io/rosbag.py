@@ -28,6 +28,18 @@ from fl_slam_tpu.config import GCConfig
 from fl_slam_tpu.io import native
 
 
+def rotvec_to_matrix(r) -> np.ndarray:
+    """Rodrigues (numpy, jax-free — shared by the forensics/converter
+    tools)."""
+    r = np.asarray(r, dtype=np.float64)
+    th = np.linalg.norm(r)
+    if th < 1e-12:
+        return np.eye(3)
+    k = r / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
 def quat_xyzw_to_rotvec(q: np.ndarray) -> np.ndarray:
     q = np.asarray(q, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)

@@ -54,8 +54,8 @@ from fl_slam_tpu.config import (
 )
 from fl_slam_tpu.core import se3
 from fl_slam_tpu.core.belief import (
-    Belief, floor_and_normalize_weights, identity_belief, mean_increment,
-    world_pose, world_pose_from_increment,
+    Belief, floor_and_normalize_weights, identity_belief, world_pose,
+    world_pose_from_increment,
 )
 from fl_slam_tpu.core.hexgrid import (
     stencil_offsets_3d, stencil_tile_keys, tile_keys_from_xyz, xyz_to_tile_axial,
@@ -727,7 +727,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         # Paged membership: the weight half is whole pages (first in row
         # order); the merge prefix covers them.
         vp = cfg.m_tile_view // cfg.view_page
-        kw_view = (vp - vp // 2) * cfg.view_page
+        npg = cfg.m_tile // cfg.view_page
+        kw_view = min(vp - vp // 2, npg) * cfg.view_page
     else:
         kw_view = min(cfg.m_tile_view - cfg.m_tile_view // 2, cfg.m_tile)
     rows, c = atlas_ops.compact_merge_reduce(rows, cfg.n_active_tiles,

@@ -941,6 +941,11 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     if resident_pages is not None:
         P = cfg.view_page
         npg = M // P
+        # Inserts need at least one NON-resident page per tile, or the
+        # all-excluded argmin below would silently target a resident page
+        # and the end-of-chunk write-back would clobber the inserts.
+        assert npg * P > cfg.m_tile_view, (
+            "paged view needs m_tile > m_tile_view", M, cfg.m_tile_view)
         # Page choice, two regimes in one argmin (no cond):
         #   space exists -> the FULLEST page that still fits K proposals
         #     (free slots >= K). Preferring fullest-first packs pages densely

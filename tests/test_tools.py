@@ -98,13 +98,9 @@ class TestConvertGT:
 
 
 class TestOdomDeadreckon:
-    def _bag(self, tmp_path, wz_sign=1.0):
+    def _bag(self, tmp_path):
         sys.path.insert(0, os.path.join(REPO, "tests"))
         import test_rosbag_io as T
-        from fl_slam_tpu.io import cdr
-        # _make_bag writes consistent twists; for the negative test flip wz
-        # by monkey-patching encode via a custom writer is heavy — instead
-        # build a tiny bag here with an intentional convention error.
         rng = np.random.default_rng(3)
         d = str(tmp_path / "bag")
         os.makedirs(d)

@@ -23,14 +23,9 @@ import sys
 
 import numpy as np
 
-
-def _rotvec_to_R(r):
-    th = float(np.linalg.norm(r))
-    if th < 1e-12:
-        return np.eye(3)
-    k = np.asarray(r, np.float64) / th
-    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fl_slam_tpu.io.rosbag import rotvec_to_matrix
 
 
 def _find_transform(doc: dict, names):
@@ -110,7 +105,7 @@ def main():
     if T_bi is not None:
         if args.imu_rotvec is not None:
             T_bi = T_bi.copy()
-            T_bi[:3, :3] = _rotvec_to_R(args.imu_rotvec)
+            T_bi[:3, :3] = rotvec_to_matrix(args.imu_rotvec)
             print(f"T_base_imu rotation overridden by --imu-rotvec")
         out["T_base_imu"] = T_bi.tolist()
         print(f"T_base_imu <- {name}")
@@ -118,6 +113,8 @@ def main():
     if args.intrinsics:
         out["intrinsics"] = _load_intrinsics_yaml(args.intrinsics)
     elif args.fx is not None:
+        if None in (args.fy, args.cx, args.cy):
+            ap.error("--fx requires --fy, --cx and --cy")
         out["intrinsics"] = dict(fx=args.fx, fy=args.fy, cx=args.cx,
                                  cy=args.cy,
                                  width=args.wh[0] if args.wh else 0,

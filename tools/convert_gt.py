@@ -70,15 +70,15 @@ def main():
         xyz = rows[:, [ix, iy, iz]]
         quat = rows[:, [iqx, iqy, iqz, iqw]]
     elif rows.shape[1] == 8:
-        # Headerless: TUM order (t x y z qx qy qz qw) if the last column
-        # looks like qw (quaternion norm check), else Kimera (t x y z qw qx
-        # qy qz).
+        # Headerless: TUM order (t x y z qx qy qz qw) vs Kimera
+        # (t x y z qw qx qy qz). The two differ only by which column holds
+        # qw; for real trajectories |qw| stays near 1 far more often than
+        # any vector component (rotations rarely sit near 180 deg for the
+        # whole run), so the column with the larger mean |value| is qw.
         t = rows[:, 0]
-        as_tum = rows[:, 4:8]
-        as_kim = rows[:, [5, 6, 7, 4]]
-        err_tum = np.abs(np.linalg.norm(as_tum, axis=1) - 1).mean()
-        err_kim = np.abs(np.linalg.norm(as_kim, axis=1) - 1).mean()
-        quat = as_tum if err_tum <= err_kim else as_kim
+        w_last = np.abs(rows[:, 7]).mean()
+        w_first = np.abs(rows[:, 4]).mean()
+        quat = rows[:, 4:8] if w_last >= w_first else rows[:, [5, 6, 7, 4]]
         xyz = rows[:, 1:4]
     else:
         print(f"unrecognized shape {rows.shape}", file=sys.stderr)

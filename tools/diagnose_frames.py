@@ -32,18 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fl_slam_tpu.io.cdr import (decode_imu, decode_odometry,
                                 decode_pointcloud2, pointcloud2_fields)
-from fl_slam_tpu.io.rosbag import RosbagReader, quat_xyzw_to_rotvec
+from fl_slam_tpu.io.rosbag import (RosbagReader, quat_xyzw_to_rotvec,
+                                   rotvec_to_matrix)
 
 G = 9.80665
-
-
-def _rotvec_to_R(r):
-    th = np.linalg.norm(r)
-    if th < 1e-12:
-        return np.eye(3)
-    k = r / th
-    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
 
 
 def analyze_imu(msgs):
@@ -105,7 +97,7 @@ def analyze_odom(msgs):
         if dts <= 1e-6:
             continue
         v_world = (b.position - a.position) / dts
-        R = _rotvec_to_R(quat_xyzw_to_rotvec(a.quat_xyzw))
+        R = rotvec_to_matrix(quat_xyzw_to_rotvec(a.quat_xyzw))
         v_body_meas = R.T @ v_world
         errs.append(np.linalg.norm(v_body_meas - a.vel_body))
         mags.append(np.linalg.norm(a.vel_body))
@@ -143,11 +135,15 @@ def analyze_lidar(reader, topic, n=5):
             print(f"fields: {names}")
             print(f"has ring: {'ring' in names}; has per-point time: "
                   f"{any(f in names for f in ('t', 'time', 'timestamp', 'time_offset'))}")
-        print(f"scan {count}: {fin.sum()}/{len(fin)} finite | "
-              f"extent x[{p[:, 0].min():.1f},{p[:, 0].max():.1f}] "
-              f"y[{p[:, 1].min():.1f},{p[:, 1].max():.1f}] "
-              f"z[{p[:, 2].min():.1f},{p[:, 2].max():.1f}] | "
-              f"median range {np.median(np.linalg.norm(p, axis=1)):.2f} m")
+        if p.shape[0] == 0:
+            print(f"scan {count}: 0/{len(fin)} finite — all points "
+                  "NaN/inf in this message")
+        else:
+            print(f"scan {count}: {fin.sum()}/{len(fin)} finite | "
+                  f"extent x[{p[:, 0].min():.1f},{p[:, 0].max():.1f}] "
+                  f"y[{p[:, 1].min():.1f},{p[:, 1].max():.1f}] "
+                  f"z[{p[:, 2].min():.1f},{p[:, 2].max():.1f}] | "
+                  f"median range {np.median(np.linalg.norm(p, axis=1)):.2f} m")
         count += 1
         if count >= n:
             break

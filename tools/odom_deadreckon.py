@@ -25,17 +25,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from fl_slam_tpu.io.rosbag import RosbagReader, quat_xyzw_to_rotvec
+from fl_slam_tpu.io.rosbag import (RosbagReader, quat_xyzw_to_rotvec,
+                                   rotvec_to_matrix)
 from fl_slam_tpu.io.cdr import decode_imu, decode_odometry
-
-
-def _rotvec_to_R(r):
-    th = np.linalg.norm(r)
-    if th < 1e-12:
-        return np.eye(3)
-    k = r / th
-    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
 
 
 def _integrate(stamps, v_fwd, yaw):
@@ -94,7 +86,7 @@ def main():
         ti = np.array([m.stamp for m in imu])
         gz = np.stack([m.gyro for m in imu])
         if args.imu_rotvec is not None:
-            gz = gz @ _rotvec_to_R(np.asarray(args.imu_rotvec)).T
+            gz = gz @ rotvec_to_matrix(np.asarray(args.imu_rotvec)).T
         gz = gz[:, 2]
         still = np.abs(gz) < np.percentile(np.abs(gz), 10)
         bias = gz[still].mean() if still.any() else 0.0
@@ -131,7 +123,7 @@ def main():
 
 
 def _yaw(rotvec):
-    R = _rotvec_to_R(rotvec)
+    R = rotvec_to_matrix(rotvec)
     return float(np.arctan2(R[1, 0], R[0, 0]))
 
 

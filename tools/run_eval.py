@@ -92,7 +92,11 @@ def main():
                                  cam_topics=cam,
                                  intrinsics=calib.get("intrinsics"),
                                  T_base_cam=calib.get("T_base_cam"))
-        scans = bag_to_inputs(recs, cfg)
+        # --seg-len must not stage the whole bag on device: keep the host
+        # records and let the segment generator upload one segment at a
+        # time (io/rosbag.scan_input_segments).
+        host_recs = recs if args.seg_len else None
+        scans = None if args.seg_len else bag_to_inputs(recs, cfg)
         stamps = recs["scan_start"]
         if "__audit__" in recs:
             with open(os.path.join(args.out, "wiring_audit.json"), "w") as fh:
@@ -113,10 +117,18 @@ def main():
         ds = simulate(cfg, n_scans=args.scans, seed=args.seed,
                       with_camera=args.camera, **kw)
         scans = to_scan_inputs(ds, cfg)
+        host_recs = ({k: np.asarray(getattr(scans, k))
+                      for k in scans._fields} if args.seg_len else None)
         stamps = ds.gt_stamps
         gt_poses, gt_stamps = ds.gt_poses, ds.gt_stamps
         anchor0 = jnp.asarray(ds.gt_poses[0], dtype=cfg.jdtype)
         t0 = float(ds.gt_stamps[0]) - 0.1
+
+    def _field(name):
+        """Staged field, whichever form this run holds (device ScanInput for
+        one-shot; host records for --seg-len)."""
+        return (host_recs[name] if scans is None
+                else np.asarray(getattr(scans, name)))
 
     # ---- replay (one compiled program over the whole bag; --seg-len bounds
     # device staging memory for bags too large to stage at once) -----------------
@@ -124,21 +136,11 @@ def main():
     print("[replay] compiling + running...")
     t_start = time.perf_counter()
     if args.seg_len:
+        from fl_slam_tpu.io.rosbag import scan_input_segments
         from fl_slam_tpu.pipeline import replay_segments
-        T_total = int(scans.scan_start.shape[0])
-        L = args.seg_len
-
-        def segments():
-            for s in range(0, T_total, L):
-                def cut(a):
-                    part = a[s:s + L]
-                    if part.shape[0] < L:
-                        pad = jnp.repeat(part[-1:], L - part.shape[0], axis=0)
-                        part = jnp.concatenate([part, pad], axis=0)
-                    return part
-                yield jax.tree.map(cut, scans)
-
-        final_state, outs = replay_segments(state, segments(), cfg)
+        T_total = int(host_recs["scan_start"].shape[0])
+        final_state, outs = replay_segments(
+            state, scan_input_segments(host_recs, cfg, args.seg_len), cfg)
         outs = jax.tree.map(lambda a: a[:T_total], outs)
     else:
         run = replay_jit(cfg)
@@ -172,8 +174,8 @@ def main():
         # budget-shape gate: the staged tensors match the declared
         # compile-time budgets (spec section 12.9.1)
         "budget_shapes": (
-            tuple(np.asarray(scans.points).shape[1:]) == (budget["points_cap"], 3)
-            and np.asarray(scans.imu_gyro).shape[1] == budget["imu_len"]
+            tuple(_field("points").shape[1:]) == (budget["points_cap"], 3)
+            and _field("imu_gyro").shape[1] == budget["imu_len"]
             and final_state.atlas.fdata.shape[0] == budget["largest_tensor_shape"][0]),
     }
     if not all(gates.values()):
@@ -217,7 +219,7 @@ def main():
         for d in (1.0, 5.0, 10.0):
             metrics[f"rpe_{int(d)}m"] = rpe(poses, gt_poses, delta_m=d)
         m_rpe = metrics["rpe_1m"]
-        odom = np.asarray(scans.odom_pose)
+        odom = np.asarray(_field("odom_pose"))
         metrics["ate_raw_odom"] = ate(odom, gt_poses, align="initial")
         print(f"[metrics] ATE trans {m_ate['trans']['rmse']:.4f} m, "
               f"rot {m_ate['rot_deg']['rmse']:.3f} deg | raw odom "
