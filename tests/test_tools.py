@@ -119,3 +119,37 @@ class TestOdomDeadreckon:
                 assert pct < 5.0, line
                 checked += 1
         assert checked >= 2  # twist + quat variants at minimum
+
+
+class TestCompareTrajectories:
+    def _write(self, path, t, P):
+        with open(path, "w") as fh:
+            fh.write("# timestamp x y z qx qy qz qw\n")
+            for ti, p in zip(t, P):
+                fh.write(f"{ti:.3f} {p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+                         "0 0 0 1\n")
+
+    def test_detects_axis_swap(self, tmp_path):
+        t = np.arange(0, 30, 0.1)
+        gt = np.stack([np.cos(t * 0.2) * 10, np.sin(t * 0.2) * 10,
+                       0.1 * t], axis=1)
+        est = gt[:, [1, 0, 2]]  # x/y swapped
+        self._write(tmp_path / "gt.tum", t, gt)
+        self._write(tmp_path / "est.tum", t, est)
+        r = _run(["tools/compare_trajectories.py",
+                  str(tmp_path / "est.tum"), str(tmp_path / "gt.tum")])
+        assert r.returncode == 0, r.stderr
+        assert "axis convention mismatch likely" in r.stdout
+
+    def test_consistent_axes_pass(self, tmp_path):
+        t = np.arange(0, 30, 0.1)
+        gt = np.stack([np.cos(t * 0.2) * 10, np.sin(t * 0.2) * 10,
+                       0.1 * t], axis=1)
+        est = gt + np.random.default_rng(1).normal(scale=0.01,
+                                                   size=gt.shape)
+        self._write(tmp_path / "gt.tum", t, gt)
+        self._write(tmp_path / "est.tum", t, est)
+        r = _run(["tools/compare_trajectories.py",
+                  str(tmp_path / "est.tum"), str(tmp_path / "gt.tum")])
+        assert r.returncode == 0, r.stderr
+        assert "identity mapping is already best" in r.stdout
