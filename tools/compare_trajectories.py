@@ -99,7 +99,10 @@ def main():
     for r in results[:args.top]:
         tag = "  <-- identity" if r[2] else ""
         print(f"  {r[1]:12s} {r[0]:.4f} m{tag}")
-    if results[0][2]:
+    # Proper-rotation permutations are rigid-equivalent to identity and tie
+    # its RMSE after alignment; only a STRICTLY better hypothesis indicates
+    # a convention problem.
+    if ident[0] <= results[0][0] * 1.05 + 1e-6:
         print("axes are consistent: the identity mapping is already best")
     elif ident[0] > 2.0 * results[0][0] + 0.05:
         print(f"!! '{results[0][1]}' fits {ident[0]/max(results[0][0],1e-9):.1f}x"
