@@ -183,11 +183,12 @@ class GCConfig:
     # the pose rigidly to the map and the map->insert->associate loop echoes
     # estimate bias (observable as a z random walk). Tempering keeps it
     # informative but subordinate to the kinematic evidence.
-    # 0.3 post shape-aware WLS: with the transported mass hard-capped and the
-    # pair weights plane-projected the evidence is no longer overconfident,
-    # so it earns a larger share (swept 0.2/0.3/0.5/0.8 over clean/drift x
-    # turn-rate 0.05/0.15: 0.3 wins 3 of 4 scenarios).
-    visual_evidence_weight: float = 0.3
+    # 0.3 post shape-aware WLS won the round-1 sweep (0.2/0.3/0.5/0.8 over
+    # clean/drift x turn-rate 0.05/0.15); re-swept at round-2 production
+    # budgets + paged view + quaternion anchor, 0.6 beats 0.3 on both ATE
+    # metrics for 2 of 3 drifting-odom seeds and ties the third (mean
+    # -11 % trans / -8 % rot at 200 scans; z stays mm-level, no echo walk).
+    visual_evidence_weight: float = 0.6
 
     # Translation WLS pair weighting: (1-f) * point-to-plane + f * point-to-
     # point. Pure point-to-plane (f=0) kills the along-wall aperture bias but
