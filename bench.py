@@ -45,6 +45,7 @@ else:
     if not ok:
         print("# accelerator preflight failed; falling back to CPU",
               file=sys.stderr)
+        os.environ["GC_BENCH_FALLBACK"] = "tpu unreachable; cpu fallback"
         _force_cpu()
 
 SCAN_HZ = 10.0
@@ -130,6 +131,8 @@ def main():
             "per_scan_ms": round(1000.0 * elapsed / n_scans, 3),
             "mode": "single_compiled_replay",
             "runtime_counters": counters,
+            **({"note": os.environ["GC_BENCH_FALLBACK"]}
+               if "GC_BENCH_FALLBACK" in os.environ else {}),
         },
     }))
 
