@@ -122,6 +122,7 @@ def splat_prep_fused(feats: FeatureArrays, intr: PinholeIntrinsics,
         "xyz_cam": xyz, "cov_cam": cov, "color": feats.color,
         "weight": np.where(ok, feats.weight, 0.0), "valid": ok,
         "kappa_app": feats.kappa_app, "z_fused": z_f,
+        "normal_cam": feats.normal_cam,
     }
 
 
@@ -146,10 +147,20 @@ def camera_slice_fields(fused: dict, T_base_cam: np.ndarray, n_lobes: int):
             continue
         Lam[i] = np.linalg.inv(cov_b[i] + 1e-9 * np.eye(3))
         the[i] = Lam[i] @ xyz_b[i]
-    # Appearance: vMF lobe along the (reversed) viewing ray in base frame.
+    # Primary lobe: the SURFACE NORMAL (sensor-facing, base frame) — the
+    # same semantics as the lidar surfels' lobe 0. An earlier revision
+    # stored the reversed VIEW RAY here; mixed with lidar normals in the
+    # same map-lobe slot it mismatched the association direction term and
+    # the Kabsch rotation scatter against lidar-built map normals
+    # (|cos(dir, true normal)| median 0.15 on the synthetic rig) and
+    # camera-on DEGRADED production ATE ~10x. Features whose depth-patch
+    # fit was degenerate (zero normal) fall back to the view ray.
     ray_c = fused["xyz_cam"] / np.maximum(
         np.linalg.norm(fused["xyz_cam"], axis=1, keepdims=True), 1e-9)
-    dirs_b = -(ray_c @ R.T)
+    n_c = fused["normal_cam"]
+    has_n = np.linalg.norm(n_c, axis=1) > 0.5
+    dir_c = np.where(has_n[:, None], n_c, -ray_c)
+    dirs_b = dir_c @ R.T
     etas = np.zeros((N, n_lobes, 3))
     etas[:, 0, :] = dirs_b * fused["kappa_app"][:, None] * ok[:, None]
     return {

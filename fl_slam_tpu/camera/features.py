@@ -34,6 +34,9 @@ class FeatureArrays(NamedTuple):
     xyz_cam: np.ndarray       # (N, 3) backprojected point, camera frame
     cov_cam: np.ndarray       # (N, 3, 3) closed-form backprojection cov
     kappa_app: np.ndarray     # (N,) curvature-derived appearance concentration
+    normal_cam: np.ndarray    # (N, 3) sensor-facing surface normal (camera
+                              # frame) from the quadratic depth fit; zero
+                              # when the fit is degenerate
     color: np.ndarray         # (N, 3) RGB in [0, 1]
     weight: np.ndarray        # (N,)
     valid: np.ndarray         # (N,) bool
@@ -102,6 +105,43 @@ def _local_quadratic_depth(depth, u, v, rad=3):
     res_var = float(np.sum(wgt * r * r) / max(np.sum(wgt), 1e-9))
     curv = float(np.sqrt(coef[3] ** 2 + 2 * coef[4] ** 2 + coef[5] ** 2))
     return float(coef[0]), coef[1:3], curv, max(res_var, 1e-8)
+
+
+def surface_normal_from_grad(u, v, z, grad, intr: PinholeIntrinsics,
+                             xyz_cam) -> np.ndarray:
+    """Sensor-facing unit surface normal (camera frame) from the local depth
+    gradient (m/px): the cross product of the backprojected tangents
+    dP/du x dP/dv, flipped toward the camera. Zero when degenerate."""
+    g_u, g_v = float(grad[0]), float(grad[1])
+    tu = np.array([(z + (u - intr.cx) * g_u) / intr.fx,
+                   (v - intr.cy) * g_u / intr.fy, g_u])
+    tv = np.array([(u - intr.cx) * g_v / intr.fx,
+                   (z + (v - intr.cy) * g_v) / intr.fy, g_v])
+    n = np.cross(tu, tv)
+    nn = np.linalg.norm(n)
+    if nn < 1e-12:
+        return np.zeros(3)
+    n = n / nn
+    if n @ np.asarray(xyz_cam) > 0.0:   # sensor-facing (camera at origin)
+        n = -n
+    return n
+
+
+def fill_normals_from_depth(out: "FeatureArrays", depth,
+                            intr: PinholeIntrinsics) -> None:
+    """Populate ``normal_cam`` for valid features by re-fitting the local
+    quadratic depth patch (used for the native backend, whose C ABI returns
+    no gradient; the pure-Python extractor fills normals inline)."""
+    for j in range(out.uv.shape[0]):
+        if not out.valid[j]:
+            continue
+        u, v = out.uv[j]
+        z0, grad, _, _ = _local_quadratic_depth(depth, u, v)
+        z = out.z[j] if out.z[j] > 1e-3 else z0
+        if z <= 1e-3:
+            continue
+        out.normal_cam[j] = surface_normal_from_grad(u, v, z, grad, intr,
+                                                     out.xyz_cam[j])
 
 
 def backprojection_cov(u, v, z, intr: PinholeIntrinsics, sigma_px: float,
@@ -203,6 +243,7 @@ def _extract_native(rgb, depth, intr: PinholeIntrinsics, n_feat: int,
         uv=np.zeros((N, 2)), z=np.zeros(N), depth_lambda=np.zeros(N),
         depth_theta=np.zeros(N), xyz_cam=np.zeros((N, 3)),
         cov_cam=np.zeros((N, 3, 3)), kappa_app=np.zeros(N),
+        normal_cam=np.zeros((N, 3)),
         color=np.full((N, 3), 0.5), weight=np.zeros(N),
         valid=np.zeros(N, dtype=bool))
     validu8 = np.zeros(N, dtype=np.uint8)
@@ -218,6 +259,9 @@ def _extract_native(rgb, depth, intr: PinholeIntrinsics, n_feat: int,
         p(out.color, ctypes.c_double), p(out.weight, ctypes.c_double),
         p(validu8, ctypes.c_uint8))
     out.valid[:] = validu8 > 0
+    # surface normals: the C ABI returns no depth gradient; re-fit the local
+    # quadratic patch host-side (N <= n_feat tiny lstsq's at staging time)
+    fill_normals_from_depth(out, depth32, intr)
     return out
 
 
@@ -249,6 +293,7 @@ def extract_features(rgb: np.ndarray, depth: np.ndarray,
         uv=np.zeros((N, 2)), z=np.zeros(N), depth_lambda=np.zeros(N),
         depth_theta=np.zeros(N), xyz_cam=np.zeros((N, 3)),
         cov_cam=np.zeros((N, 3, 3)), kappa_app=np.zeros(N),
+        normal_cam=np.zeros((N, 3)),
         color=np.full((N, 3), 0.5), weight=np.zeros(N),
         valid=np.zeros(N, dtype=bool))
     if not kps:
@@ -284,6 +329,8 @@ def extract_features(rgb: np.ndarray, depth: np.ndarray,
         # appearance concentration from local curvature (flat -> high kappa)
         out.kappa_app[j] = float(np.clip(10.0 / (1.0 + 50.0 * curv), 0.5,
                                          100.0))
+        out.normal_cam[j] = surface_normal_from_grad(u, v, z_use, grad, intr,
+                                                     out.xyz_cam[j])
         out.color[j] = col
         out.weight[j] = float(resp[i] / (resp.max() + 1e-9))
         out.valid[j] = True
