@@ -183,12 +183,15 @@ class GCConfig:
     # the pose rigidly to the map and the map->insert->associate loop echoes
     # estimate bias (observable as a z random walk). Tempering keeps it
     # informative but subordinate to the kinematic evidence.
-    # 0.3 post shape-aware WLS won the round-1 sweep (0.2/0.3/0.5/0.8 over
-    # clean/drift x turn-rate 0.05/0.15); re-swept at round-2 production
-    # budgets + paged view + quaternion anchor, 0.6 beats 0.3 on both ATE
-    # metrics for 2 of 3 drifting-odom seeds and ties the third (mean
-    # -11 % trans / -8 % rot at 200 scans; z stays mm-level, no echo walk).
-    visual_evidence_weight: float = 0.6
+    # 0.3 post shape-aware WLS won the round-1 sweep; re-swept TWICE at
+    # round-2 production budgets: 0.6 with the old uniform OT marginal, then
+    # 0.45 after the weight-proportional transport marginal landed (that
+    # change alone cut translation ATE ~43% but firmed the map grip; the
+    # trans/rot trade curve moved: 0.45/0.6/0.8 -> 1.08/1.24/1.50 deg rot
+    # and 0.101/0.086/0.080 m trans on seed 0). 0.45 keeps rotation at the
+    # old baseline while taking a -40% translation win (3-seed mean
+    # 0.112 m / 1.048 deg vs 0.188 / 1.063 pre-session).
+    visual_evidence_weight: float = 0.45
 
     # Translation WLS pair weighting: (1-f) * point-to-plane + f * point-to-
     # point. Pure point-to-plane (f=0) kills the along-wall aperture bias but

@@ -49,6 +49,7 @@ class AssociationResult(NamedTuple):
     row_masses: jnp.ndarray        # (N,) sum_k pi
     cost: jnp.ndarray              # (N, K) selected candidate costs
     cand_packed: jnp.ndarray       # (N, K, 17) gathered view.packed rows
+    row_budget: jnp.ndarray        # (N,) source marginal a (novelty base)
 
 
 def _log_sinh_ratio(k, eps):
@@ -63,11 +64,13 @@ def _log_sinh_ratio(k, eps):
 
 
 def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
-              scan_seq, cfg: GCConfig) -> tuple[AssociationResult, dict]:
+              scan_seq, cfg: GCConfig,
+              meas_weights=None) -> tuple[AssociationResult, dict]:
     """Dense-cost candidate selection + unbalanced Sinkhorn.
 
     meas_pos (N,3) WORLD frame, meas_dir (N,3), meas_kappa (N,),
-    meas_valid (N,) bool. Returns (AssociationResult, certs).
+    meas_valid (N,) bool, meas_weights (N,) transport-budget weights
+    (None = uniform over valid rows). Returns (AssociationResult, certs).
     """
     dt = meas_pos.dtype
     eps = cfg.ot_epsilon
@@ -165,8 +168,28 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     # mass to ~0, which novelty insertion then covers. Deliberate fix.
 
     # ---- unbalanced Sinkhorn, log domain, fixed iterations -----------------
+    # Row marginal PROPORTIONAL TO MEASUREMENT WEIGHT (not uniform over
+    # valid rows): a uniform marginal hands every valid row — including a
+    # near-zero-weight camera feature — the same transport budget, and the
+    # transported mass pi then drives the visual WLS and map fuse at full
+    # strength REGARDLESS of the row's declared weight (measured: scaling
+    # camera weights x0.01 left the camera-on accuracy damage unchanged).
+    # Weight-proportional marginals make row influence track the weight
+    # system end to end.
     a_mask = meas_valid.astype(dt)
-    a = a_mask / jnp.maximum(jnp.sum(a_mask), cfg.eps_mass)
+    if meas_weights is None:
+        aw = a_mask
+    else:
+        # Blend toward the mean weight: pure weight-proportional budgets
+        # over-concentrate transport on the few heaviest rows at small
+        # surfel budgets (the 64-surfel parity config lost its
+        # SLAM-beats-odometry translation margin); the mean-floor keeps
+        # every valid row at least half a uniform share while heavy rows
+        # still carry proportionally more.
+        w = jnp.maximum(meas_weights, 0.0) * a_mask
+        w_mean = jnp.sum(w) / jnp.maximum(jnp.sum(a_mask), 1.0)
+        aw = a_mask * (w + w_mean)
+    a = aw / jnp.maximum(jnp.sum(aw), cfg.eps_mass)
     log_a = jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-300)), -jnp.inf)
     log_b = jnp.full((K,), -jnp.log(float(K)), dtype=dt)
 
@@ -243,13 +266,13 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
         row_masses=row_masses,
         cost=C,
         cand_packed=cand_packed,
+        row_budget=a,
     )
     return result, certs
 
 
 def novelty_mass(result: AssociationResult, meas_valid, eps_mass: float):
-    """Novelty per measurement: max(a - transported row mass, 0)
-    (parity: pipeline.py:1330-1337)."""
-    a_mask = meas_valid.astype(result.row_masses.dtype)
-    a = a_mask / jnp.maximum(jnp.sum(a_mask), eps_mass)
-    return jnp.maximum(a - result.row_masses, 0.0)
+    """Novelty per measurement: max(a - transported row mass, 0) with the
+    SAME source marginal the plan used (parity: pipeline.py:1330-1337)."""
+    del meas_valid, eps_mass  # folded into the stored row budget
+    return jnp.maximum(result.row_budget - result.row_masses, 0.0)

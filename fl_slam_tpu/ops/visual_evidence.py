@@ -78,6 +78,9 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     trans_cost = jnp.sum(W * res_cost)
 
     # ---- rotation vMF scatter ----------------------------------------------
+    # (A uniform-per-row rescale of pi for the scatter was tried against the
+    # weight-proportional marginal's +17% rotation cost and measured WORSE
+    # — +60% — so the scatter keeps plain transported-mass weighting.)
     kw = jnp.sqrt(meas_kappa[:, None] * map_kap + 1e-12)
     w_all = pi * kw
     S = jnp.einsum("nk,nki,nj->ij", w_all, map_dir, meas_dir_w)

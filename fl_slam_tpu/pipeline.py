@@ -581,7 +581,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     dir_w = mb.mean_directions(batch_w, cfg.eps_mass)
     kap = mb.kappas(batch_w)
     assoc, c = assoc_ops.associate(mu_w, dir_w, kap, batch_w.valid, view,
-                                   seq, cfg)
+                                   seq, cfg, meas_weights=batch_w.weights)
     certs.update(c)
 
     # ---- step 8 (shared residuals): visual pose evidence at z_lin[0] ----------
