@@ -329,6 +329,26 @@ class GCConfig:
     # Must be False on paths that vmap process_scan (batched replicas):
     # pallas_call has no batching rule; the XLA fallback vmaps fine.
     slab_dma_kernel: bool = True
+    # Run the unbalanced-Sinkhorn fixed point as one Pallas kernel
+    # (ops/assoc_kernels.py) instead of an unrolled XLA loop (~300
+    # dispatch-floor HLOs/scan). TPU-only (auto-falls back elsewhere);
+    # same vmap caveat as slab_dma_kernel.
+    sinkhorn_kernel: bool = True
+    # Run merge-reduce once per view chunk (on the freshly gathered view at
+    # _chunk_begin — exactly when newly written-back/inserted duplicates
+    # become view-matchable) instead of once per scan. False = reference
+    # cadence (merge every scan, primitive_map.py:1501). Bounded delta:
+    # duplicates persist <= view_refresh_every-1 extra scans; in paged mode
+    # mid-chunk inserts are not view-matchable before the refresh anyway.
+    merge_at_chunk: bool = False
+    # Unroll factor for the inner per-scan lax.scan of the chunked replay
+    # (and the flat replay when view_refresh_every == 1). Numerics are
+    # identical (same ops, same order per scan). Measured on v5e: unroll=2
+    # is throughput-NEUTRAL (1.613 vs 1.591 ms/scan) — TPU executes the
+    # fused program single-stream and the replay trace shows <2% idle
+    # between ops, so there is no cross-iteration overlap to win; kept as
+    # a tuning knob for future hardware where iteration boundaries cost.
+    scan_unroll: int = 1
 
     # ------------------------------------------------------------------
     @property
@@ -381,9 +401,22 @@ class GCConfig:
 
     @staticmethod
     def tpu(**overrides) -> "GCConfig":
-        """Production budgets, float32 compute."""
+        """Production budgets, float32 compute.
+
+        k_hyp=1: the reference runs K_HYP=4 but its bank is semantically
+        inert — all hypotheses see identical inputs, weights stay frozen
+        uniform, the map updates from hypothesis 0, and the barycenter of
+        identical beliefs is that belief (``backend_node.py:2079-2083``,
+        ``docs/PIPELINE_DESIGN_GAPS.md:396``). K=1 therefore reproduces the
+        reference configuration's estimates exactly (gated by
+        test_pipeline_e2e ``test_inert_bank_equals_k1``) at 1/4 the 22D
+        algebra. Real MHT (this build's upgrade) = k_hyp=4 +
+        hyp_init_spread_* > 0, which makes the bank carry distinct
+        hypotheses and live weights.
+        """
         base = dict(dtype="float32", approx_topk=True, select_bf16=True,
-                    view_refresh_every=4, view_page=128)
+                    view_refresh_every=4, view_page=128, k_hyp=1,
+                    merge_at_chunk=True)
         base.update(overrides)
         return GCConfig(**base)
 

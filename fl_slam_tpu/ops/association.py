@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from fl_slam_tpu.config import GCConfig
 from fl_slam_tpu.core.linalg import top_k_maybe_approx
+from fl_slam_tpu.ops import assoc_kernels
 from fl_slam_tpu.structures.atlas import MapView
 
 COST_BETA = 0.5          # direction weight in cost (AssociationConfig.beta)
@@ -215,18 +216,29 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
         log_v = vb * (log_b - jnp.maximum(lse_u, neg_cap))
         return log_u, log_v
 
-    log_u0 = jnp.zeros_like(log_a)
-    log_v0 = jnp.zeros_like(log_b)
-    # lax.scan with unroll: the body is two logsumexps — far too small
-    # to amortize per-iteration while-loop overhead on TPU (profiled ~1 ms
-    # for 50 fori iterations); unrolling 10 bodies per step recovers it.
-    def scan_body(fg, _):
-        return one_iter(0, fg), None
-    (log_u, log_v), _ = jax.lax.scan(
-        scan_body, (log_u0, log_v0), None, length=cfg.k_sinkhorn,
-        unroll=min(10, max(cfg.k_sinkhorn, 1)))
-    log_pi = log_u[:, None] + logKT.T + log_v[None, :]
-    pi = jnp.where(jnp.isfinite(log_pi), jnp.exp(log_pi), 0.0)
+    if assoc_kernels.use_sinkhorn_kernel(cfg.sinkhorn_kernel):
+        # One Pallas kernel holds the whole 50-iteration fixed point on-chip
+        # (the XLA unrolled loop is ~300 dispatch-floor HLOs/scan; see
+        # ops/assoc_kernels.py). Math-identical to the fallback below.
+        import math
+        piT = assoc_kernels.sinkhorn_piT(
+            logKT, log_a, n_iter=cfg.k_sinkhorn, ua=float(ua), vb=float(vb),
+            log_b=-math.log(float(K)))
+        pi = piT.T
+    else:
+        log_u0 = jnp.zeros_like(log_a)
+        log_v0 = jnp.zeros_like(log_b)
+        # lax.scan with unroll: the body is two logsumexps — far too small
+        # to amortize per-iteration while-loop overhead on TPU (profiled
+        # ~1 ms for 50 fori iterations); unrolling 10 bodies per step
+        # recovers it.
+        def scan_body(fg, _):
+            return one_iter(0, fg), None
+        (log_u, log_v), _ = jax.lax.scan(
+            scan_body, (log_u0, log_v0), None, length=cfg.k_sinkhorn,
+            unroll=min(10, max(cfg.k_sinkhorn, 1)))
+        log_pi = log_u[:, None] + logKT.T + log_v[None, :]
+        pi = jnp.where(jnp.isfinite(log_pi), jnp.exp(log_pi), 0.0)
     pi = pi * a_mask[:, None] * cand_valid.astype(dt)
 
     # Hard per-row mass cap: a measurement can never transport MORE than its

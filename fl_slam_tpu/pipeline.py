@@ -152,6 +152,21 @@ class ViewCtx(NamedTuple):
     put_pages: object = None    # paged mode (cfg.view_page): (S*Vp,) int32
                                 # flat page write-back targets (S*npg = drop)
                                 # + the insert page-exclusion list
+    page_stats: object = None   # paged mode: (inv_cnt, ret_pg) (S, npg)
+                                # insert-targeting aggregates, chunk-seeded
+                                # and maintained by ff_insert
+
+
+def _kw_view(cfg: GCConfig) -> int:
+    """Weight-half prefix length of the view rows (the merge-reduce scope).
+
+    Paged membership keeps the weight half as whole pages (first in row
+    order), so the merge prefix covers exactly those pages."""
+    if cfg.view_page:
+        vp = cfg.m_tile_view // cfg.view_page
+        npg = cfg.m_tile // cfg.view_page
+        return min(vp - vp // 2, npg) * cfg.view_page
+    return min(cfg.m_tile_view - cfg.m_tile_view // 2, cfg.m_tile)
 
 
 def initial_belief(cfg: GCConfig, anchor0=None) -> Belief:
@@ -290,11 +305,14 @@ def _chunk_begin(state: PipelineState, cfg: GCConfig, *,
     certs.update(c)
 
     SM = sff.ff.shape[1]
+    page_stats = None
     if cfg.view_page:
         pages, dupp = atlas_ops.ff_select_view_pages(sff, cfg.n_active_tiles,
                                                      cfg)
         rows, slab_cols, dup, view_pids, put_pages = atlas_ops.ff_gather_pages(
             sff, pages, dupp, cfg.n_active_tiles, cfg)
+        page_stats = atlas_ops.ff_page_stats(sff, cfg.n_active_tiles, cfg,
+                                             seq)
     else:
         slab_cols, dup = atlas_ops.ff_select_view_cols(sff,
                                                        cfg.n_active_tiles,
@@ -304,11 +322,19 @@ def _chunk_begin(state: PipelineState, cfg: GCConfig, *,
         put_pages = None
     put_idx = jnp.where(dup, jnp.int32(SM), slab_cols)
 
+    if cfg.merge_at_chunk:
+        # Chunk-cadence merge on the freshly gathered view (see
+        # GCConfig.merge_at_chunk); _scan_core skips its per-scan merge.
+        rows, c = atlas_ops.compact_merge_reduce(rows, cfg.n_active_tiles,
+                                                 _kw_view(cfg), cfg)
+        certs.update(c)
+
     state = state._replace(atlas=atlas, slabs=sff, slab_slots=slots,
                            slab_keys=active_keys)
     ctx = ViewCtx(rows=rows, slab_cols=slab_cols, dup=dup,
                   prim_ids=view_pids, put_idx=put_idx,
-                  active_keys=active_keys, certs=certs, put_pages=put_pages)
+                  active_keys=active_keys, certs=certs, put_pages=put_pages,
+                  page_stats=page_stats)
     return state, ctx
 
 
@@ -723,17 +749,10 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
                                      assoc.cand_view_idx, assoc.cand_valid,
                                      seq, cfg)
     certs.update(c)
-    if cfg.view_page:
-        # Paged membership: the weight half is whole pages (first in row
-        # order); the merge prefix covers them.
-        vp = cfg.m_tile_view // cfg.view_page
-        npg = cfg.m_tile // cfg.view_page
-        kw_view = min(vp - vp // 2, npg) * cfg.view_page
-    else:
-        kw_view = min(cfg.m_tile_view - cfg.m_tile_view // 2, cfg.m_tile)
-    rows, c = atlas_ops.compact_merge_reduce(rows, cfg.n_active_tiles,
-                                             kw_view, cfg)
-    certs.update(c)
+    if not cfg.merge_at_chunk:
+        rows, c = atlas_ops.compact_merge_reduce(rows, cfg.n_active_tiles,
+                                                 _kw_view(cfg), cfg)
+        certs.update(c)
     # The updated rows stay RESIDENT (ctx.rows); _chunk_end writes them back
     # with one column scatter. Inserts go straight to slab columns, with the
     # resident columns excluded from eviction (no write-back clobber); a
@@ -742,12 +761,15 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
-    sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys,
-                                 ctx.active_keys, seq, cfg,
-                                 evict_exclude=(None if cfg.view_page
-                                                else ctx.put_idx),
-                                 resident_pages=(ctx.put_pages
-                                                 if cfg.view_page else None))
+    if cfg.view_page:
+        sff, c, page_stats = atlas_ops.ff_insert(
+            sff, batch_t, nov, meas_keys, ctx.active_keys, seq, cfg,
+            resident_pages=ctx.put_pages, page_stats=ctx.page_stats)
+        ctx = ctx._replace(page_stats=page_stats)
+    else:
+        sff, c = atlas_ops.ff_insert(sff, batch_t, nov, meas_keys,
+                                     ctx.active_keys, seq, cfg,
+                                     evict_exclude=ctx.put_idx)
     certs.update(c)
     slabs = sff
     ctx = ctx._replace(rows=rows)
@@ -856,7 +878,8 @@ def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
             new_state, out = process_scan(carry, scan, cfg)
             return new_state, pack(out)
 
-        final, outs = jax.lax.scan(step, state, scans)
+        final, outs = jax.lax.scan(step, state, scans,
+                                   unroll=max(1, cfg.scan_unroll))
         certs = {k: outs.certs[:, i] for i, k in enumerate(keys_box[0])}
         return flush_slabs(final), outs._replace(certs=certs)
 
@@ -870,7 +893,8 @@ def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
 
     def chunk(carry, chunk_scans):
         st, ctx = _chunk_begin(carry, cfg, gamma_power=R)
-        (st, ctx), outs = jax.lax.scan(inner, (st, ctx), chunk_scans)
+        (st, ctx), outs = jax.lax.scan(inner, (st, ctx), chunk_scans,
+                                       unroll=max(1, cfg.scan_unroll))
         return _chunk_end(st, ctx, cfg), outs
 
     final, outs = jax.lax.scan(chunk, state, chunked)

@@ -396,3 +396,48 @@ class TestAssociation:
         np.testing.assert_allclose(np.asarray(pi1),
                                    np.asarray(assoc2.responsibilities),
                                    rtol=1e-6, atol=1e-9)
+
+
+class TestSinkhornKernel:
+    """ops/assoc_kernels.sinkhorn_piT (interpret mode, CPU-runnable) must
+    reproduce the pure-JAX log-domain Sinkhorn in ops/association.py."""
+
+    def test_kernel_matches_xla_path(self):
+        import math
+        from fl_slam_tpu.ops import assoc_kernels
+
+        rng = np.random.default_rng(7)
+        N, K, n_iter = 96, 4, 17
+        eps, tau_a, tau_b = 0.1, 0.5, 0.5
+        C = jnp.asarray(rng.uniform(0.0, 5.0, size=(N, K)), jnp.float32)
+        a = rng.uniform(0.0, 2.0, size=N).astype(np.float32)
+        a[rng.permutation(N)[:10]] = 0.0                 # invalid rows
+        a = jnp.asarray(a / a.sum())
+        log_a = jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-300)), -jnp.inf)
+        ua = tau_a / (tau_a + eps)
+        vb = tau_b / (tau_b + eps)
+        logKT = (-C / eps).T
+
+        # XLA reference path (association.py fallback, inlined).
+        def one_iter(fg, _):
+            log_u, log_v = fg
+            lse_v = jax.nn.logsumexp(logKT + log_v[:, None], axis=0)
+            log_u = ua * (log_a - jnp.maximum(lse_v, -1e30))
+            log_u = jnp.where(jnp.isfinite(log_a), log_u, -jnp.inf)
+            lse_u = jax.nn.logsumexp(logKT + log_u[None, :], axis=1)
+            log_v = vb * (-math.log(K) - jnp.maximum(lse_u, -1e30))
+            return (log_u, log_v), None
+
+        (log_u, log_v), _ = jax.lax.scan(
+            one_iter, (jnp.zeros((N,), jnp.float32),
+                       jnp.zeros((K,), jnp.float32)), None, length=n_iter)
+        log_pi = log_u[:, None] + logKT.T + log_v[None, :]
+        pi_ref = np.asarray(
+            jnp.where(jnp.isfinite(log_pi), jnp.exp(log_pi), 0.0))
+
+        piT = assoc_kernels.sinkhorn_piT(
+            logKT, log_a, n_iter=n_iter, ua=float(ua), vb=float(vb),
+            log_b=-math.log(K), interpret=True)
+        np.testing.assert_allclose(np.asarray(piT).T, pi_ref,
+                                   rtol=2e-5, atol=1e-9)
+        assert np.asarray(piT).T[np.asarray(a) == 0].max() == 0.0

@@ -188,3 +188,51 @@ def test_paged_e2e_beats_odom():
     assert np.isfinite(np.asarray(outs.pose)).all()
     assert m["trans"]["rmse"] < mo["trans"]["rmse"]
     assert m["rot_deg"]["rmse"] < mo["rot_deg"]["rmse"]
+
+
+class TestPageStats:
+    """Chunk-seeded insert-targeting aggregates: ff_insert fed with
+    freshly-computed ff_page_stats must pick the same pages/slots as the
+    stats-free path, and the incrementally maintained stats must match a
+    recount after the insert (same scan seq)."""
+
+    def test_stats_fed_insert_matches_statless(self):
+        rng = np.random.default_rng(9)
+        sf = _random_slabs(rng, fill_frac=0.5)
+        pages, dup = A.ff_select_view_pages(sf, S, CFG)
+        put_pages = jnp.where(dup.reshape(-1), jnp.int32(S * NPG),
+                              (jnp.arange(S, dtype=jnp.int32)[:, None] * NPG
+                               + pages).reshape(-1))
+        n, seq = 48, 60
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        lam = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+        from fl_slam_tpu.structures.measurement_batch import MeasurementBatch
+        batch = MeasurementBatch(
+            Lambdas=jnp.asarray(lam), thetas=jnp.asarray(pos),
+            etas=jnp.zeros((n, CFG.vmf_n_lobes, 3), jnp.float32),
+            weights=jnp.asarray(rng.random(n).astype(np.float32) + 0.1),
+            valid=jnp.ones((n,), bool),
+            sources=jnp.zeros((n,), jnp.float32),
+            colors=jnp.full((n, 3), 0.5, jnp.float32))
+        keys = jnp.zeros((n,), jnp.int64)
+        active = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                                  jnp.arange(1, S, dtype=jnp.int64) + 100])
+        nov = jnp.ones((n,), jnp.float32)
+
+        sf_a, certs_a = A.ff_insert(sf, batch, nov, keys, active, seq, CFG,
+                                    resident_pages=put_pages)
+        stats0 = A.ff_page_stats(sf, S, CFG, seq)
+        sf_b, certs_b, stats1 = A.ff_insert(sf, batch, nov, keys, active,
+                                            seq, CFG,
+                                            resident_pages=put_pages,
+                                            page_stats=stats0)
+        np.testing.assert_array_equal(np.asarray(sf_a.ff),
+                                      np.asarray(sf_b.ff))
+        np.testing.assert_array_equal(np.asarray(sf_a.prim_ids),
+                                      np.asarray(sf_b.prim_ids))
+        # Incremental stats == recount on the post-insert slab at this seq.
+        inv2, ret2 = A.ff_page_stats(sf_b, S, CFG, seq)
+        np.testing.assert_allclose(np.asarray(stats1[0]), np.asarray(inv2),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats1[1]), np.asarray(ret2),
+                                   rtol=1e-5, atol=1e-5)

@@ -189,6 +189,25 @@ class TestHypothesisBank:
         np.testing.assert_allclose(w, np.full_like(w, 1.0 / cfg.k_hyp),
                                    atol=1e-12)
 
+    def test_inert_bank_equals_k1(self):
+        """The reference's frozen-uniform K=4 bank is semantically inert:
+        all hypotheses see identical inputs, weights never move, the map is
+        updated from hypothesis 0, and the barycenter of identical beliefs
+        is that belief (``backend_node.py:2079-2083``). Therefore k_hyp=1
+        must reproduce the K=4 spread-0 replay to fp-associativity — the
+        equivalence that lets the production TPU config run the bank at
+        K=1 (VERDICT round-1 item 6 option b) without a semantics delta."""
+        ds = simulate(CFG, n_scans=10, seed=3)
+        poses = {}
+        for k in (CFG.k_hyp, 1):
+            cfg = CFG.replace(k_hyp=k)
+            scans = to_scan_inputs(ds, cfg)
+            state = init_state(cfg, t0=float(ds.gt_stamps[0]) - 0.1)
+            _, outs = replay(state, scans, cfg)
+            poses[k] = np.asarray(outs.pose)
+        np.testing.assert_allclose(poses[1], poses[CFG.k_hyp],
+                                   rtol=1e-9, atol=1e-11)
+
 
 class TestChunkedReplay:
     """view_refresh_every > 1: membership/maintenance at chunk boundaries,
@@ -199,16 +218,23 @@ class TestChunkedReplay:
         a0 = jnp.asarray(ds.gt_poses[0], CFG.jdtype)
         t0 = float(ds.gt_stamps[0]) - 0.1
         metrics = {}
-        for R in (1, 4):
-            cfg = GCConfig.small(view_refresh_every=R)
+        for key, kw in (
+                (1, dict(view_refresh_every=1)),
+                (4, dict(view_refresh_every=4)),
+                # production cadence add-on: merge once per chunk
+                ("4m", dict(view_refresh_every=4, merge_at_chunk=True))):
+            cfg = GCConfig.small(**kw)
             scans = to_scan_inputs(ds, cfg)
             _, outs = replay(init_state(cfg, anchor0=a0, t0=t0), scans, cfg)
             poses = np.asarray(outs.pose)
             assert np.isfinite(poses).all()
-            metrics[R] = ate(poses, ds.gt_poses, align="initial")
+            metrics[key] = ate(poses, ds.gt_poses, align="initial")
         # bounded staleness: same accuracy class, not bit equality
-        assert metrics[4]["trans"]["rmse"] < 2.0 * metrics[1]["trans"]["rmse"] + 0.01
-        assert metrics[4]["rot_deg"]["rmse"] < 2.0 * metrics[1]["rot_deg"]["rmse"] + 0.05
+        for key in (4, "4m"):
+            assert metrics[key]["trans"]["rmse"] \
+                < 2.0 * metrics[1]["trans"]["rmse"] + 0.01, (key, metrics)
+            assert metrics[key]["rot_deg"]["rmse"] \
+                < 2.0 * metrics[1]["rot_deg"]["rmse"] + 0.05, (key, metrics)
 
     def test_r_falls_back_to_divisor(self):
         """T=10 with R=4 -> largest divisor (2) is used; replay still runs."""
