@@ -39,3 +39,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process compiled-program accumulation.
+
+    XLA:CPU compilation segfaults nondeterministically LATE in a long-lived
+    many-program process (observed at test ~120 of the full suite inside
+    ``backend_compile_and_load``; the same tests pass standalone — same
+    failure family as the cache-write crash above and the hermetic
+    segmented-replay test). Dropping the pjit/executable caches at module
+    boundaries keeps the backend's live-program population small. Costs a
+    few repeated helper compiles per module; suite-level correctness of the
+    gate beats the warm start.
+    """
+    yield
+    jax.clear_caches()
