@@ -153,3 +153,88 @@ class TestCompareTrajectories:
                   str(tmp_path / "est.tum"), str(tmp_path / "gt.tum")])
         assert r.returncode == 0, r.stderr
         assert "identity mapping is already best" in r.stdout
+
+
+class TestCheckLidarMount:
+    def _ground_bag(self, tmp_path, pitch_deg=2.0, height=0.7):
+        """Bag whose clouds see a floor plane, sensor pitched about y."""
+        import sqlite3
+        from fl_slam_tpu.io import cdr
+        rng = np.random.default_rng(5)
+        d = str(tmp_path / "gbag")
+        os.makedirs(d)
+        con = sqlite3.connect(os.path.join(d, "synth_0.db3"))
+        con.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+                    "type TEXT, serialization_format TEXT, "
+                    "offered_qos_profiles TEXT)")
+        con.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, "
+                    "topic_id INTEGER, timestamp INTEGER, data BLOB)")
+        con.execute("INSERT INTO topics VALUES "
+                    "(1, '/points', 'sensor_msgs/msg/PointCloud2', 'cdr', '')")
+        th = np.radians(pitch_deg)
+        R = np.array([[np.cos(th), 0, np.sin(th)],
+                      [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]])
+        for i in range(6):
+            t0 = 10.0 + 0.1 * i
+            r = rng.uniform(1.5, 7.0, 3000)
+            ang = rng.uniform(0, 2 * np.pi, 3000)
+            floor = np.stack([r * np.cos(ang), r * np.sin(ang),
+                              np.full(3000, -height)
+                              + rng.normal(0, 0.01, 3000)], 1)
+            wall = np.stack([np.full(1000, 8.0), rng.uniform(-8, 8, 1000),
+                             rng.uniform(-height, 2.0, 1000)], 1)
+            pts = np.ascontiguousarray(
+                (R.T @ np.vstack([floor, wall]).T).T.astype(np.float32))
+            blob = cdr.encode_pointcloud2(t0, pts)
+            con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                        (i + 1, 1, int(t0 * 1e9), blob))
+        con.commit()
+        con.close()
+        return d, R
+
+    def test_recovers_pitch_and_height(self, tmp_path):
+        d, _ = self._ground_bag(tmp_path)
+        r = _run(["tools/check_lidar_mount.py", "--bag", d,
+                  "--lidar", "/points", "--scans", "6"])
+        assert r.returncode == 0, r.stderr
+        pitch = float([ln for ln in r.stdout.splitlines()
+                       if "implied mount" in ln][0]
+                      .rsplit("pitch", 1)[1].split("deg")[0])
+        h = float([ln for ln in r.stdout.splitlines()
+                   if "height" in ln][0].split(":")[1].split("m")[0])
+        assert abs(pitch - 2.0) < 0.2, r.stdout
+        assert abs(h - 0.7) < 0.03, r.stdout
+
+    def test_calibration_check_passes_with_true_rotation(self, tmp_path):
+        d, R = self._ground_bag(tmp_path)
+        rig = {"T_base_lidar":
+               np.block([[R, np.zeros((3, 1))],
+                         [np.zeros((1, 3)), np.ones((1, 1))]]).tolist()}
+        p = tmp_path / "rig.json"
+        p.write_text(json.dumps(rig))
+        r = _run(["tools/check_lidar_mount.py", "--bag", d,
+                  "--lidar", "/points", "--scans", "6",
+                  "--calib", str(p)])
+        assert r.returncode == 0, r.stderr
+        tilt_line = [ln for ln in r.stdout.splitlines()
+                     if "residual tilt" in ln][0]
+        assert "OK" in tilt_line, r.stdout
+
+
+class TestInspectCovariances:
+    def test_reports_static_covs_and_noise_floor(self, tmp_path):
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        import test_rosbag_io as T
+        rng = np.random.default_rng(3)
+        d = str(tmp_path / "bag")
+        os.makedirs(d)
+        T._make_bag(d, rng, n_scans=8)
+        r = _run(["tools/inspect_covariances.py", "--bag", d])
+        assert r.returncode == 0, r.stderr
+        assert "STATIC covariances" in r.stdout
+        assert "gyro" in r.stdout and "datasheet prior" in r.stdout
+        # the synthetic gyro noise (0.01 std) vs prior 8.7e-7/0.005: ~0.6
+        g_line = [ln for ln in r.stdout.splitlines()
+                  if ln.strip().startswith("gyro: empirical")][0]
+        assert "consistent" in g_line, r.stdout
