@@ -334,6 +334,10 @@ class GCConfig:
     # dispatch-floor HLOs/scan). TPU-only (auto-falls back elsewhere);
     # same vmap caveat as slab_dma_kernel.
     sinkhorn_kernel: bool = True
+    # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
+    # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;
+    # K>1/MHT and CPU use the XLA reference path. Same vmap caveat.
+    belief_kernel: bool = True
     # Run merge-reduce once per view chunk (on the freshly gathered view at
     # _chunk_begin — exactly when newly written-back/inserted duplicates
     # become view-matchable) instead of once per scan. False = reference

@@ -51,7 +51,8 @@ def batched_step(cfg: GCConfig, mesh: Mesh, axis: str = "inst",
     """
     # pallas_call has no batching rule -> force the XLA slab-exchange path
     # under the instance vmap.
-    cfg = cfg.replace(slab_dma_kernel=False, sinkhorn_kernel=False)
+    cfg = cfg.replace(slab_dma_kernel=False, sinkhorn_kernel=False,
+                      belief_kernel=False)
 
     def step(states, scans):
         return jax.vmap(lambda s, sc: process_scan(s, sc, cfg))(states, scans)
@@ -68,7 +69,7 @@ def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
     scans: ScanInput with leading axes (n_instances, T, ...).
     """
     cfg = cfg.replace(slab_dma_kernel=False,   # no pallas batching rule
-                      sinkhorn_kernel=False)
+                      sinkhorn_kernel=False, belief_kernel=False)
 
     def run(states, scans):
         def one(state, scans_i):

@@ -62,6 +62,7 @@ from fl_slam_tpu.core.hexgrid import (
 )
 from fl_slam_tpu.core.linalg import spd_solve_lifted
 from fl_slam_tpu.ops import association as assoc_ops
+from fl_slam_tpu.ops import belief_kernels
 from fl_slam_tpu.ops import deskew as deskew_ops
 from fl_slam_tpu.ops import fusion as fusion_ops
 from fl_slam_tpu.ops import hypothesis as hyp_ops
@@ -636,104 +637,192 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     ot_ess = certs["ot.ess"]
     ot_cost = certs["ot.total_cost"]
 
-    # ---- steps 9-13 per hypothesis: temper + fuse + recompose + drift ----------
-    def fuse_and_recompose(belief_pred: Belief, mu_pred, L_io, h_io, z_lin):
-        k_certs: dict = {}
-        # Residuals are measured at z_lin: lift to the absolute chart target,
-        # then temper (scan-to-map evidence is overconfident by construction;
-        # see GCConfig.visual_evidence_weight).
-        h_vis = h_vis_rel + L_vis @ z_lin
-        L_v = cfg.visual_evidence_weight * L_vis
-        h_v = cfg.visual_evidence_weight * h_vis
-
-        L_ev = L_io + L_v
-        h_ev = h_io + h_v
-        ess_total = pre_int["ess"] + ot_ess
-        s_dt, s_ex = fusion_ops.excitation_scales(L_ev, belief_pred.L,
-                                                  cfg.exc_eps)
-        exc_total = s_dt + s_ex
-        beta, c = fusion_ops.power_tempering_beta(
-            L_ev, ess_total, exc_total, power_beta_min=cfg.power_beta_min,
-            power_beta_z_c=cfg.power_beta_z_c,
-            power_beta_exc_c=cfg.power_beta_exc_c, eps_mass=cfg.eps_mass)
-        k_certs.update(c)
-        L_ev, h_ev = beta * L_ev, beta * h_ev
-
-        L_prior, h_prior = fusion_ops.apply_excitation_prior_scaling(
-            belief_pred.L, belief_pred.h, s_dt, s_ex)
-        belief_pred = belief_pred._replace(L=L_prior, h=h_prior)
-        k_certs["exc.s_dt"] = s_dt
-        k_certs["exc.s_ex"] = s_ex
-
-        cond_p6 = fusion_ops.pose6_conditioning(L_ev, cfg.eps_psd)
-        nll_per_ess = ot_cost / jnp.maximum(ess_total, cfg.eps_mass)
-        alpha = fusion_ops.fusion_alpha(
-            cond_p6, ess_total, nll_per_ess, c["temper.dt_asymmetry"],
-            c["temper.z_to_xy"], exc_total, beta, alpha_min=cfg.alpha_min,
-            alpha_max=cfg.alpha_max, c0_cond=cfg.c0_cond,
-            eps_mass=cfg.eps_mass)
-        k_certs["fusion.cond_pose6"] = cond_p6
-
-        belief_post, c = fusion_ops.info_fusion_additive(
-            belief_pred, L_ev, h_ev, alpha, eps_psd=cfg.eps_psd)
-        k_certs.update(c)
-
-        trigger_mag = (k_certs["fusion.psd_projection"]
-                       + certs["imu_grav.psd_projection"])
-        belief_rec, z_lin_new, delta_pose, dz_new, c = \
-            recompose_ops.frobenius_recompose(
-                belief_post, z_lin, trigger_mag, c_frob=cfg.c_frob,
-                eps_lift=cfg.eps_lift)
-        k_certs.update(c)
-        z_t = belief_rec.anchor
-
-        # Process-noise IW suffstats (pred vs post), plus the ODOM INNOVATION
-        # on the pose blocks. Pred-vs-post alone underestimates Q by the
-        # filter gain (small gain -> small updates -> small learned Q: the
-        # filter can never loosen an overconfident prior); the innovation
-        # measures the actual per-scan prediction error independent of gain.
-        # mu_pred = the mechanized prediction mean (pre excitation scaling —
-        # the scaled prior is a fusion artifact, not the prediction);
-        # mu_post = the recompose increment before the chart shift (same
-        # (L, h) system recompose solved — no second solve).
-        shift22 = jnp.zeros((D_Z,), dtype=dt).at[IDX_POSE].set(delta_pose)
-        dpsi_q, dnu_q = noise_ops.process_suffstats(
-            belief_pred.L, belief_pred.h, belief_post.L, belief_post.h,
-            cfg.eps_lift, mu_pred=mu_pred, mu_post=dz_new + shift22)
-        return belief_rec, z_lin_new, z_t, dz_new, dpsi_q, dnu_q, k_certs
-
-    (beliefs_rec, z_lin_new_k, z_t_k, dz_new_k, dpsi_q_k, dnu_q_k,
-     certsB) = jax.vmap(fuse_and_recompose)(beliefs_pred, mu_pred_k,
-                                            L_io_k, h_io_k, z_lin_k)
-    certs.update(jax.tree.map(lambda a: a[0], certsB))
-
-    if mht_enabled(cfg):
-        # Bayes weight update from each hypothesis's own odometry-innovation
-        # NLL (its marginal-likelihood proxy; the residual is measured at
-        # that hypothesis's predicted pose, so diverse hypotheses score
-        # differently): w_k ∝ w_k exp(-nll_k / T). Rebased at the minimum
-        # for overflow safety; floored/renormalized as the reference floors
-        # its (static) weights.
-        nll_k = certsA["odom_pose.nll_proxy"]                # (K,)
-        logw = (jnp.log(jnp.maximum(state.hyp_weights, cfg.hyp_weight_floor))
-                - (nll_k - jnp.min(nll_k)) / cfg.hyp_nll_temp)
-        w_hyp = floor_and_normalize_weights(
-            jnp.exp(logw - jnp.max(logw)), cfg.hyp_weight_floor)
-        certs["hyp.nll_spread"] = jnp.max(nll_k) - jnp.min(nll_k)
+    # ---- steps 9-15 + IW: the scalar belief tail --------------------------------
+    # On TPU at k_hyp=1 the whole chain (temper/fuse/recompose/drift/
+    # barycenter/IW apply) runs as ONE Pallas kernel (ops/belief_kernels.py):
+    # ~300 tiny HLOs of 22-D algebra, each below the ~0.4 us sequencing
+    # floor, collapse into a single fused program. The XLA path below is the
+    # reference implementation (CPU, K>1, MHT) and the equivalence oracle.
+    if belief_kernels.use_scalar_tail_kernel(cfg):
+        bel0 = jax.tree.map(lambda a: a[0], beliefs_pred)
+        # cond feeds a cert + the (constant at alpha_min=alpha_max=1) trust
+        # alpha; computed OUTSIDE the kernel on the untempered evidence
+        # (eigvalsh has no Mosaic lowering; cond is scale-invariant, so the
+        # missing beta factor only shifts which eigenvalues hit the floor).
+        L_ev_raw = L_io_k[0] + cfg.visual_evidence_weight * L_vis
+        cond_p6 = fusion_ops.pose6_conditioning(L_ev_raw, cfg.eps_psd)
+        (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out, pnu,
+         ppsi, mnu, mpsi, kcert) = belief_kernels.scalar_tail(
+            cfg, bel0.L, bel0.h, bel0.anchor, mu_pred_k[0], L_io_k[0],
+            h_io_k[0], z_lin_k[0], L_vis, h_vis_rel,
+            dz_odom_k[0][IDX_POSE], state.process_noise.nu,
+            state.process_noise.psi, state.meas_noise.nu,
+            state.meas_noise.psi, dpsi_gyro, dpsi_accel, dpsi_lidar,
+            pre_int["ess"], ot_ess, ot_cost,
+            certs["imu_grav.psd_projection"], cond_p6)
+        certs["fusion.cond_pose6"] = cond_p6
+        certs.update({k: kcert[i]
+                      for i, k in enumerate(belief_kernels.CERT_KEYS)})
+        # needs quat_to_rotvec (arctan2): ~10 ops, kept outside the kernel
+        certs["anchor.effect_realized"] = jnp.linalg.norm(
+            se3.pose7_minus(anchor_fin, anchor_rec))
+        beliefs_final = Belief(L=L_fin[None], h=h_fin[None],
+                               anchor=anchor_fin[None])
+        w_norm = jnp.ones((1,), dtype=dt)
+        proc_noise = noise_ops.ProcessNoiseIW(nu=pnu, psi=ppsi)
+        meas_noise = noise_ops.MeasurementNoiseIW(nu=mnu, psi=mpsi)
+        pose_out = se3.pose6_from_pose7(pose7_out)
+        z_t0 = anchor_rec
     else:
-        w_hyp = floor_and_normalize_weights(state.hyp_weights,
-                                            cfg.hyp_weight_floor)
-    dpsi_q = jnp.einsum("k,kabc->abc", w_hyp, dpsi_q_k)
-    dnu_q = jnp.einsum("k,ka->a", w_hyp, dnu_q_k)
-    xi_err = dz_odom_k[0][IDX_POSE]
-    xi_t = jnp.clip(xi_err[:3], -cfg.innovation_clip_trans,
-                    cfg.innovation_clip_trans)
-    xi_r = jnp.clip(xi_err[3:6], -cfg.innovation_clip_rot,
-                    cfg.innovation_clip_rot)
-    dpsi_q = dpsi_q.at[0, :3, :3].add(
-        cfg.innovation_q_trans * jnp.outer(xi_t, xi_t))
-    dpsi_q = dpsi_q.at[1, :3, :3].add(
-        cfg.innovation_q_rot * jnp.outer(xi_r, xi_r))
+        # ---- steps 9-13 per hypothesis: temper + fuse + recompose + drift ----------
+        def fuse_and_recompose(belief_pred: Belief, mu_pred, L_io, h_io, z_lin):
+            k_certs: dict = {}
+            # Residuals are measured at z_lin: lift to the absolute chart target,
+            # then temper (scan-to-map evidence is overconfident by construction;
+            # see GCConfig.visual_evidence_weight).
+            h_vis = h_vis_rel + L_vis @ z_lin
+            L_v = cfg.visual_evidence_weight * L_vis
+            h_v = cfg.visual_evidence_weight * h_vis
+
+            L_ev = L_io + L_v
+            h_ev = h_io + h_v
+            ess_total = pre_int["ess"] + ot_ess
+            s_dt, s_ex = fusion_ops.excitation_scales(L_ev, belief_pred.L,
+                                                      cfg.exc_eps)
+            exc_total = s_dt + s_ex
+            beta, c = fusion_ops.power_tempering_beta(
+                L_ev, ess_total, exc_total, power_beta_min=cfg.power_beta_min,
+                power_beta_z_c=cfg.power_beta_z_c,
+                power_beta_exc_c=cfg.power_beta_exc_c, eps_mass=cfg.eps_mass)
+            k_certs.update(c)
+            L_ev, h_ev = beta * L_ev, beta * h_ev
+
+            L_prior, h_prior = fusion_ops.apply_excitation_prior_scaling(
+                belief_pred.L, belief_pred.h, s_dt, s_ex)
+            belief_pred = belief_pred._replace(L=L_prior, h=h_prior)
+            k_certs["exc.s_dt"] = s_dt
+            k_certs["exc.s_ex"] = s_ex
+
+            cond_p6 = fusion_ops.pose6_conditioning(L_ev, cfg.eps_psd)
+            nll_per_ess = ot_cost / jnp.maximum(ess_total, cfg.eps_mass)
+            alpha = fusion_ops.fusion_alpha(
+                cond_p6, ess_total, nll_per_ess, c["temper.dt_asymmetry"],
+                c["temper.z_to_xy"], exc_total, beta, alpha_min=cfg.alpha_min,
+                alpha_max=cfg.alpha_max, c0_cond=cfg.c0_cond,
+                eps_mass=cfg.eps_mass)
+            k_certs["fusion.cond_pose6"] = cond_p6
+
+            belief_post, c = fusion_ops.info_fusion_additive(
+                belief_pred, L_ev, h_ev, alpha, eps_psd=cfg.eps_psd)
+            k_certs.update(c)
+
+            trigger_mag = (k_certs["fusion.psd_projection"]
+                           + certs["imu_grav.psd_projection"])
+            belief_rec, z_lin_new, delta_pose, dz_new, c = \
+                recompose_ops.frobenius_recompose(
+                    belief_post, z_lin, trigger_mag, c_frob=cfg.c_frob,
+                    eps_lift=cfg.eps_lift)
+            k_certs.update(c)
+            z_t = belief_rec.anchor
+
+            # Process-noise IW suffstats (pred vs post), plus the ODOM INNOVATION
+            # on the pose blocks. Pred-vs-post alone underestimates Q by the
+            # filter gain (small gain -> small updates -> small learned Q: the
+            # filter can never loosen an overconfident prior); the innovation
+            # measures the actual per-scan prediction error independent of gain.
+            # mu_pred = the mechanized prediction mean (pre excitation scaling —
+            # the scaled prior is a fusion artifact, not the prediction);
+            # mu_post = the recompose increment before the chart shift (same
+            # (L, h) system recompose solved — no second solve).
+            shift22 = jnp.zeros((D_Z,), dtype=dt).at[IDX_POSE].set(delta_pose)
+            dpsi_q, dnu_q = noise_ops.process_suffstats(
+                belief_pred.L, belief_pred.h, belief_post.L, belief_post.h,
+                cfg.eps_lift, mu_pred=mu_pred, mu_post=dz_new + shift22)
+            return belief_rec, z_lin_new, z_t, dz_new, dpsi_q, dnu_q, k_certs
+
+        (beliefs_rec, z_lin_new_k, z_t_k, dz_new_k, dpsi_q_k, dnu_q_k,
+         certsB) = jax.vmap(fuse_and_recompose)(beliefs_pred, mu_pred_k,
+                                                L_io_k, h_io_k, z_lin_k)
+        certs.update(jax.tree.map(lambda a: a[0], certsB))
+
+        if mht_enabled(cfg):
+            # Bayes weight update from each hypothesis's own odometry-innovation
+            # NLL (its marginal-likelihood proxy; the residual is measured at
+            # that hypothesis's predicted pose, so diverse hypotheses score
+            # differently): w_k ∝ w_k exp(-nll_k / T). Rebased at the minimum
+            # for overflow safety; floored/renormalized as the reference floors
+            # its (static) weights.
+            nll_k = certsA["odom_pose.nll_proxy"]                # (K,)
+            logw = (jnp.log(jnp.maximum(state.hyp_weights, cfg.hyp_weight_floor))
+                    - (nll_k - jnp.min(nll_k)) / cfg.hyp_nll_temp)
+            w_hyp = floor_and_normalize_weights(
+                jnp.exp(logw - jnp.max(logw)), cfg.hyp_weight_floor)
+            certs["hyp.nll_spread"] = jnp.max(nll_k) - jnp.min(nll_k)
+        else:
+            w_hyp = floor_and_normalize_weights(state.hyp_weights,
+                                                cfg.hyp_weight_floor)
+        dpsi_q = jnp.einsum("k,kabc->abc", w_hyp, dpsi_q_k)
+        dnu_q = jnp.einsum("k,ka->a", w_hyp, dnu_q_k)
+        xi_err = dz_odom_k[0][IDX_POSE]
+        xi_t = jnp.clip(xi_err[:3], -cfg.innovation_clip_trans,
+                        cfg.innovation_clip_trans)
+        xi_r = jnp.clip(xi_err[3:6], -cfg.innovation_clip_rot,
+                        cfg.innovation_clip_rot)
+        dpsi_q = dpsi_q.at[0, :3, :3].add(
+            cfg.innovation_q_trans * jnp.outer(xi_t, xi_t))
+        dpsi_q = dpsi_q.at[1, :3, :3].add(
+            cfg.innovation_q_rot * jnp.outer(xi_r, xi_r))
+
+        # ---- step 13 per hypothesis: anchor drift ----------------------------------
+        def drift(bel, z_lin_new, dz_new):
+            return recompose_ops.anchor_drift_update(
+                bel, z_lin_new, m0=cfg.anchor_drift_m0, r0=cfg.anchor_drift_r0,
+                eps_lift=cfg.eps_lift, dz=dz_new)
+        # z_drift_k = (1 - rho) dz: after drift h = L @ z_drift holds exactly, so
+        # z_drift_k IS the per-hypothesis mean increment (feeds the barycenter's
+        # spread diagnostic below without a batched re-solve).
+        beliefs_final, z_drift_k, certsC = jax.vmap(drift)(beliefs_rec,
+                                                           z_lin_new_k, dz_new_k)
+        certs.update(jax.tree.map(lambda a: a[0], certsC))
+
+        # ---- step 15: hypothesis barycenter (published pose) ------------------------
+        if mht_enabled(cfg):
+            # Anchors diverge under per-hypothesis recompose/drift; transport
+            # each (L, h, z_lin) into hypothesis 0's chart before averaging
+            # (first order: z' = z + xi_k with xi_k = Log(X_a0^{-1} ∘ X_ak);
+            # exact for the small inter-anchor offsets the bank develops).
+            anchors_k = beliefs_final.anchor                     # (K, 7)
+            xi_k = jax.vmap(lambda a: se3.pose7_minus(
+                a, anchors_k[0]))(anchors_k)                     # (K, 6)
+            e_k = jnp.zeros((cfg.k_hyp, D_Z), dtype=dt).at[:, IDX_POSE].set(xi_k)
+            h_bar_in = beliefs_final.h + jnp.einsum(
+                "kij,kj->ki", beliefs_final.L, e_k)
+            z_bar_in = z_lin_new_k + e_k
+            means_in = z_drift_k + e_k
+            certs["hyp.anchor_spread"] = jnp.sum(xi_k ** 2)
+        else:
+            h_bar_in, z_bar_in = beliefs_final.h, z_lin_new_k
+            means_in = z_drift_k
+        L_bar, h_bar, z_lin_bar, w_norm, c = hyp_ops.barycenter_projection(
+            beliefs_final.L, h_bar_in, z_bar_in, w_hyp,
+            weight_floor=cfg.hyp_weight_floor, eps_psd=cfg.eps_psd,
+            eps_lift=cfg.eps_lift, means=means_in)
+        certs.update(c)
+        bel_bar = Belief(L=L_bar, h=h_bar,
+                         anchor=jax.tree.map(lambda a: a[0], beliefs_final).anchor)
+        pose_out = world_pose(bel_bar, cfg.eps_lift)
+
+        # ---- IW apply (once per scan) ------------------------------------------------
+        proc_noise, c = noise_ops.process_apply_suffstats(
+            state.process_noise, dpsi_q, dnu_q, cfg)
+        certs.update(c)
+        dpsi_meas = jnp.stack([dpsi_gyro, dpsi_accel, dpsi_lidar])
+        dnu_meas = jnp.ones((3,), dtype=dt)
+        meas_noise, c = noise_ops.measurement_apply_suffstats(
+            state.meas_noise, dpsi_meas, dnu_meas, cfg)
+        certs.update(c)
+
+        z_t0 = z_t_k[0]
 
     # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
     # The whole scatter phase runs COMPACTLY on the view's (V, CF) rows:
@@ -743,7 +832,6 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # with its below-threshold proposals pre-culled). Reference order was
     # fuse -> insert -> cull -> forget -> merge; each reordering delta is
     # bounded to one scan and documented on the respective atlas op.
-    z_t0 = z_t_k[0]
     batch_t = mb.transform_to_world(batch, z_t0, eps_lift=cfg.eps_lift)
     rows, c = atlas_ops.compact_fuse(view, batch_t, assoc.responsibilities,
                                      assoc.cand_view_idx, assoc.cand_valid,
@@ -773,55 +861,6 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     certs.update(c)
     slabs = sff
     ctx = ctx._replace(rows=rows)
-
-    # ---- step 13 per hypothesis: anchor drift ----------------------------------
-    def drift(bel, z_lin_new, dz_new):
-        return recompose_ops.anchor_drift_update(
-            bel, z_lin_new, m0=cfg.anchor_drift_m0, r0=cfg.anchor_drift_r0,
-            eps_lift=cfg.eps_lift, dz=dz_new)
-    # z_drift_k = (1 - rho) dz: after drift h = L @ z_drift holds exactly, so
-    # z_drift_k IS the per-hypothesis mean increment (feeds the barycenter's
-    # spread diagnostic below without a batched re-solve).
-    beliefs_final, z_drift_k, certsC = jax.vmap(drift)(beliefs_rec,
-                                                       z_lin_new_k, dz_new_k)
-    certs.update(jax.tree.map(lambda a: a[0], certsC))
-
-    # ---- step 15: hypothesis barycenter (published pose) ------------------------
-    if mht_enabled(cfg):
-        # Anchors diverge under per-hypothesis recompose/drift; transport
-        # each (L, h, z_lin) into hypothesis 0's chart before averaging
-        # (first order: z' = z + xi_k with xi_k = Log(X_a0^{-1} ∘ X_ak);
-        # exact for the small inter-anchor offsets the bank develops).
-        anchors_k = beliefs_final.anchor                     # (K, 7)
-        xi_k = jax.vmap(lambda a: se3.pose7_minus(
-            a, anchors_k[0]))(anchors_k)                     # (K, 6)
-        e_k = jnp.zeros((cfg.k_hyp, D_Z), dtype=dt).at[:, IDX_POSE].set(xi_k)
-        h_bar_in = beliefs_final.h + jnp.einsum(
-            "kij,kj->ki", beliefs_final.L, e_k)
-        z_bar_in = z_lin_new_k + e_k
-        means_in = z_drift_k + e_k
-        certs["hyp.anchor_spread"] = jnp.sum(xi_k ** 2)
-    else:
-        h_bar_in, z_bar_in = beliefs_final.h, z_lin_new_k
-        means_in = z_drift_k
-    L_bar, h_bar, z_lin_bar, w_norm, c = hyp_ops.barycenter_projection(
-        beliefs_final.L, h_bar_in, z_bar_in, w_hyp,
-        weight_floor=cfg.hyp_weight_floor, eps_psd=cfg.eps_psd,
-        eps_lift=cfg.eps_lift, means=means_in)
-    certs.update(c)
-    bel_bar = Belief(L=L_bar, h=h_bar,
-                     anchor=jax.tree.map(lambda a: a[0], beliefs_final).anchor)
-    pose_out = world_pose(bel_bar, cfg.eps_lift)
-
-    # ---- IW apply (once per scan) ------------------------------------------------
-    proc_noise, c = noise_ops.process_apply_suffstats(
-        state.process_noise, dpsi_q, dnu_q, cfg)
-    certs.update(c)
-    dpsi_meas = jnp.stack([dpsi_gyro, dpsi_accel, dpsi_lidar])
-    dnu_meas = jnp.ones((3,), dtype=dt)
-    meas_noise, c = noise_ops.measurement_apply_suffstats(
-        state.meas_noise, dpsi_meas, dnu_meas, cfg)
-    certs.update(c)
 
     new_state = state._replace(
         belief=beliefs_final,

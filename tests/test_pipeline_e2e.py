@@ -342,3 +342,40 @@ class TestSegmentedReplay:
                            env=env, cwd=repo)
         assert r.returncode == 0 and "SEGMENT_EQUIV_OK" in r.stdout, (
             r.stdout[-1000:], r.stderr[-2000:])
+
+
+class TestScalarTailKernel:
+    """ops/belief_kernels.scalar_tail (interpret mode, CPU-runnable) must
+    reproduce the XLA reference tail (fusion -> recompose -> drift ->
+    barycenter -> IW apply) through the FULL pipeline: same cert keys, same
+    poses/certs at scan 0 to fp tolerance, same trajectory class over 12
+    scans (f32 chaos compounds the ~1e-7 solve deltas downstream)."""
+
+    def test_kernel_path_matches_xla(self):
+        from fl_slam_tpu.ops import belief_kernels
+
+        cfg = GCConfig.small(dtype="float32", k_hyp=1)
+        ds = simulate(cfg, n_scans=12, seed=3, odom_drift_vel_scale=1.03,
+                      odom_drift_yaw_rate=0.01)
+        scans = to_scan_inputs(ds, cfg)
+        outs = {}
+        try:
+            for mode in ("xla", "kernel"):
+                belief_kernels.FORCE_INTERPRET = (mode == "kernel")
+                jax.clear_caches()
+                state = init_state(
+                    cfg, anchor0=jnp.asarray(ds.gt_poses[0], cfg.jdtype),
+                    t0=float(ds.gt_stamps[0]) - 0.1)
+                _, o = replay(state, scans, cfg)
+                outs[mode] = (np.asarray(o.pose),
+                              {k: np.asarray(v) for k, v in o.certs.items()})
+        finally:
+            belief_kernels.FORCE_INTERPRET = False
+        px, cx = outs["xla"]
+        pk, ck = outs["kernel"]
+        assert set(cx) == set(ck), sorted(set(cx) ^ set(ck))
+        assert np.abs(px - pk).max() < 1e-3
+        bad = [(k, float(cx[k][0]), float(ck[k][0])) for k in sorted(cx)
+               if abs(cx[k][0] - ck[k][0])
+               > 1e-4 * max(abs(cx[k][0]), abs(ck[k][0])) + 1e-6]
+        assert not bad, bad

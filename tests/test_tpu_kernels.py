@@ -53,3 +53,43 @@ def test_exchange_kernel_ff_matches_fallback(refresh):
         *a, use_kernel=False))(pool_f, pool_p, ff, fp, old, new, r)
     for k, x in zip(out_k, out_x):
         np.testing.assert_array_equal(np.asarray(k), np.asarray(x))
+
+
+def test_scalar_tail_device_matches_interpret():
+    """The Mosaic-lowered scalar-tail kernel must match its interpret-mode
+    run on identical inputs (the interpret path is itself gated against the
+    XLA pipeline in test_pipeline_e2e.TestScalarTailKernel)."""
+    from fl_slam_tpu.config import GCConfig, D_Z
+    from fl_slam_tpu.ops import belief_kernels as bk
+    from fl_slam_tpu.ops import noise as noise_ops
+
+    cfg = GCConfig.tpu()
+    dt = jnp.float32
+    rng = np.random.default_rng(0)
+
+    def spd(n, s=1.0):
+        A = rng.normal(size=(n, n)).astype(np.float32)
+        return jnp.asarray((A @ A.T * s + np.eye(n)).astype(np.float32))
+
+    pn = noise_ops.init_process_noise(cfg.replace(dtype="float32"))
+    mn = noise_ops.init_measurement_noise(cfg.replace(dtype="float32"))
+    d3 = spd(3, .01)
+    args = (spd(22, 10.), jnp.asarray(rng.normal(size=22).astype(np.float32)),
+            jnp.asarray(np.array([1., 2., .3, 1., 0, 0, 0], np.float32)),
+            jnp.asarray(rng.normal(size=22).astype(np.float32) * 0.01),
+            spd(22, 2.), jnp.asarray(rng.normal(size=22).astype(np.float32)),
+            jnp.asarray(rng.normal(size=22).astype(np.float32) * 0.01),
+            spd(22), jnp.asarray(rng.normal(size=22).astype(np.float32)),
+            jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.01),
+            pn.nu.astype(dt), pn.psi.astype(dt), mn.nu.astype(dt),
+            mn.psi.astype(dt), d3, d3, d3)
+    kw = dict(ess_pre=jnp.float32(100.), ot_ess=jnp.float32(50.),
+              ot_cost=jnp.float32(10.), grav_proj=jnp.float32(.001),
+              cond_p6=jnp.float32(5.))
+    dev = jax.jit(lambda *a: bk.scalar_tail(cfg, *a, **kw))(*args)
+    itp = bk.scalar_tail(cfg, *args, **kw, interpret=True)
+    for i, (a, b) in enumerate(zip(dev, itp)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), i
+        d = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert d < 5e-4, (i, d)
