@@ -56,7 +56,7 @@ def _sinc_coeffs(theta, theta_sq):
     """A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3, smooth at 0."""
     small = theta < _EPS
     t2 = theta_sq
-    safe = jnp.where(small, 1.0, theta)
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
     a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(safe) / safe)
     b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe))
     c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (safe - jnp.sin(safe)) / (safe ** 3))
@@ -141,7 +141,8 @@ def _so3_log_impl(R):
     sel = sel * (jnp.cumsum(sel, axis=-1) <= 1.0)            # first max only
     q = jnp.einsum("...p,...pq->...q", sel, qs)              # (..., 4)
     # Half-angle in [0, pi/2]: flip to the w >= 0 representative.
-    q = q * jnp.where(q[..., 0:1] < 0.0, -1.0, 1.0)
+    q = q * jnp.where(q[..., 0:1] < 0.0,
+                      jnp.asarray(-1.0, q.dtype), jnp.asarray(1.0, q.dtype))
 
     w = q[..., 0]
     v = q[..., 1:4]
@@ -149,7 +150,7 @@ def _so3_log_impl(R):
     theta = 2.0 * jnp.arctan2(vn, w)
     # rotvec = theta * v / vn; as vn -> 0 (theta -> 0), theta/vn -> 2/w.
     small = vn < jnp.asarray(1e-6, d)
-    safe_vn = jnp.where(small, 1.0, vn)
+    safe_vn = jnp.where(small, jnp.ones_like(vn), vn)
     scale = jnp.where(small,
                       2.0 / jnp.maximum(w, jnp.asarray(1e-12, d)),
                       theta / safe_vn)
@@ -167,7 +168,7 @@ def so3_V_inv(w):
     """Closed-form inverse of V, stable near 0."""
     theta, theta_sq = _theta(w)
     small = theta < _EPS
-    safe = jnp.where(small, 1.0, theta)
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
     half = safe * 0.5
     cot = half / jnp.tan(half)
     coef = jnp.where(
@@ -273,7 +274,7 @@ def quat_from_rotvec(w):
     small = theta < jnp.asarray(_EPS, d)
     # sin(theta/2)/theta, series 1/2 - theta^2/48 below the branch point.
     s = jnp.where(small, 0.5 - theta_sq / 48.0,
-                  jnp.sin(half) / jnp.where(small, 1.0, theta))
+                  jnp.sin(half) / jnp.where(small, jnp.ones_like(theta), theta))
     return jnp.concatenate([jnp.cos(half)[..., None], s[..., None] * w],
                            axis=-1)
 
@@ -282,13 +283,14 @@ def quat_to_rotvec(q):
     """(..., 4) quaternion [w, x, y, z] -> (..., 3) rotvec; stable at 0 and
     pi (theta = 2 atan2(|v|, w) on the w >= 0 representative)."""
     d = q.dtype
-    q = q * jnp.where(q[..., 0:1] < 0.0, -1.0, 1.0)
+    q = q * jnp.where(q[..., 0:1] < 0.0,
+                      jnp.asarray(-1.0, q.dtype), jnp.asarray(1.0, q.dtype))
     w, v = q[..., 0], q[..., 1:4]
     vn = jnp.linalg.norm(v, axis=-1)
     theta = 2.0 * jnp.arctan2(vn, w)
     small = vn < jnp.asarray(1e-6, d)
     scale = jnp.where(small, 2.0 / jnp.maximum(w, jnp.asarray(1e-12, d)),
-                      theta / jnp.where(small, 1.0, vn))
+                      theta / jnp.where(small, jnp.ones_like(vn), vn))
     return scale[..., None] * v
 
 

@@ -52,8 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fl_slam_tpu.config import (D_Z, GCConfig, IDX_DT, IDX_EX, IDX_POSE,
-                                IDX_VEL)
+from fl_slam_tpu.config import (D_Z, GCConfig, GRAVITY_W, IDX_BA, IDX_DT,
+                                IDX_EX, IDX_POSE, IDX_ROT, IDX_TRANS, IDX_VEL)
 from fl_slam_tpu.core import se3
 
 # Test hook: force the kernel path (interpret mode) on CPU so the full
@@ -531,3 +531,544 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     return (L_fin, h_fin[0], anchor_fin[0], anchor_rec[0], z_drift[0],
             pose7_out[0], pnu_new[0], ppsi_new, mnu_new[0], mpsi_new,
             certs[0])
+
+
+# ===========================================================================
+# Kernel B: predict + IMU/odom evidence (steps 2+6), K=1.
+#
+# The remaining tiny-op tail after the scalar-tail kernel lived in
+# predict_and_evidence (~500 HLOs/scan of SE(3)/small-block algebra). Same
+# treatment: the big-array reductions (preintegration, windows, deskew, the
+# gravity resultant and accel moments over the 512-sample IMU window) stay
+# OUTSIDE as productive XLA ops; everything per-pose/per-block runs in one
+# kernel. Parity mirrors, step for step: ops/predict.py:predict_diffusion,
+# ops/odom.py (all four factors), ops/imu.py (gravity Laplace part,
+# gyro_rotation_evidence, preintegration_factor, accel_bias_evidence,
+# accel_iw_suffstats), ops/priors.py, and the assembly in
+# pipeline._scan_core.predict_and_evidence.
+#
+# Extra Mosaic constraints found for this kernel (probed):
+#   - atan/atan2/arccos have NO lowering -> _atanf (cephes single-precision
+#     polynomial + range reduction, ~1 ulp), _atan2p, _acos;
+#   - so3_log/quat_to_rotvec/pose6_from_pose7 rebuilt on those (_so3_log_s,
+#     _quat_to_rotvec_s — same quaternion/Shepperd route as core/se3.py);
+#   - the n<=8 unrolled scalar Cholesky of core/linalg crashes the layout
+#     pass -> closed-form adjugate 3x3 inverse (_inv3) and the vector _chol
+#     for 6x6/22x22;
+#   - jnp.median/sort (gravity reliability weights) have no lowering ->
+#     that reduction stays outside (imu.gravity_resultant).
+# ===========================================================================
+
+PE_CERT_KEYS = (
+    "predict.psd_projection", "predict.lift", "predict.cond",
+    "predict.cov_trace", "predict.dt", "predict.motion_norm",
+    "predict.effect_predicted", "predict.effect_realized",
+    "odom_pose.nll_proxy", "odom_pose.residual_norm", "odom_pose.lift",
+    "odom_pose.psd_projection",
+    "imu_grav.kappa", "imu_grav.psd_projection", "imu_grav.nll_proxy",
+    "imu_grav.kappa_clamp", "imu_grav.dependence_scale",
+    "imu_gyro.nll_proxy", "imu_gyro.residual_norm",
+    "imu_gyro.psd_projection", "imu_gyro.lift", "imu_gyro.mass_scale",
+    "imu_preint.nll_proxy", "imu_preint.lift", "imu_preint.psd_projection",
+    "imu_preint.r_vel_norm", "imu_preint.r_pos_norm",
+    "imu_ba.residual_norm", "imu_ba.nll_proxy",
+    "planar_z.nll_proxy", "planar_vz.nll_proxy",
+    "odom_vel.nll_proxy", "odom_vel.lift", "odom_vel.psd_projection",
+    "odom_wz.nll_proxy", "odom_wz.residual",
+    "odom_kin.nll_proxy", "odom_kin.lift", "odom_kin.psd_projection",
+    "odom.dependence_scale",
+)
+
+# packed small-input vector layout (see predict_evidence)
+_PK = dict(dt_sec=0, pre_ess=1, dt_int=2, dt_imu=3, grav_rbar=4,
+           transport_sigma=5, pose_prev=slice(6, 12),
+           motion_rot=slice(12, 15), motion_p=slice(15, 18),
+           motion_v=slice(18, 21), omega_avg=slice(21, 24),
+           a_body_mean=slice(24, 27), odom_vel=slice(27, 30),
+           odom_omega=slice(30, 33), odom_pose=slice(33, 39),
+           grav_xbar=slice(39, 42), acc_m1=slice(42, 45), acc_sw=45)
+_PK_LEN = 45
+
+
+def _atanf(x):
+    """Branchless cephes atanf (range-reduced 4-term odd polynomial,
+    ~1 ulp in f32)."""
+    dt = x.dtype
+    sign = jnp.where(x < 0, jnp.asarray(-1.0, dt), jnp.asarray(1.0, dt))
+    x = jnp.abs(x)
+    big = x > 2.414213562373095            # tan(3 pi / 8)
+    mid = (x > 0.4142135623730950) & (~big)  # tan(pi / 8)
+    xb = -1.0 / jnp.maximum(x, jnp.asarray(1e-30, dt))
+    xm = (x - 1.0) / (x + 1.0)
+    z = jnp.where(big, xb, jnp.where(mid, xm, x))
+    zz = z * z
+    y = ((((8.05374449538e-2 * zz - 1.38776856032e-1) * zz
+           + 1.99777106478e-1) * zz - 3.33329491539e-1) * zz * z + z)
+    y = y + jnp.where(big, jnp.asarray(jnp.pi / 2, dt),
+                      jnp.where(mid, jnp.asarray(jnp.pi / 4, dt),
+                                jnp.asarray(0.0, dt)))
+    return sign * y
+
+
+def _atan2p(y, x):
+    """atan2 restricted to the upper half plane (y >= 0) -> [0, pi]."""
+    a = _atanf(y / jnp.maximum(jnp.abs(x), jnp.asarray(1e-30, y.dtype)))
+    return jnp.where(x >= 0, a, jnp.asarray(jnp.pi, y.dtype) - a)
+
+
+def _acos(r):
+    one = jnp.ones_like(r)
+    r = jnp.clip(r, -one, one)
+    return _atan2p(jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0)), r)
+
+
+def _quat_to_rotvec_s(q):
+    """(4,) [w,x,y,z] -> (3,) rotvec; parity: se3.quat_to_rotvec with the
+    atan2 replaced by _atan2p (w >= 0 after the sign flip)."""
+    d = q.dtype
+    q = q * jnp.where(q[0] < 0.0, jnp.asarray(-1.0, d), jnp.asarray(1.0, d))
+    w, v = q[0], q[1:4]
+    vn = jnp.sqrt(jnp.sum(v * v))
+    theta = 2.0 * _atan2p(vn, w)
+    small = vn < jnp.asarray(1e-6, d)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, jnp.asarray(1e-12, d)),
+                      theta / jnp.where(small, jnp.asarray(1.0, d), vn))
+    return scale * v
+
+
+def _quat_from_R_s(R):
+    """Branchless Shepperd extraction (largest-pivot candidate selected by
+    nested wheres; each candidate is 4 q_pivot [qw qx qy qz] so the final
+    normalize recovers the unit quaternion up to sign)."""
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    qw2 = jnp.maximum(1.0 + m00 + m11 + m22, 0.0)
+    qx2 = jnp.maximum(1.0 + m00 - m11 - m22, 0.0)
+    qy2 = jnp.maximum(1.0 - m00 + m11 - m22, 0.0)
+    qz2 = jnp.maximum(1.0 - m00 - m11 + m22, 0.0)
+    cw = jnp.stack([qw2, m21 - m12, m02 - m20, m10 - m01])
+    cx = jnp.stack([m21 - m12, qx2, m01 + m10, m02 + m20])
+    cy = jnp.stack([m02 - m20, m01 + m10, qy2, m12 + m21])
+    cz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, qz2])
+    pw = (qw2 >= qx2) & (qw2 >= qy2) & (qw2 >= qz2)
+    px = (qx2 >= qy2) & (qx2 >= qz2)
+    py = qy2 >= qz2
+    q = jnp.where(pw, cw, jnp.where(px, cx, jnp.where(py, cy, cz)))
+    return q / jnp.sqrt(jnp.maximum(jnp.sum(q * q), 1e-30))
+
+
+def _so3_log_s(R):
+    return _quat_to_rotvec_s(_quat_from_R_s(R))
+
+
+def _pose6_from_pose7_s(p7):
+    return jnp.concatenate([p7[0:3], _quat_to_rotvec_s(p7[3:7])])
+
+
+def _mm3(A, B):
+    """3x3 @ 3x3 via masked reduction (small dot_generals chained with
+    reductions crash Mosaic; see _pe_math notes)."""
+    return jnp.sum(A[:, :, None] * B[None, :, :], axis=1)
+
+
+def _se3_exp_s(xi):
+    """parity: se3.se3_exp with the V-matvec as _mv."""
+    rho, omega = xi[0:3], xi[3:6]
+    return jnp.concatenate([_mv(se3.so3_V(omega), rho), omega])
+
+
+def _se3_log6_s(pose):
+    """parity: se3.se3_log with the V_inv-matvec as _mv."""
+    t, w = pose[0:3], pose[3:6]
+    return jnp.concatenate([_mv(se3.so3_V_inv(w), t), w])
+
+
+def _se3_inverse_s(pose):
+    R = se3.so3_exp(pose[3:6])
+    return jnp.concatenate([-_mv(R.T, pose[0:3]), -pose[3:6]])
+
+
+def _se3_compose_s(a, b):
+    return _pose6_from_pose7_s(se3.pose7_compose(se3.pose7_from_pose6(a),
+                                                 se3.pose7_from_pose6(b)))
+
+
+def _se3_rel_log_s(a, b):
+    """se3_log(se3_relative(a, b)) — parity: ops/odom.py:24."""
+    return _se3_log6_s(_se3_compose_s(_se3_inverse_s(a), b))
+
+
+def _inv3(S, eps_psd, eps_lift):
+    """SPD 3x3 inverse with the psd_guard + lift semantics of the XLA path
+    (sym + eps_psd, then +eps_lift), via the closed-form adjugate (the
+    unrolled scalar Cholesky crashes the Mosaic layout pass)."""
+    dt = S.dtype
+    S = 0.5 * (S + S.T) + jnp.asarray(eps_psd + eps_lift, dt) * _eye(3, dt)
+    a, b, c = S[0, 0], S[0, 1], S[0, 2]
+    d, e, f = S[1, 1], S[1, 2], S[2, 2]
+    A00 = d * f - e * e
+    A01 = c * e - b * f
+    A02 = b * e - c * d
+    A11 = a * f - c * c
+    A12 = b * c - a * e
+    A22 = a * d - b * b
+    det = a * A00 + b * A01 + c * A02
+    inv = jnp.stack([jnp.stack([A00, A01, A02]),
+                     jnp.stack([A01, A11, A12]),
+                     jnp.stack([A02, A12, A22])]) / det
+    return 0.5 * (inv + inv.T)
+
+
+def _eigmin3(A):
+    """Smallest eigenvalue of symmetric 3x3 (Smith 1961, with _acos);
+    parity: core/linalg.eigvalsh3x3 restricted to lambda_min."""
+    dt = A.dtype
+    s = jnp.maximum(jnp.max(jnp.abs(A)), jnp.asarray(1e-30, dt))
+    A = A / s
+    a00, a11, a22 = A[0, 0], A[1, 1], A[2, 2]
+    a01, a02, a12 = A[0, 1], A[0, 2], A[1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-38))
+    c00 = b11 * b22 - a12 * a12
+    c01 = a01 * b22 - a12 * a02
+    c02 = a01 * a12 - b11 * a02
+    detB = b00 * c00 - a01 * c01 + a02 * c02
+    one1 = jnp.ones_like(detB)
+    r = jnp.clip(detB / (2.0 * p * p * p), -one1, one1)
+    phi = _acos(r) / 3.0
+    lam0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam0 = jnp.where(p2 < 1e-30, q, lam0)
+    return lam0 * s
+
+
+def _project_psd3_s(A, eps):
+    """parity: core/linalg.project_psd3 (diagonal lift by max(0,-lam_min)+eps)."""
+    A = 0.5 * (A + A.T)
+    lift = jnp.maximum(0.0, -_eigmin3(A)) + eps
+    return A + lift * _eye(3, A.dtype), lift
+
+
+def _emb_block(s0, d, Lb, hb, dt):
+    """(L22, h22) with one diagonal block installed (pad-based; parity:
+    ops/embed.evidence_from_block — .at[].set lowers to scatter in Mosaic)."""
+    L = jnp.pad(Lb, ((s0, D_Z - s0 - d), (s0, D_Z - s0 - d)))
+    h = jnp.pad(hb, (s0, D_Z - s0 - d))
+    return L, h
+
+
+def _emb_scalar(idx, precision, residual, dt):
+    e = _onehot(D_Z, idx, dt)
+    return precision * _outer(e, e), (precision * residual) * e
+
+
+def _vdot(a, b):
+    return jnp.sum(a * b)
+
+
+def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, Q, sigma_g,
+             sigma_a, odom_cov, acc_M2, pk):
+    """K=1 predict + evidence. ``pk`` is the packed small-input vector
+    (layout ``_PK``). Returns (L_pred, h_pred, mu_pred, L_io, h_io, z_lin,
+    xi_odom, z_lin_pose7, dpsi_accel, certs[len(PE_CERT_KEYS)])."""
+    dt = L_prev.dtype
+    g = lambda k: pk[_PK[k]]
+    dt_sec = g("dt_sec")
+    pose_prev = g("pose_prev")
+    motion_rot, motion_p, motion_v = g("motion_rot"), g("motion_p"), g("motion_v")
+    # scalar-stack (NOT a (3,1)-iota onehot: that yields a SUBLANE-oriented
+    # 3-vector whose relayout against lane vectors crashes Mosaic)
+    zero = jnp.asarray(0.0, dt)
+    gravity_w = jnp.stack([zero, zero, jnp.asarray(
+        cfg.imu_gravity_scale * GRAVITY_W[2], dt)])
+
+    # ---- step 2: mechanized OU predict (ops/predict.py parity) -----------
+    A_prev = _sym_lift(L_prev, cfg.eps_lift)
+    Lc0 = _chol(A_prev)
+    cov_prev = _chol_solve(Lc0, _eye(D_Z, dt))
+    cov_prev = 0.5 * (cov_prev + cov_prev.T)
+    R_anchor = se3.quat_to_R(anchor[3:7])
+    pose_inc = mu_prev[IDX_POSE]
+    vel_w = mu_prev[IDX_VEL]
+    R_s = _mm3(R_anchor, se3.so3_exp(pose_inc[3:6]))
+    trans_body = _mv(R_s.T, vel_w) * dt_sec + motion_p
+    xi_rel = jnp.concatenate([trans_body, motion_rot])
+    pose_inc_new = _se3_log6_s(_se3_compose_s(_se3_exp_s(pose_inc),
+                                               _se3_exp_s(xi_rel)))
+    vel_new = vel_w + _mv(R_s, motion_v)
+    mean_pred = jnp.concatenate([pose_inc_new, vel_new, mu_prev[9:]])
+
+    # F = I with F[trans, vel] = dt R_anchor^T (ops/predict.py:86-88)
+    F = (_eye(D_Z, dt)
+         + jnp.pad(dt_sec * R_anchor.T,
+                   ((IDX_TRANS.start, D_Z - 3), (IDX_VEL.start, D_Z - 9))))
+    cov_prop = F @ cov_prev @ F.T
+    exp_factor = jnp.exp(-2.0 * cfg.ou_lambda * dt_sec)
+    diff_coeff = (1.0 - exp_factor) / (2.0 * cfg.ou_lambda + 1e-300)
+    cov_pred = exp_factor * cov_prop + diff_coeff * Q
+    cov_pred_psd = _sym_lift(cov_pred, cfg.eps_psd)
+    A_cov = _sym_lift(cov_pred_psd, cfg.eps_lift)
+    Lc1 = _chol(A_cov)
+    L_pred = _chol_solve(Lc1, _eye(D_Z, dt))
+    L_pred = _sym_lift(0.5 * (L_pred + L_pred.T), cfg.eps_psd)
+    h_pred = _mv(L_pred, mean_pred)
+
+    # parity: core/linalg.cond_proxy. 2-D keepdims reductions: max/min of a
+    # 1-D vector crash the Mosaic layout pass the same way 1-D sums do.
+    d2 = jnp.sum(L_pred * _eye(D_Z, dt), axis=0, keepdims=True)   # (1, 22)
+    dmax = jnp.max(d2, axis=1, keepdims=True)[0, 0]
+    dmin = jnp.min(d2, axis=1, keepdims=True)[0, 0]
+    cond = (dmax + 1e-12) / (jnp.maximum(dmin, 0.0) + 1e-12)
+    eps_l = jnp.asarray(cfg.eps_lift, dt)
+    c_predict = (jnp.zeros((), dt), eps_l + eps_l, cond, _tr(cov_pred_psd),
+                 dt_sec, _norm(mean_pred - mu_prev),
+                 _norm(xi_rel) + _norm(motion_v), _norm(mean_pred - mu_prev))
+
+
+    pose_pred7 = _pose7_plus(anchor, mean_pred[IDX_POSE])
+    pose_pred = _pose6_from_pose7_s(pose_pred7)
+    vel_pred = mean_pred[IDX_VEL]
+
+    L_io = jnp.zeros((D_Z, D_Z), dt)
+    h_io = jnp.zeros((D_Z,), dt)
+
+    # ---- odom quadratic pose factor (ops/odom.py:14) ---------------------
+    xi_odom = _se3_rel_log_s(pose_pred, g("odom_pose"))
+    cov6 = 0.5 * (odom_cov + odom_cov.T) + cfg.eps_psd * _eye(6, dt)
+    Lc6 = _chol(_sym_lift(cov6, cfg.eps_lift))
+    L_pose6 = _chol_solve(Lc6, _eye(6, dt))
+    L_pose6 = 0.5 * (L_pose6 + L_pose6.T)
+    L1, h1 = _emb_block(0, 6, L_pose6, _mv(L_pose6, xi_odom), dt)
+    L_io = L_io + cfg.odom_pose_weight * L1
+    h_io = h_io + cfg.odom_pose_weight * h1
+    c_odom_pose = (0.5 * _vdot(xi_odom, _mv(L_pose6, xi_odom)),
+                   _norm(xi_odom), eps_l, jnp.zeros((), dt))
+
+
+    # ---- gravity vMF evidence, Laplace part (ops/imu.py:223) -------------
+    R0p = se3.so3_exp(pose_pred[3:6])
+    g_hat = gravity_w / (_norm(gravity_w) + cfg.eps_mass)
+    mu0 = _mv(R0p.T, -g_hat)
+    xbar = g("grav_xbar")
+    rbar = g("grav_rbar")
+    kappa, kappa_clamp = _kappa_from_resultant_s(
+        rbar, cfg.eps_r, cfg.kappa_blend_r0, cfg.kappa_blend_tau, dt)
+    x_dot_mu = _vdot(xbar, mu0)
+    g_rot = -kappa * _cross3(mu0, xbar)
+    H = kappa * (x_dot_mu * _eye(3, dt)
+                 - 0.5 * (_outer(xbar, mu0) + _outer(mu0, xbar)))
+    H_psd, grav_proj = _project_psd3_s(0.5 * (H + H.T), cfg.eps_psd)
+    Lg, hg = _emb_block(IDX_ROT.start, 3, H_psd, -g_rot, dt)
+    ts = g("transport_sigma")
+    s_dep = 1.0 / (1.0 + jnp.maximum(ts, 0.0) ** 2 + cfg.eps_mass)
+    L_io = L_io + s_dep * Lg
+    h_io = h_io + s_dep * hg
+    c_grav = (kappa, grav_proj, -kappa * x_dot_mu, kappa_clamp, s_dep)
+
+
+    # ---- gyro rotation evidence (ops/imu.py:311) --------------------------
+    dt_int = g("dt_int")
+    dt_pos = jnp.maximum(dt_int, 0.0)
+    dt_eff = dt_pos + cfg.eps_mass
+    mass_scale = dt_pos / dt_eff
+    R_start = se3.so3_exp(pose_prev[3:6])
+    R_end_imu = _mm3(R_start, se3.so3_exp(motion_rot))
+    R_end_pred = se3.so3_exp(pose_pred[3:6])
+    r_rot_g = _so3_log_s(_mm3(R_end_pred.T, R_end_imu))
+    L_rot3 = mass_scale * _inv3(sigma_g * dt_eff, cfg.eps_psd, cfg.eps_lift)
+    L2, h2 = _emb_block(IDX_ROT.start, 3, L_rot3, _mv(L_rot3, r_rot_g), dt)
+    w_imu_f = cfg.imu_factor_weight
+    L_io = L_io + w_imu_f * L2
+    h_io = h_io + w_imu_f * h2
+    c_gyro = (0.5 * _vdot(r_rot_g, _mv(L_rot3, r_rot_g)), _norm(r_rot_g),
+              jnp.zeros((), dt), eps_l, mass_scale)
+
+
+    # ---- preintegration velocity/position factor (ops/imu.py:345) --------
+    v_imu = vel_pred + _mv(R_start, motion_v)
+    p_imu = pose_prev[0:3] + vel_pred * dt_int + _mv(R_start, motion_p)
+    r_vel = v_imu - vel_pred
+    r_pos = p_imu - pose_pred[0:3]
+    sigma_ba_pre = 0.1  # preintegration_factor default
+    Sv = sigma_a * dt_eff + (sigma_ba_pre * dt_eff) ** 2 * _eye(3, dt)
+    Sp = (sigma_a * dt_eff ** 3
+          + (0.5 * sigma_ba_pre * dt_eff ** 2) ** 2 * _eye(3, dt))
+    L_v3 = mass_scale * _inv3(Sv, cfg.eps_psd, cfg.eps_lift)
+    L_p3 = mass_scale * _inv3(Sp, cfg.eps_psd, cfg.eps_lift)
+    L3a, h3a = _emb_block(IDX_TRANS.start, 3, L_p3, _mv(L_p3, r_pos), dt)
+    L3b, h3b = _emb_block(IDX_VEL.start, 3, L_v3, _mv(L_v3, r_vel), dt)
+    L_io = L_io + w_imu_f * (L3a + L3b)
+    h_io = h_io + w_imu_f * (h3a + h3b)
+    c_preint = (0.5 * (_vdot(r_vel, _mv(L_v3, r_vel))
+                       + _vdot(r_pos, _mv(L_p3, r_pos))),
+                eps_l + eps_l, jnp.zeros((), dt), _norm(r_vel), _norm(r_pos))
+
+
+    # ---- accel bias evidence (ops/imu.py:276) ------------------------------
+    a_body_exp = _cross3(g("odom_omega"), g("odom_vel"))
+    r_ba = g("a_body_mean") - (-(_mv(R0p.T, gravity_w))) - a_body_exp
+    prec_ba = 1.0 / (cfg.accel_bias_sigma * cfg.accel_bias_sigma)
+    Lb, hb = _emb_block(IDX_BA.start, 3, prec_ba * _eye(3, dt),
+                        prec_ba * r_ba, dt)
+    L_io = L_io + Lb
+    h_io = h_io + hb
+    c_ba = (_norm(r_ba), 0.5 * prec_ba * _vdot(r_ba, r_ba))
+
+    # ---- planar priors (ops/priors.py) -------------------------------------
+    prec_z = 1.0 / (cfg.planar_z_sigma * cfg.planar_z_sigma)
+    r_z = cfg.planar_z_ref - pose_pred[2]
+    L4, h4 = _emb_scalar(IDX_TRANS.start + 2, prec_z, r_z, dt)
+    prec_vz = 1.0 / (cfg.planar_vz_sigma * cfg.planar_vz_sigma)
+    r_vz = -vel_pred[2]
+    L5, h5 = _emb_scalar(IDX_VEL.start + 2, prec_vz, r_vz, dt)
+    L_io = L_io + cfg.planar_weight * (L4 + L5)
+    h_io = h_io + cfg.planar_weight * (h4 + h5)
+    c_planar = (0.5 * r_z * r_z * prec_z, 0.5 * r_vz * r_vz * prec_vz)
+
+
+    # ---- odom twist factors (ops/odom.py:39-101) ---------------------------
+    Rp = R_end_pred
+    r_vel_o = g("odom_vel") - _mv(Rp.T, vel_pred)
+    sig_v = cfg.odom_twist_vel_sigma ** 2 * _eye(3, dt)
+    L3v = _inv3(sig_v, cfg.eps_psd, cfg.eps_lift)
+    L_w = _mm3(_mm3(Rp, L3v), Rp.T)
+    L6, h6 = _emb_block(IDX_VEL.start, 3, L_w, _mv(L_w, _mv(Rp, r_vel_o)), dt)
+    c_vel = (0.5 * _vdot(r_vel_o, _mv(L3v, r_vel_o)), eps_l,
+             jnp.zeros((), dt))
+
+    r_wz = g("odom_omega")[2] - g("omega_avg")[2]
+    prec_wz = 1.0 / (cfg.odom_twist_wz_sigma * cfg.odom_twist_wz_sigma)
+    L7, h7 = _emb_scalar(IDX_ROT.start + 2, prec_wz, r_wz, dt)
+    c_wz = (0.5 * r_wz * r_wz * prec_wz, r_wz)
+
+    R_prev_k = se3.so3_exp(pose_prev[3:6])
+    R_curr_k = se3.so3_exp(pose_pred[3:6])
+    r_trans_k = (_mv(R_prev_k, g("odom_vel")) * dt_sec
+                 - (pose_pred[0:3] - pose_prev[0:3]))
+    r_rot_k = (g("odom_omega") * dt_sec
+               - _so3_log_s(_mm3(R_prev_k.T, R_curr_k)))
+    dt2 = dt_sec * dt_sec + cfg.eps_psd
+    sig_w = cfg.odom_twist_wz_sigma ** 2 * _eye(3, dt)
+    Lt3 = _inv3(dt2 * sig_v, cfg.eps_psd, cfg.eps_lift)
+    Lr3 = _inv3(dt2 * sig_w, cfg.eps_psd, cfg.eps_lift)
+    L8a, h8a = _emb_block(IDX_TRANS.start, 3, Lt3, _mv(Lt3, r_trans_k), dt)
+    L8b, h8b = _emb_block(IDX_ROT.start, 3, Lr3, _mv(Lr3, r_rot_k), dt)
+    c_kin = (0.5 * (_vdot(r_trans_k, _mv(Lt3, r_trans_k))
+                    + _vdot(r_rot_k, _mv(Lr3, r_rot_k))),
+             eps_l + eps_l, jnp.zeros((), dt))
+
+    mag = _norm(r_trans_k) + _norm(r_rot_k)
+    s_odom = (1.0 / (1.0 + mag * mag + cfg.eps_mass)) * cfg.odom_twist_weight
+    w_kin = cfg.odom_kinematic_weight
+    L_io = L_io + s_odom * (L6 + L7 + w_kin * (L8a + L8b))
+    h_io = h_io + s_odom * (h6 + h7 + w_kin * (h8a + h8b))
+
+
+    # absolute chart target + linearization point (pipeline parity)
+    h_io = h_io + _mv(L_io, mean_pred)
+    A_z = _sym_lift(L_pred + L_io, cfg.eps_lift)
+    Lcz = _chol(A_z)
+    z_lin = _chol_solve(Lcz, (h_pred + h_io)[:, None]).T[0, :]
+    z_lin_pose7 = _pose7_plus(anchor, z_lin[IDX_POSE])
+
+
+    # accel-noise IW suffstats at the predicted rotation (ops/imu.py:418)
+    f_pred = -(_mv(R0p.T, gravity_w))
+    m1 = g("acc_m1")
+    # rrT = sum_m w_m (x_m - f)(x_m - f)^T assembled from the
+    # pose-independent moments (M2, m1, sw) computed outside the kernel;
+    # algebraically identical to ops/imu.accel_iw_suffstats.
+    rrT = (acc_M2 - _outer(f_pred, m1) - _outer(m1, f_pred)
+           + g("acc_sw") * _outer(f_pred, f_pred))
+    rrT = 0.5 * (rrT + rrT.T) + cfg.eps_psd * _eye(3, dt)
+    dpsi_accel = rrT * jnp.maximum(g("dt_imu"), 1e-12)
+
+    certs = jnp.stack(list(c_predict) + list(c_odom_pose) + list(c_grav)
+                      + list(c_gyro) + list(c_preint) + list(c_ba)
+                      + list(c_planar) + list(c_vel) + list(c_wz)
+                      + list(c_kin) + [s_odom])
+    return (L_pred, h_pred, mean_pred, L_io, h_io, z_lin, xi_odom,
+            z_lin_pose7, dpsi_accel, certs)
+
+
+def _kappa_from_resultant_s(R_bar, eps_r, r0, tau, dt):
+    """parity: core/vmf.kappa_from_resultant (d=3)."""
+    R = jnp.clip(R_bar, jnp.zeros_like(R_bar),
+                 jnp.asarray(1.0 - eps_r, dt) * jnp.ones_like(R_bar))
+    clamp_delta = jnp.abs(R_bar - R)
+    R2 = R * R
+    k_low = (R * (3.0 - R2)) / (1.0 - R2 + eps_r)
+    k_high = -jnp.log(jnp.maximum(1.0 - R2, eps_r))
+    s = jax.nn.sigmoid((R - r0) / max(float(tau), 1e-6))
+    return (1.0 - s) * k_low + s * k_high, clamp_delta
+
+
+def _pe_kernel_body(cfg: GCConfig, L_prev_ref, h_prev_ref, anchor_ref,
+                    mu_prev_ref, Q_ref, sg_ref, sa_ref, cov_ref, M2_ref,
+                    pk_ref, Lp_out, hp_out, mup_out, Lio_out, hio_out,
+                    zlin_out, small_out, dpsi_out, certs_out):
+    (L_pred, h_pred, mean_pred, L_io, h_io, z_lin, xi_odom, z_lin_pose7,
+     dpsi_accel, certs) = _pe_math(
+        cfg, L_prev_ref[:], h_prev_ref[0, :], anchor_ref[0, :],
+        mu_prev_ref[0, :], Q_ref[:], sg_ref[:], sa_ref[:], cov_ref[:],
+        M2_ref[:], pk_ref[0, :])
+    Lp_out[:] = L_pred
+    hp_out[0, :] = h_pred
+    mup_out[0, :] = mean_pred
+    Lio_out[:] = L_io
+    hio_out[0, :] = h_io
+    zlin_out[0, :] = z_lin
+    small_out[0, :] = jnp.concatenate([xi_odom, z_lin_pose7])
+    dpsi_out[:] = dpsi_accel
+    certs_out[0, :] = certs
+
+
+def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, Q,
+                     sigma_g, sigma_a, odom_cov, acc_M2, *, dt_sec, pre_ess,
+                     dt_int, dt_imu, grav_rbar, transport_sigma, pose_prev,
+                     motion_rot, motion_p, motion_v, omega_avg, a_body_mean,
+                     odom_vel, odom_omega, odom_pose, grav_xbar, acc_m1,
+                     acc_sw, interpret: bool | None = None):
+    """Run predict + evidence (K=1) as ONE kernel.
+
+    Returns (L_pred, h_pred, mu_pred, L_io, h_io, z_lin, xi_odom,
+    z_lin_pose7, dpsi_accel, certs_vec[len(PE_CERT_KEYS)]).
+    """
+    dt = L_prev.dtype
+    if interpret is None:
+        interpret = FORCE_INTERPRET and jax.default_backend() != "tpu"
+    pk = jnp.concatenate([
+        jnp.stack([dt_sec, pre_ess, dt_int, dt_imu, grav_rbar,
+                   transport_sigma]).astype(dt),
+        pose_prev, motion_rot, motion_p, motion_v, omega_avg, a_body_mean,
+        odom_vel, odom_omega, odom_pose, grav_xbar, acc_m1,
+        jnp.stack([acc_sw]).astype(dt)])[None, :]
+    assert pk.shape[1] == _PK_LEN + 1, pk.shape
+    v = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n = D_Z
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, n), dt),      # L_pred
+        jax.ShapeDtypeStruct((1, n), dt),      # h_pred
+        jax.ShapeDtypeStruct((1, n), dt),      # mu_pred
+        jax.ShapeDtypeStruct((n, n), dt),      # L_io
+        jax.ShapeDtypeStruct((1, n), dt),      # h_io
+        jax.ShapeDtypeStruct((1, n), dt),      # z_lin
+        jax.ShapeDtypeStruct((1, 13), dt),     # [xi_odom(6), z_lin_pose7(7)]
+        jax.ShapeDtypeStruct((3, 3), dt),      # dpsi_accel
+        jax.ShapeDtypeStruct((1, len(PE_CERT_KEYS)), dt),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_pe_kernel_body, cfg),
+        out_shape=out_shapes,
+        in_specs=[v] * 10,
+        out_specs=tuple([v] * len(out_shapes)),
+        interpret=interpret,
+    )(L_prev, h_prev[None, :], anchor[None, :], mu_prev[None, :], Q,
+      sigma_g, sigma_a, odom_cov, acc_M2, pk)
+    (L_pred, h_pred, mu_pred, L_io, h_io, z_lin, small, dpsi_accel,
+     certs) = outs
+    return (L_pred, h_pred[0], mu_pred[0], L_io, h_io[0], z_lin[0],
+            small[0, 0:6], small[0, 6:13], dpsi_accel, certs[0])

@@ -220,6 +220,43 @@ def reliability_weights(e_mag, eps_mass: float):
     return jnp.exp(-0.5 * (e_mag / sigma) ** 2), sigma
 
 
+def gravity_resultant(accel, gyro, weights, accel_bias, dt_imu,
+                      eps_mass: float):
+    """Pose-INDEPENDENT half of the gravity vMF evidence: the transport-
+    consistency-weighted resultant over the IMU window (the big (M, 3)
+    reductions, including the sort-based MAD that has no Mosaic lowering).
+    Split out so the TPU predict+evidence kernel can consume the reduced
+    quantities (ops/belief_kernels._pe_math) while the XLA path composes
+    this with ``gravity_laplace_part`` bit-identically."""
+    a_corr = accel - accel_bias
+    e_mag = transport_consistency(a_corr, gyro, dt_imu, eps_mass)
+    rel, transport_sigma = reliability_weights(e_mag, eps_mass)
+
+    w = weights * rel
+    ess_w = jnp.sum(w)
+    ess_raw = jnp.sum(weights)
+    n = jnp.linalg.norm(a_corr, axis=-1, keepdims=True)
+    x = a_corr / (n + eps_mass)
+    S = jnp.sum(w[:, None] * x, axis=0)
+    S_norm = jnp.linalg.norm(S)
+    xbar = S / (S_norm + eps_mass)
+    rbar = S_norm / (ess_w + eps_mass)
+    return {"xbar": xbar, "rbar": rbar, "ess_w": ess_w, "ess_raw": ess_raw,
+            "transport_sigma": transport_sigma, "rel_mean": jnp.mean(rel)}
+
+
+def accel_moments(accel, weights, accel_bias, eps_mass: float):
+    """Pose-independent moments of the debiased specific force for the
+    accel-noise IW suffstats (sum-normalized weights): (M2, m1, sw) with
+    rrT = M2 - f m1^T - m1 f^T + sw f f^T == accel_iw_suffstats' weighted
+    outer product at any predicted gravity reaction f."""
+    w = weights / (jnp.sum(weights) + eps_mass)
+    x = accel - accel_bias
+    M2 = jnp.einsum("m,mi,mj->ij", w, x, x)
+    m1 = jnp.einsum("m,mi->i", w, x)
+    return M2, m1, jnp.sum(w)
+
+
 def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
                          dt_imu, *, eps_psd: float, eps_mass: float,
                          eps_r: float, blend_r0: float, blend_tau: float):
@@ -236,19 +273,11 @@ def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
     g_hat = gravity_w / (jnp.linalg.norm(gravity_w) + eps_mass)
     mu0 = R0.T @ (-g_hat)
 
-    a_corr = accel - accel_bias
-    e_mag = transport_consistency(a_corr, gyro, dt_imu, eps_mass)
-    rel, transport_sigma = reliability_weights(e_mag, eps_mass)
-
-    w = weights * rel
-    ess_w = jnp.sum(w)
-    ess_raw = jnp.sum(weights)
-    n = jnp.linalg.norm(a_corr, axis=-1, keepdims=True)
-    x = a_corr / (n + eps_mass)
-    S = jnp.sum(w[:, None] * x, axis=0)
-    S_norm = jnp.linalg.norm(S)
-    xbar = S / (S_norm + eps_mass)
-    rbar = S_norm / (ess_w + eps_mass)
+    res = gravity_resultant(accel, gyro, weights, accel_bias, dt_imu,
+                            eps_mass)
+    xbar, rbar = res["xbar"], res["rbar"]
+    ess_w, ess_raw = res["ess_w"], res["ess_raw"]
+    transport_sigma = res["transport_sigma"]
 
     kappa, kappa_clamp = kappa_from_resultant(rbar, eps_r, blend_r0, blend_tau)
     x_dot_mu = xbar @ mu0
@@ -263,7 +292,7 @@ def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
         "imu_grav.kappa": kappa,
         "imu_grav.rbar": rbar,
         "imu_grav.ess": ess_w,
-        "imu_grav.reliability_mean": jnp.mean(rel),
+        "imu_grav.reliability_mean": res["rel_mean"],
         "imu_grav.transport_sigma": transport_sigma,
         "imu_grav.psd_projection": proj,
         "imu_grav.nll_proxy": -kappa * x_dot_mu,

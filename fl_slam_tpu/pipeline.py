@@ -567,20 +567,58 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
                                     belief_pred.h + h_io, cfg.eps_lift)
         return belief_pred, mu_pred, L_io, h_io, z_lin, dz_odom, k_certs
 
-    (beliefs_pred, mu_pred_k, L_io_k, h_io_k, z_lin_k, dz_odom_k,
-     certsA) = jax.vmap(predict_and_evidence)(state.belief, mu_prev_k)
-    certs.update(jax.tree.map(lambda a: a[0], certsA))
+    if belief_kernels.use_scalar_tail_kernel(cfg):
+        # Kernel B (ops/belief_kernels.predict_evidence): the whole per-pose
+        # predict + evidence chain as ONE Pallas kernel. Only the big-array
+        # reductions stay out here (the gravity resultant's sort-based MAD
+        # has no Mosaic lowering; the accel moments are plain big reduces).
+        grav = imu_ops.gravity_resultant(scan.imu_accel, scan.imu_gyro,
+                                         w_int, accel_bias, dt_imu,
+                                         cfg.eps_mass)
+        acc_M2, acc_m1, acc_sw = imu_ops.accel_moments(
+            scan.imu_accel, w_int, accel_bias, cfg.eps_mass)
+        bel0_prev = jax.tree.map(lambda a: a[0], state.belief)
+        (L_pred0, h_pred0, mu_pred0, L_io0, h_io0, z_lin0, xi_odom0,
+         z_lin_pose, dpsi_accel, kcertB) = belief_kernels.predict_evidence(
+            cfg, bel0_prev.L, bel0_prev.h, bel0_prev.anchor, mu_prev0, Q,
+            sigma_g, sigma_a, scan.odom_cov, acc_M2, dt_sec=dt_sec,
+            pre_ess=pre_int["ess"], dt_int=dt_int, dt_imu=dt_imu,
+            grav_rbar=grav["rbar"], transport_sigma=grav["transport_sigma"],
+            pose_prev=pose_prev0, motion_rot=motion.delta_rotvec,
+            motion_p=motion.delta_p_body, motion_v=motion.delta_v_body,
+            omega_avg=omega_avg, a_body_mean=pre_int["a_body_mean"],
+            odom_vel=scan.odom_vel_body, odom_omega=scan.odom_omega_body,
+            odom_pose=scan.odom_pose, grav_xbar=grav["xbar"],
+            acc_m1=acc_m1, acc_sw=acc_sw)
+        certs.update({k: kcertB[i]
+                      for i, k in enumerate(belief_kernels.PE_CERT_KEYS)})
+        certs["imu_grav.rbar"] = grav["rbar"]
+        certs["imu_grav.ess"] = grav["ess_w"]
+        certs["imu_grav.reliability_mean"] = grav["rel_mean"]
+        certs["imu_grav.transport_sigma"] = grav["transport_sigma"]
+        certs["imu_grav.ess_ratio"] = grav["ess_w"] / (grav["ess_raw"]
+                                                       + cfg.eps_mass)
+        bel0_pred = Belief(L=L_pred0, h=h_pred0, anchor=bel0_prev.anchor)
+        beliefs_pred = jax.tree.map(lambda a: a[None], bel0_pred)
+        mu_pred_k = mu_pred0[None]
+        L_io_k, h_io_k, z_lin_k = L_io0[None], h_io0[None], z_lin0[None]
+        dz_odom_k = jnp.zeros((1, D_Z), dtype=dt).at[0, IDX_POSE].set(
+            xi_odom0)
+    else:
+        (beliefs_pred, mu_pred_k, L_io_k, h_io_k, z_lin_k, dz_odom_k,
+         certsA) = jax.vmap(predict_and_evidence)(state.belief, mu_prev_k)
+        certs.update(jax.tree.map(lambda a: a[0], certsA))
 
-    bel0_pred = jax.tree.map(lambda a: a[0], beliefs_pred)
-    z_lin0 = z_lin_k[0]
-    z_lin_pose = se3.pose7_plus(bel0_pred.anchor, z_lin0[IDX_POSE])
+        bel0_pred = jax.tree.map(lambda a: a[0], beliefs_pred)
+        z_lin0 = z_lin_k[0]
+        z_lin_pose = se3.pose7_plus(bel0_pred.anchor, z_lin0[IDX_POSE])
 
-    # accel IW suffstats at the hyp-0 predicted rotation
-    dpsi_accel = imu_ops.accel_iw_suffstats(
-        world_pose_from_increment(bel0_pred, mu_pred_k[0])[3:6],
-        scan.imu_accel, w_int,
-        accel_bias, gravity_w, dt_imu, eps_mass=cfg.eps_mass,
-        eps_psd=cfg.eps_psd)
+        # accel IW suffstats at the hyp-0 predicted rotation
+        dpsi_accel = imu_ops.accel_iw_suffstats(
+            world_pose_from_increment(bel0_pred, mu_pred_k[0])[3:6],
+            scan.imu_accel, w_int,
+            accel_bias, gravity_w, dt_imu, eps_mass=cfg.eps_mass,
+            eps_psd=cfg.eps_psd)
 
     # ---- step 7 (shared): map branch ------------------------------------------
     surf, c = surfel_ops.extract_surfels(points_dsk, w_dsk, cfg)

@@ -93,3 +93,46 @@ def test_scalar_tail_device_matches_interpret():
         assert np.isfinite(a).all(), i
         d = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
         assert d < 5e-4, (i, d)
+
+
+def test_predict_evidence_device_matches_interpret():
+    """Kernel B (predict + evidence) Mosaic lowering vs interpret mode on
+    identical inputs (the interpret path is gated against the XLA pipeline
+    by test_pipeline_e2e.TestScalarTailKernel, which toggles both kernels)."""
+    from fl_slam_tpu.config import GCConfig
+    from fl_slam_tpu.ops import belief_kernels as bk
+
+    cfg = GCConfig.tpu()
+    dt = jnp.float32
+    rng = np.random.default_rng(0)
+
+    def spd(n, s=1.0):
+        A = rng.normal(size=(n, n)).astype(np.float32)
+        return jnp.asarray((A @ A.T * s + np.eye(n)).astype(np.float32))
+
+    v3 = lambda s=1.0: jnp.asarray(rng.normal(size=3).astype(np.float32) * s)
+    kw = dict(dt_sec=jnp.float32(0.1), pre_ess=jnp.float32(100.),
+              dt_int=jnp.float32(0.1), dt_imu=jnp.float32(0.005),
+              grav_rbar=jnp.float32(0.95), transport_sigma=jnp.float32(0.05),
+              pose_prev=jnp.asarray(
+                  rng.normal(size=6).astype(np.float32) * 0.1),
+              motion_rot=v3(0.01), motion_p=v3(0.01), motion_v=v3(0.01),
+              omega_avg=v3(0.1),
+              a_body_mean=v3(0.1) + jnp.asarray([0, 0, 9.8], dt),
+              odom_vel=v3(0.5), odom_omega=v3(0.1),
+              odom_pose=jnp.asarray(
+                  rng.normal(size=6).astype(np.float32) * 0.1),
+              grav_xbar=jnp.asarray([0.05, 0.02, 0.99], dt) / 0.9925,
+              acc_m1=v3(0.1) + jnp.asarray([0, 0, 9.8], dt),
+              acc_sw=jnp.float32(0.999))
+    args = (spd(22, 10.), jnp.asarray(rng.normal(size=22).astype(np.float32)),
+            jnp.asarray(np.array([1., 2., .3, 1., 0, 0, 0], np.float32)),
+            jnp.asarray(rng.normal(size=22).astype(np.float32) * 0.01),
+            spd(22, .01), spd(3, .001), spd(3, .01), spd(6, .01), spd(3, .1))
+    dev = jax.jit(lambda *a: bk.predict_evidence(cfg, *a, **kw))(*args)
+    itp = bk.predict_evidence(cfg, *args, **kw, interpret=True)
+    for i, (a, b) in enumerate(zip(dev, itp)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), i
+        d = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert d < 1e-3, (i, d)
