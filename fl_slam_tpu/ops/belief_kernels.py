@@ -77,6 +77,13 @@ CERT_KEYS = (
     "iw_process.effect_realized", "iw_meas.psd_projection",
 )
 
+# Packed-cert registry: the kernel cert VECTORS ride the per-scan certs dict
+# under these keys (pipeline.replay splices them into the packed (T, C)
+# output directly — re-slicing ~70 scalars per scan just for pack() to
+# re-stack them cost ~40 us/scan of pure dispatch). replay's unpack expands
+# them back to one dict entry per name below.
+PACKED_CERT_GROUPS = {}  # filled after PE_CERT_KEYS is defined
+
 _IW_DIMS = (3, 3, 3, 3, 3, 1, 6)
 _IW_STARTS = (0, 3, 6, 9, 12, 15, 16)
 
@@ -1072,3 +1079,7 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, Q,
      certs) = outs
     return (L_pred, h_pred[0], mu_pred[0], L_io, h_io[0], z_lin[0],
             small[0, 0:6], small[0, 6:13], dpsi_accel, certs[0])
+
+
+PACKED_CERT_GROUPS["__packed__:tail"] = CERT_KEYS
+PACKED_CERT_GROUPS["__packed__:pe"] = PE_CERT_KEYS

@@ -590,8 +590,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
             odom_vel=scan.odom_vel_body, odom_omega=scan.odom_omega_body,
             odom_pose=scan.odom_pose, grav_xbar=grav["xbar"],
             acc_m1=acc_m1, acc_sw=acc_sw)
-        certs.update({k: kcertB[i]
-                      for i, k in enumerate(belief_kernels.PE_CERT_KEYS)})
+        certs["__packed__:pe"] = kcertB    # spliced by replay's pack()
         certs["imu_grav.rbar"] = grav["rbar"]
         certs["imu_grav.ess"] = grav["ess_w"]
         certs["imu_grav.reliability_mean"] = grav["rel_mean"]
@@ -697,10 +696,10 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
             state.process_noise.psi, state.meas_noise.nu,
             state.meas_noise.psi, dpsi_gyro, dpsi_accel, dpsi_lidar,
             pre_int["ess"], ot_ess, ot_cost,
-            certs["imu_grav.psd_projection"], cond_p6)
+            certs["__packed__:pe"][belief_kernels.PE_CERT_KEYS.index(
+                "imu_grav.psd_projection")], cond_p6)
         certs["fusion.cond_pose6"] = cond_p6
-        certs.update({k: kcert[i]
-                      for i, k in enumerate(belief_kernels.CERT_KEYS)})
+        certs["__packed__:tail"] = kcert   # spliced by replay's pack()
         # needs quat_to_rotvec (arctan2): ~10 ops, kept outside the kernel
         certs["anchor.effect_realized"] = jnp.linalg.norm(
             se3.pose7_minus(anchor_fin, anchor_rec))
@@ -943,12 +942,21 @@ def replay(state: PipelineState, scans: ScanInput, cfg: GCConfig):
     keys_box: list = []
 
     def pack(out):
-        keys = sorted(out.certs)
+        # Kernel cert VECTORS (``__packed__:*``) are spliced verbatim; only
+        # genuine scalars are stacked. The unpack below expands the packed
+        # groups to their registered names, so consumers see dict-of-(T,)
+        # either way (see belief_kernels.PACKED_CERT_GROUPS).
+        pk = sorted(k for k in out.certs if k.startswith("__packed__:"))
+        sk = sorted(k for k in out.certs if not k.startswith("__packed__:"))
         if not keys_box:
-            keys_box.append(keys)
-        vec = jnp.stack([jnp.asarray(out.certs[k], dtype=cfg.jdtype)
-                         for k in keys])
-        return out._replace(certs=vec)
+            names = list(sk)
+            for k in pk:
+                names.extend(belief_kernels.PACKED_CERT_GROUPS[k])
+            keys_box.append(names)
+        parts = [jnp.stack([jnp.asarray(out.certs[k], dtype=cfg.jdtype)
+                            for k in sk])]
+        parts += [out.certs[k].astype(cfg.jdtype) for k in pk]
+        return out._replace(certs=jnp.concatenate(parts))
 
     if R == 1:
         def step(carry, scan):
