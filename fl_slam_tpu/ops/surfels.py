@@ -147,18 +147,23 @@ def extract_surfels(points_p, weights, cfg: GCConfig, *,
     if pad > 0:
         order = jnp.pad(order, (0, pad))
 
-    # Boundary densification at budget size only (S = 1024): gather the
-    # selected plane columns, then pack to the (S, 3, 3) batch schema.
-    sel = lambda planes: planes[:, order]                    # (k, S)
-    pos_sel = (sel(cen) + center[:, None]).T                 # (S, 3) body frame
-    lam6_sel = sel(jnp.concatenate([Lam6_reg, normal], axis=0))
-    Lam_sel = sym6_to_mat33(lam6_sel[0:6].T)                 # (S, 3, 3)
+    # Boundary densification at budget size only (S = 1024): ONE gather of
+    # ALL per-cell output planes packed as rows (cen 3 | Lam6 6 | normal 3 |
+    # kappa | sw | valid = 15 rows). Separate per-field gathers each cost
+    # their own ~8 ns/column pass + op-sequencing slot (measured ~28 us/scan
+    # across five gathers); the packed form is one pass.
+    allp = jnp.concatenate([
+        cen, Lam6_reg, normal, kappa[None], sw[None],
+        valid_cell.astype(dt)[None]], axis=0)                # (15, C)
+    g = allp[:, order]                                       # (15, S)
+    pos_sel = (g[0:3] + center[:, None]).T                   # (S, 3) body frame
+    Lam_sel = sym6_to_mat33(g[3:9].T)                        # (S, 3, 3)
     # theta in the BODY frame (position with the scan center restored).
     theta_sel = jnp.einsum("sij,sj->si", Lam_sel, pos_sel)
-    nrm_sel = lam6_sel[6:9].T
-    kap_sel = kappa[order]
-    w_sel = sw[order]
-    val_sel = valid_cell[order]
+    nrm_sel = g[9:12].T
+    kap_sel = g[12]
+    w_sel = g[13]
+    val_sel = g[14] > 0.5
     if pad > 0:
         row = jnp.arange(S) < (S - pad)
         val_sel = val_sel & row

@@ -991,15 +991,17 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
                        == resident_pages[None, None, :], axis=-1)
         score = jnp.where(excl, jnp.inf, score)
         tgt_page = jnp.argmin(score, axis=1)                 # (S,)
-        # Per-slot retention WITHIN the target page only: gather the page's
-        # w/ls/valid rows ((S, P) each) instead of materializing full-slab
-        # retention.
+        # Per-slot retention WITHIN the target page only: ONE column gather of
+        # the target pages (all CF rows ride the same ~per-column pass), then
+        # row slices — three separate single-row gathers each paid their own
+        # column pass (~16 us/scan measured).
         cols = (jnp.arange(S, dtype=jnp.int32)[:, None] * M
                 + tgt_page[:, None] * P
                 + jnp.arange(P, dtype=jnp.int32)[None, :])   # (S, P)
-        w_in = ff[o + _ROW_W][cols.reshape(-1)].reshape(S, P)
-        ls_in = ff[o + _ROW_LS][cols.reshape(-1)].reshape(S, P)
-        v_in = ff[o + _ROW_V][cols.reshape(-1)].reshape(S, P) > 0.5
+        page = ff[:, cols.reshape(-1)]                       # (CF, S*P)
+        w_in = page[o + _ROW_W].reshape(S, P)
+        ls_in = page[o + _ROW_LS].reshape(S, P)
+        v_in = page[o + _ROW_V].reshape(S, P) > 0.5
         ret_in = jnp.where(
             v_in, w_in * jnp.exp(-cfg.recency_decay_lambda
                                  * jnp.maximum(seqf - ls_in, 0.0)), -1.0)
