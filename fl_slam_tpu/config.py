@@ -334,6 +334,14 @@ class GCConfig:
     # dispatch-floor HLOs/scan). TPU-only (auto-falls back elsewhere);
     # same vmap caveat as slab_dma_kernel.
     sinkhorn_kernel: bool = True
+    # Fuse the candidate SELECTION (proxy cost + top-k) into one Pallas
+    # kernel (ops/assoc_kernels.select_candidates): the cost is bilinear in
+    # meas/candidate features, so it runs as one (128, 16) @ (16, 128) MXU
+    # dot per lane chunk entirely in VMEM — the XLA path materializes two
+    # (N, V) matrices in HBM plus a bucket sort (~125 us/scan attributed).
+    # TPU-only with N, V multiples of 128 (auto-falls back elsewhere);
+    # same vmap caveat as slab_dma_kernel.
+    select_kernel: bool = False
     # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
     # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;
     # K>1/MHT and CPU use the XLA reference path. Same vmap caveat.

@@ -77,14 +77,31 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     eps = cfg.ot_epsilon
     K = cfg.k_assoc
 
+    eta_m = meas_kappa[:, None] * meas_dir                      # (N, 3)
+    eig_min = 1e-12
+    A_k1 = _log_sinh_ratio(jnp.maximum(meas_kappa, eig_min), eig_min)[:, None]
+
+    use_sel_k = assoc_kernels.use_select_kernel(
+        cfg.select_kernel, meas_pos.shape[0], view.packed.shape[0], K)
+    if use_sel_k:
+        # Fused Pallas selection: proxy cost (same formula as the
+        # select_bf16 branch, f32) + top-K in one kernel; the dense (N, V)
+        # matrices below never materialize. Selected candidates are
+        # re-scored exactly from the packed rows either way.
+        k_eff = min(K, view.packed.shape[0])
+        neg_cost, cand_view_idx = assoc_kernels.select_candidates(
+            meas_pos, meas_dir, meas_kappa, view.packed, scan_seq,
+            k=k_eff, cost_beta=float(COST_BETA),
+            recency_scale=float(eps * cfg.recency_decay_lambda))
+        return _finish_associate(
+            meas_pos, meas_kappa, meas_valid, meas_weights, view, scan_seq,
+            cfg, neg_cost, cand_view_idx, eta_m, A_k1, proxy_sel=True)
+
     # ---- dense cost over the view (MXU matmuls) ---------------------------
     x2 = jnp.sum(meas_pos * meas_pos, axis=-1)[:, None]
     m2 = jnp.sum(view.positions * view.positions, axis=-1)[None, :]
     d_pos = x2 + m2 - 2.0 * meas_pos @ view.positions.T        # (N, V)
 
-    eta_m = meas_kappa[:, None] * meas_dir                      # (N, 3)
-    eig_min = 1e-12
-    A_k1 = _log_sinh_ratio(jnp.maximum(meas_kappa, eig_min), eig_min)[:, None]
     dir_ok = (meas_kappa[:, None] > 0.0) & (view.kappas[None, :] > 0.0)
     if cfg.select_bf16:
         # SELECTION-pass direction term: cosine proxy 0.5 (1 - mu_m . mu_v)
@@ -125,6 +142,24 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     C_score = C_full.astype(jnp.bfloat16) if cfg.select_bf16 else C_full
     neg_cost, cand_view_idx = top_k_maybe_approx(-C_score, k_eff,
                                                  cfg.approx_topk)
+    return _finish_associate(
+        meas_pos, meas_kappa, meas_valid, meas_weights, view, scan_seq, cfg,
+        neg_cost, cand_view_idx, eta_m, A_k1, proxy_sel=cfg.select_bf16)
+
+
+def _finish_associate(meas_pos, meas_kappa, meas_valid, meas_weights, view,
+                      scan_seq, cfg: GCConfig, neg_cost, cand_view_idx,
+                      eta_m, A_k1, *, proxy_sel: bool):
+    """Candidate gather + exact re-score + unbalanced Sinkhorn, shared by the
+    dense-XLA and fused-Pallas selection paths. ``proxy_sel``: the selection
+    scores were a proxy (bf16 matrix or the kernel's cosine cost) — recompute
+    exact f32 costs of the selected candidates from the packed rows."""
+    dt = meas_pos.dtype
+    eps = cfg.ot_epsilon
+    K = cfg.k_assoc
+    eig_min = 1e-12
+    seq = jnp.asarray(scan_seq, dtype=jnp.int32)
+    k_eff = neg_cost.shape[1]
     if k_eff < K:
         neg_cost = jnp.pad(neg_cost, ((0, 0), (0, K - k_eff)),
                            constant_values=jnp.asarray(
@@ -134,7 +169,7 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     # ONE gather of all per-candidate fields (see MapView.packed).
     N = meas_pos.shape[0]
     cand_packed = view.packed[cand_view_idx.reshape(-1)].reshape(N, K, -1)
-    if cfg.select_bf16:
+    if proxy_sel:
         # Exact selected-candidate costs from the packed fields (same formula
         # as the dense pass, on (N, K)).
         cp = cand_packed[..., 0:3]

@@ -380,3 +380,54 @@ def test_planar_priors():
     Lv, hv, _ = priors.velocity_z_prior(jnp.asarray(0.2, F64), 0.01, F64)
     np.testing.assert_allclose(float(Lv[8, 8]), 10000.0, rtol=1e-12)
     np.testing.assert_allclose(float(hv[8]), -2000.0, rtol=1e-12)
+
+
+def test_select_kernel_interpret_matches_exact_topk():
+    """The fused Pallas candidate-selection kernel (interpret mode) must
+    recover the exact proxy top-k (recall >= the two-stage selection it
+    replaces) and return exact -cost values at the returned indices.
+    Production shapes: V/128 = 56 chunks, top-2 each -> misses need >= 3 of
+    the true top-8 in one chunk (~0.5% of rows on random data)."""
+    from fl_slam_tpu.ops import assoc_kernels
+
+    N, V, k = 128, 1536, 8
+    beta, rec_s, seq = 4.0, 0.002, 60
+    rng = np.random.default_rng(0)
+    mp = rng.normal(size=(N, 3)).astype(np.float32) * 5
+    md = rng.normal(size=(N, 3)).astype(np.float32)
+    md /= np.linalg.norm(md, axis=1, keepdims=True)
+    mk = np.abs(rng.normal(size=N)).astype(np.float32)
+    mk[::7] = 0.0
+    packed = np.zeros((V, 17), np.float32)
+    packed[:, 0:3] = rng.normal(size=(V, 3)) * 5
+    d = rng.normal(size=(V, 3))
+    packed[:, 3:6] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    packed[:, 6] = np.abs(rng.normal(size=V))
+    packed[::5, 6] = 0.0
+    packed[:, 14] = (rng.random(V) > 0.1).astype(np.float32)
+    packed[:, 15] = rng.integers(0, 50, V)
+
+    vals, idx = assoc_kernels.select_candidates(
+        jnp.asarray(mp), jnp.asarray(md), jnp.asarray(mk),
+        jnp.asarray(packed), jnp.asarray(seq, jnp.int32),
+        k=k, cost_beta=beta, recency_scale=rec_s, interpret=True)
+
+    x2 = (mp ** 2).sum(1)[:, None]
+    m2 = (packed[:, 0:3] ** 2).sum(1)[None, :]
+    d_pos = x2 + m2 - 2.0 * mp @ packed[:, 0:3].T
+    ok = (mk[:, None] > 0) & (packed[None, :, 6] > 0)
+    d_dir = np.where(ok, 0.5 * (1.0 - md @ packed[:, 3:6].T), 0.0)
+    rec = rec_s * np.maximum(seq - packed[:, 15], 0.0)[None, :]
+    C = (d_pos + beta * d_dir + rec
+         + np.where(packed[:, 14] > 0.5, 0.0, 1e6)[None, :])
+    order = np.argsort(C, axis=1, kind="stable")[:, :k]
+
+    iv, vv = np.asarray(idx), np.asarray(vals)
+    recall = np.mean([len(set(iv[i]) & set(order[i])) / k for i in range(N)])
+    # V=1536 -> 12 chunks here (test-size density); production V=7168 -> 56
+    # chunks measures 0.995. Bound at the two-stage selection's ~0.95.
+    assert recall >= 0.95, recall
+    # scores descending, exact at the returned indices
+    assert (np.diff(vv, axis=1) <= 1e-6).all()
+    err = np.abs(vv + np.take_along_axis(C, iv, axis=1)).max()
+    assert err < 2e-3, err

@@ -136,3 +136,39 @@ def test_predict_evidence_device_matches_interpret():
         assert np.isfinite(a).all(), i
         d = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
         assert d < 1e-3, (i, d)
+
+
+def test_select_kernel_device_matches_interpret():
+    """Mosaic lowering of the fused candidate-selection kernel vs interpret
+    mode on identical production-shaped inputs (the interpret path is gated
+    against exact top-k in test_ops)."""
+    from fl_slam_tpu.ops import assoc_kernels
+
+    N, V, k = 256, 7168, 8
+    rng = np.random.default_rng(3)
+    mp = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32) * 5
+    md = rng.normal(size=(N, 3))
+    md = jnp.asarray(md / np.linalg.norm(md, axis=1, keepdims=True),
+                     jnp.float32)
+    mk = jnp.asarray(np.abs(rng.normal(size=N)), jnp.float32)
+    packed = np.zeros((V, 17), np.float32)
+    packed[:, 0:3] = rng.normal(size=(V, 3)) * 5
+    d = rng.normal(size=(V, 3))
+    packed[:, 3:6] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    packed[:, 6] = np.abs(rng.normal(size=V))
+    packed[:, 14] = (rng.random(V) > 0.1).astype(np.float32)
+    packed[:, 15] = rng.integers(0, 50, V)
+    packed = jnp.asarray(packed)
+    seq = jnp.asarray(60, jnp.int32)
+
+    kw = dict(k=k, cost_beta=4.0, recency_scale=0.002)
+    dv, di = jax.jit(lambda *a: assoc_kernels.select_candidates(*a, **kw))(
+        mp, md, mk, packed, seq)
+    iv, ii = assoc_kernels.select_candidates(mp, md, mk, packed, seq,
+                                             interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(iv), rtol=1e-5,
+                               atol=1e-4)
+    # index mismatches only permissible among exact score ties
+    same = np.asarray(di) == np.asarray(ii)
+    ties = np.abs(np.asarray(dv) - np.asarray(iv)) < 1e-5
+    assert (same | ties).all()
