@@ -427,7 +427,7 @@ class GCConfig:
         hypotheses and live weights.
         """
         base = dict(dtype="float32", approx_topk=True, select_bf16=True,
-                    view_refresh_every=4, view_page=128, k_hyp=1,
+                    view_refresh_every=8, view_page=128, k_hyp=1,
                     merge_at_chunk=True)
         base.update(overrides)
         return GCConfig(**base)
