@@ -386,6 +386,20 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     z_drift = (1.0 - rho) * dz_new
     h_fin = _mv(L_post, z_drift)
 
+    # ---- mean threading: NEXT scan's lifted mean + dt marginal -----------
+    # The next scan needs mu = (L_post + eps_lift I)^{-1} h_fin and the dt
+    # marginal variance [(L_post + eps_lift I)^{-1}]_{dt,dt} (window softness).
+    # Sigma_post IS (L_post + eps_lift I)^{-1} (the 23-RHS solve above), so
+    # both ride it exactly: (L+e)^{-1} L z = z - e (L+e)^{-1} z (identity),
+    # and the dt variance is one masked reduction — the per-scan front-of-
+    # pipeline batched Cholesky custom calls disappear entirely.
+    mu_next = z_drift - cfg.eps_lift * _mv(Sigma_post, z_drift)
+    dt_i = IDX_DT.start
+    r22 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c22 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    dt_var = jnp.sum(jnp.where((r22 == dt_i) & (c22 == dt_i), Sigma_post,
+                               jnp.zeros_like(Sigma_post)))
+
     # ---- step 15: barycenter at K=1 (ops/hypothesis.py parity) -----------
     w1 = jnp.maximum(jnp.asarray(1.0, dt), cfg.hyp_weight_floor)
     floor_adjust = jnp.abs(w1 - 1.0)
@@ -456,7 +470,7 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jnp.zeros((), dt), iw_pred, iw_real, jnp.zeros((), dt),
     ])
     return (L_post, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-            pnu_new, psi_psd, mnu_new, mpsi_psd, certs)
+            pnu_new, psi_psd, mnu_new, mpsi_psd, certs, mu_next, dt_var)
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +484,8 @@ def _kernel_body(cfg: GCConfig,
                  dl_ref, scal_ref,
                  L_out_ref, h_out_ref, anchor_fin_ref, anchor_rec_ref,
                  z_drift_ref, pose7_ref, pnu_out_ref, ppsi_out_ref,
-                 mnu_out_ref, mpsi_out_ref, certs_ref):
+                 mnu_out_ref, mpsi_out_ref, certs_ref, mu_out_ref,
+                 dtv_out_ref):
     out = _tail_math(cfg,
                      L_pred_ref[:], h_pred_ref[0, :], anchor_ref[0, :],
                      mu_pred_ref[0, :], L_io_ref[:], h_io_ref[0, :],
@@ -479,7 +494,7 @@ def _kernel_body(cfg: GCConfig,
                      mnu_ref[0, :], mpsi_ref[:], dg_ref[:], da_ref[:],
                      dl_ref[:], scal_ref[0, :])
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-     pnu_new, ppsi_new, mnu_new, mpsi_new, certs) = out
+     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, dt_var) = out
     L_out_ref[:] = L_fin
     h_out_ref[0, :] = h_fin
     anchor_fin_ref[0, :] = anchor_fin
@@ -491,6 +506,8 @@ def _kernel_body(cfg: GCConfig,
     mnu_out_ref[0, :] = mnu_new
     mpsi_out_ref[:] = mpsi_new
     certs_ref[0, :] = certs
+    mu_out_ref[0, :] = mu_next
+    dtv_out_ref[0, :] = dt_var[None]
 
 
 def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
@@ -500,8 +517,11 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     """Run the scalar tail as ONE kernel. All inputs are the K=1 slices.
 
     Returns (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-    pnu', ppsi', mnu', mpsi', certs_vec[len(CERT_KEYS)]) — (L_fin, h_fin,
-    anchor_fin) is the post-drift state belief (K axis stripped).
+    pnu', ppsi', mnu', mpsi', certs_vec[len(CERT_KEYS)], mu_next, dt_var) —
+    (L_fin, h_fin, anchor_fin) is the post-drift state belief (K axis
+    stripped); mu_next/dt_var are the NEXT scan's lifted mean and dt
+    marginal variance (mean threading — rides the kernel's existing
+    Sigma_post factorization, replacing the front-of-scan batched solves).
     """
     dt = L_pred.dtype
     n = D_Z
@@ -522,6 +542,8 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jax.ShapeDtypeStruct((1, 3), dt),       # mnu
         jax.ShapeDtypeStruct((3, 3, 3), dt),    # mpsi
         jax.ShapeDtypeStruct((1, len(CERT_KEYS)), dt),
+        jax.ShapeDtypeStruct((1, n), dt),       # mu_next (mean threading)
+        jax.ShapeDtypeStruct((1, 1), dt),       # dt marginal variance
     )
     outs = pl.pallas_call(
         functools.partial(_kernel_body, cfg),
@@ -534,10 +556,10 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
       dz_odom[None, :], pnu[None, :], ppsi, mnu[None, :], mpsi,
       dpsi_gyro, dpsi_accel, dpsi_lidar, scal)
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-     pnu_new, ppsi_new, mnu_new, mpsi_new, certs) = outs
+     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, dt_var) = outs
     return (L_fin, h_fin[0], anchor_fin[0], anchor_rec[0], z_drift[0],
             pose7_out[0], pnu_new[0], ppsi_new, mnu_new[0], mpsi_new,
-            certs[0])
+            certs[0], mu_next[0], dt_var[0, 0])
 
 
 # ===========================================================================

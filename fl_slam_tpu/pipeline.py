@@ -119,6 +119,14 @@ class PipelineState(NamedTuple):
     """
 
     belief: Belief              # K_HYP-stacked hypothesis bank
+    mu: jnp.ndarray             # (K_HYP, D_Z) lifted means of the bank:
+                                # (L + eps_lift I)^{-1} h, threaded across
+                                # scans (the tail produces them for free off
+                                # its existing factorization — no front-of-
+                                # scan batched Cholesky)
+    dt_var: jnp.ndarray         # () hyp-0 dt marginal variance
+                                # [(L + eps_lift I)^{-1}]_{dt,dt} (window
+                                # softness), threaded like mu
     hyp_weights: jnp.ndarray    # (K_HYP,)
     process_noise: noise_ops.ProcessNoiseIW
     meas_noise: noise_ops.MeasurementNoiseIW
@@ -234,8 +242,13 @@ def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
     atlas = atlas_ops.empty_atlas(cfg)
     S = cfg.n_active_tiles
     slots0 = jnp.arange(S, dtype=jnp.int32)
+    mu0, _ = spd_solve_lifted(bank.L, bank.h, cfg.eps_lift)
+    e_dt = jnp.zeros((D_Z,), dtype=cfg.jdtype).at[IDX_DT.start].set(1.0)
+    col_dt, _ = spd_solve_lifted(bank.L[0], e_dt, cfg.eps_lift)
     return PipelineState(
         belief=bank,
+        mu=mu0,
+        dt_var=col_dt[IDX_DT.start],
         hyp_weights=jnp.full((cfg.k_hyp,), 1.0 / cfg.k_hyp, dtype=cfg.jdtype),
         process_noise=noise_ops.init_process_noise(cfg),
         meas_noise=noise_ops.init_measurement_noise(cfg),
@@ -381,26 +394,19 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # Windows + preintegration run BEFORE predict so the preintegrated deltas
     # can mechanize the prediction mean. Biases/start rotation come from
     # hypothesis 0 (all hypotheses see identical inputs; reference behavior).
-    # ONE batched (K, 22, 22) solve covers the whole bank's previous means —
-    # hypothesis 0's slice feeds the shared bias/rotation inputs and the
-    # per-hypothesis copies feed predict (no separate unbatched solve, and
-    # predict does not re-solve).
-    mu_prev_k, _ = spd_solve_lifted(state.belief.L, state.belief.h,
-                                    cfg.eps_lift)
+    # The bank's previous means and the dt marginal are THREADED through the
+    # carry (state.mu / state.dt_var): the previous scan's tail produced them
+    # off its own factorization, so the scan front runs zero Cholesky custom
+    # calls (they used to be one batched (K, 22, 22) mean solve + one
+    # triangular dt-column solve per scan).
+    mu_prev_k = state.mu
     mu_prev0 = mu_prev_k[0]
     pose_prev0 = world_pose_from_increment(bel0_prev, mu_prev0)
     gyro_bias = mu_prev0[IDX_BG]
     accel_bias = mu_prev0[IDX_BA]
     rotvec0 = pose_prev0[3:6]
 
-    # Only the dt marginal is needed: ONE extra triangular solve against the
-    # batched mean solve's (CSE-shared) Cholesky factor instead of a full
-    # 22x22 inverse (22-RHS trsm + layout copies).
-    e_dt = jnp.zeros((D_Z,), dtype=dt).at[IDX_DT.start].set(1.0)
-    col_dt, _ = spd_solve_lifted(state.belief.L,
-                                 jnp.broadcast_to(e_dt, (cfg.k_hyp, D_Z)),
-                                 cfg.eps_lift)
-    dt_std = jnp.sqrt(jnp.maximum(col_dt[0, IDX_DT.start], 0.0))
+    dt_std = jnp.sqrt(jnp.maximum(state.dt_var, 0.0))
     # Window softness lives on the sensor time-offset scale (10-50 ms). The
     # reference only floors this (pipeline.py:438); without a ceiling a weak
     # initial dt prior (std ~ seconds) smears the windows flat and silently
@@ -689,7 +695,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         L_ev_raw = L_io_k[0] + cfg.visual_evidence_weight * L_vis
         cond_p6 = fusion_ops.pose6_conditioning(L_ev_raw, cfg.eps_psd)
         (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out, pnu,
-         ppsi, mnu, mpsi, kcert) = belief_kernels.scalar_tail(
+         ppsi, mnu, mpsi, kcert, mu_next0, dt_var_new) = belief_kernels.scalar_tail(
             cfg, bel0.L, bel0.h, bel0.anchor, mu_pred_k[0], L_io_k[0],
             h_io_k[0], z_lin_k[0], L_vis, h_vis_rel,
             dz_odom_k[0][IDX_POSE], state.process_noise.nu,
@@ -705,6 +711,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
             se3.pose7_minus(anchor_fin, anchor_rec))
         beliefs_final = Belief(L=L_fin[None], h=h_fin[None],
                                anchor=anchor_fin[None])
+        mu_next_k = mu_next0[None]
         w_norm = jnp.ones((1,), dtype=dt)
         proc_noise = noise_ops.ProcessNoiseIW(nu=pnu, psi=ppsi)
         meas_noise = noise_ops.MeasurementNoiseIW(nu=mnu, psi=mpsi)
@@ -861,6 +868,15 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
 
         z_t0 = z_t_k[0]
 
+        # Thread next scan's lifted means + dt marginal (the exact solves the
+        # scan front used to run — moved here so the carry always holds them;
+        # XLA CSEs the two factorizations of the same beliefs_final.L).
+        mu_next_k, _ = spd_solve_lifted(beliefs_final.L, beliefs_final.h,
+                                        cfg.eps_lift)
+        e_dt = jnp.zeros((D_Z,), dtype=dt).at[IDX_DT.start].set(1.0)
+        col_dt, _ = spd_solve_lifted(beliefs_final.L[0], e_dt, cfg.eps_lift)
+        dt_var_new = col_dt[IDX_DT.start]
+
     # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
     # The whole scatter phase runs COMPACTLY on the view's (V, CF) rows:
     # fuse accumulates its delta there, merge runs on the weight-half prefix,
@@ -901,6 +917,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
 
     new_state = state._replace(
         belief=beliefs_final,
+        mu=mu_next_k,
+        dt_var=dt_var_new,
         hyp_weights=w_norm,
         process_noise=proc_noise,
         meas_noise=meas_noise,
