@@ -410,6 +410,62 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
     return out
 
 
+def smoothed_initial_anchor(recs: dict, cfg: GCConfig, *, k: int = 10,
+                            c_gyro: float = 0.5, c_accel: float = 2.0,
+                            gravity_mag: float = 9.81) -> np.ndarray:
+    """Closed-form smoothed initial anchor from the first k staged odom poses
+    (parity: ``backend_node.py:1467-1513`` + ``_imu_stability_weights`` /
+    ``_polar_so3`` at ``:296-332``; constants ``GC_INIT_ANCHOR_*``).
+
+    One noisy first odom message otherwise biases the whole anchor chain and
+    the initial-pose-aligned ATE. Per-pose stability weights come from the
+    IMU sample nearest each scan clock, ``w = exp(-c_g ||w||^2) *
+    exp(-c_a (||a|| - g)^2)`` (smooth downweighting while the robot rings at
+    bag start; no gates). Translation = weighted mean with z pinned to the
+    planar reference (odom z is unobserved for a ground robot); rotation =
+    polar projection of the weighted rotation-matrix mean. Returns pose6.
+    """
+    poses = np.asarray(recs["odom_pose"][:k], dtype=np.float64)
+    if len(poses) == 0:
+        return np.zeros(6)
+    stamps = np.asarray(recs["scan_start"][:k], dtype=np.float64)
+    gyro = np.asarray(recs["imu_gyro"][:k], dtype=np.float64)
+    accel = np.asarray(recs["imu_accel"][:k], dtype=np.float64)
+    imu_t = np.asarray(recs["imu_stamps"][:k], dtype=np.float64)
+    w = np.ones(len(poses))
+    for i in range(len(poses)):
+        valid = imu_t[i] > 0.0
+        if not valid.any():
+            continue
+        j = int(np.argmin(np.abs(np.where(valid, imu_t[i], np.inf)
+                                 - stamps[i])))
+        w_g = np.exp(-c_gyro * float(gyro[i, j] @ gyro[i, j]))
+        a_norm = float(np.linalg.norm(accel[i, j]))
+        w[i] = w_g * np.exp(-c_accel * (a_norm - gravity_mag) ** 2)
+    if w.sum() <= 0.0:
+        w = np.ones(len(poses))
+    w = w / w.sum()
+    t_mean = np.einsum("i,ij->j", w, poses[:, :3])
+    t_mean[2] = cfg.planar_z_ref
+    M = np.einsum("i,ijk->jk", w,
+                  np.stack([rotvec_to_matrix(p[3:6]) for p in poses]))
+    U, _, Vh = np.linalg.svd(M)
+    R = U @ Vh
+    if np.linalg.det(R) < 0:
+        U = U.copy()
+        U[:, -1] *= -1.0
+        R = U @ Vh
+    # matrix -> rotvec via the quaternion route (stable near 0 and pi)
+    tr = np.trace(R)
+    qw = 0.5 * np.sqrt(max(1.0 + tr, 1e-12))
+    qv = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    qv = qv / max(4.0 * qw, 1e-12)
+    nv = np.linalg.norm(qv)
+    rotvec = (2.0 * np.arctan2(nv, qw) / nv * qv) if nv > 1e-12 \
+        else np.zeros(3)
+    return np.concatenate([t_mean, rotvec])
+
+
 def to_scan_inputs(recs: dict, cfg: GCConfig):
     import jax.numpy as jnp
     from fl_slam_tpu.pipeline import ScanInput

@@ -335,3 +335,36 @@ def test_scan_input_segments_pad_and_cover(tmp_path):
     np.testing.assert_allclose(
         tail, np.broadcast_to(np.asarray(whole.points[-1]), tail.shape),
         atol=0)
+
+
+def test_smoothed_initial_anchor_debiases_first_odom():
+    """Smoothed anchor (backend_node.py:1467-1513 parity): weighted first-K
+    odom mean beats the raw (noisy) first sample, IMU stability weights
+    downweight ringing scans, z pins to the planar reference."""
+    from fl_slam_tpu.io.rosbag import smoothed_initial_anchor
+
+    rng = np.random.default_rng(0)
+    K, L = 10, 16
+    true_pose = np.array([1.0, 2.0, 0.0, 0.0, 0.0, 0.3])
+    poses = np.tile(true_pose, (K, 1)) + rng.normal(0, 0.01, (K, 6))
+    poses[0] += np.array([0.5, -0.4, 0.2, 0.0, 0.0, 0.2])  # noisy first msg
+    stamps = np.arange(K) * 0.1
+    imu_t = stamps[:, None] + np.linspace(0.001, 0.099, L)[None, :]
+    gyro = rng.normal(0, 0.005, (K, L, 3))
+    accel = np.zeros((K, L, 3))
+    accel[..., 2] = 9.81
+    # scan 0 is also ringing: big gyro + off-gravity accel at every sample
+    gyro[0] += 3.0
+    accel[0, :, 2] += 4.0
+    recs = {"odom_pose": poses, "scan_start": stamps, "imu_stamps": imu_t,
+            "imu_gyro": gyro, "imu_accel": accel}
+    anchor = smoothed_initial_anchor(recs, CFG)
+    err_smooth = np.linalg.norm(anchor[:2] - true_pose[:2])
+    err_first = np.linalg.norm(poses[0, :2] - true_pose[:2])
+    assert err_smooth < 0.2 * err_first
+    assert abs(anchor[5] - true_pose[5]) < 0.05
+    assert anchor[2] == CFG.planar_z_ref
+    # all-invalid IMU -> uniform weights, still finite and sane
+    recs["imu_stamps"] = np.zeros_like(imu_t)
+    anchor_u = smoothed_initial_anchor(recs, CFG)
+    assert np.isfinite(anchor_u).all()

@@ -108,7 +108,12 @@ def main():
         if cam is not None and recs["__audit__"].get("camera_scans", 0) == 0:
             print("[FAIL] camera requested but no scan got camera features")
             sys.exit(2)
-        anchor0 = jnp.asarray(recs["odom_pose"][0], dtype=cfg.jdtype)
+        # Smoothed initial anchor from the first K odom with IMU stability
+        # weights (parity: backend_node.py:1467-1513) — one noisy first odom
+        # message must not bias the whole anchor chain.
+        from fl_slam_tpu.io.rosbag import smoothed_initial_anchor
+        anchor0 = jnp.asarray(smoothed_initial_anchor(recs, cfg),
+                              dtype=cfg.jdtype)
         t0 = float(stamps[0]) - 0.1
     else:
         from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
