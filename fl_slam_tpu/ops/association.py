@@ -100,9 +100,7 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     # ---- dense cost over the view (MXU matmuls) ---------------------------
     x2 = jnp.sum(meas_pos * meas_pos, axis=-1)[:, None]
     m2 = jnp.sum(view.positions * view.positions, axis=-1)[None, :]
-    d_pos = x2 + m2 - 2.0 * meas_pos @ view.positions.T        # (N, V)
 
-    dir_ok = (meas_kappa[:, None] > 0.0) & (view.kappas[None, :] > 0.0)
     if cfg.select_bf16:
         # SELECTION-pass direction term: cosine proxy 0.5 (1 - mu_m . mu_v)
         # instead of the vMF Bhattacharyya distance. The exact 1 - BC needs
@@ -111,19 +109,47 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
         # misalignment with the same [0, 1] range, the selection feeds soft
         # machinery, and the K selected candidates are re-scored with the
         # EXACT Bhattacharyya cost below.
-        cross_dir = meas_dir @ view.directions.T                # (N, V)
-        d_dir = jnp.where(dir_ok, 0.5 * (1.0 - cross_dir), 0.0)
-    else:
-        eta_v = view.kappas[:, None] * view.directions          # (V, 3)
-        cross = eta_m @ eta_v.T
-        km2 = (meas_kappa[:, None] ** 2 + view.kappas[None, :] ** 2
-               + 2.0 * cross)
-        km = 0.5 * jnp.sqrt(jnp.maximum(km2, 0.0))
-        A_km = _log_sinh_ratio(jnp.maximum(km, eig_min), eig_min)
-        A_k2 = _log_sinh_ratio(jnp.maximum(view.kappas, eig_min),
-                               eig_min)[None, :]
-        bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
-        d_dir = jnp.where(dir_ok, jnp.maximum(0.0, 1.0 - bc), 0.0)
+        #
+        # ONE (N, 8) @ (8, V) matmul carries position cross-term, direction
+        # proxy AND the dir_ok gate (rank-1 indicator outer product):
+        #   cross = -2 p.p' - 0.5 beta a b (d.d') + 0.5 beta a b
+        # with a/b the kappa>0 indicators folded into the factors — so the
+        # whole selection matrix materializes exactly once (measured: the
+        # second (N, V) matmul + separate combine passes cost ~30 us/scan).
+        a_m = (meas_kappa > 0.0).astype(dt)[:, None]            # (N, 1)
+        b_v = (view.kappas > 0.0).astype(dt)[:, None]           # (V, 1)
+        half_beta = 0.5 * COST_BETA
+        cat_m = jnp.concatenate([
+            -2.0 * meas_pos, (-half_beta) * a_m * meas_dir,
+            half_beta * a_m, jnp.zeros_like(a_m)], axis=1)      # (N, 8)
+        cat_v = jnp.concatenate([
+            view.positions, b_v * view.directions,
+            b_v, jnp.zeros_like(b_v)], axis=1)                  # (V, 8)
+        cross_all = cat_m @ cat_v.T                             # (N, V)
+        seq = jnp.asarray(scan_seq, dtype=jnp.int32)
+        cand_dt = jnp.maximum(seq - view.last_supported, 0).astype(dt)
+        recency = (eps * cfg.recency_decay_lambda) * cand_dt[None, :]
+        C_full = x2 + m2 + cross_all + recency
+        C_full = jnp.where(view.valid[None, :], C_full, COST_INVALID)
+        k_eff = min(K, C_full.shape[1])
+        neg_cost, cand_view_idx = top_k_maybe_approx(
+            -C_full.astype(jnp.bfloat16), k_eff, cfg.approx_topk)
+        return _finish_associate(
+            meas_pos, meas_kappa, meas_valid, meas_weights, view, scan_seq,
+            cfg, neg_cost, cand_view_idx, eta_m, A_k1, proxy_sel=True)
+    # ---- exact selection path (CPU/parity): full vMF Bhattacharyya --------
+    dir_ok = (meas_kappa[:, None] > 0.0) & (view.kappas[None, :] > 0.0)
+    d_pos = x2 + m2 - 2.0 * meas_pos @ view.positions.T        # (N, V)
+    eta_v = view.kappas[:, None] * view.directions              # (V, 3)
+    cross = eta_m @ eta_v.T
+    km2 = (meas_kappa[:, None] ** 2 + view.kappas[None, :] ** 2
+           + 2.0 * cross)
+    km = 0.5 * jnp.sqrt(jnp.maximum(km2, 0.0))
+    A_km = _log_sinh_ratio(jnp.maximum(km, eig_min), eig_min)
+    A_k2 = _log_sinh_ratio(jnp.maximum(view.kappas, eig_min),
+                           eig_min)[None, :]
+    bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
+    d_dir = jnp.where(dir_ok, jnp.maximum(0.0, 1.0 - bc), 0.0)
 
     # Recency bias (continuous; parity: recency_cost in associate_primitives_ot)
     seq = jnp.asarray(scan_seq, dtype=jnp.int32)
@@ -134,17 +160,12 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
     C_full = jnp.where(view.valid[None, :], C_full, COST_INVALID)
 
     # ---- top-K candidates per measurement (cost ascending) ----------------
-    # With cfg.select_bf16 the (N, V) score matrix materializes in bfloat16
-    # (the selection is bandwidth-bound; ~0.4% relative rank noise among
-    # near-tie candidates) and the EXACT f32 costs of the K selected
-    # candidates are recomputed below from the gathered packed rows.
     k_eff = min(K, C_full.shape[1])
-    C_score = C_full.astype(jnp.bfloat16) if cfg.select_bf16 else C_full
-    neg_cost, cand_view_idx = top_k_maybe_approx(-C_score, k_eff,
+    neg_cost, cand_view_idx = top_k_maybe_approx(-C_full, k_eff,
                                                  cfg.approx_topk)
     return _finish_associate(
         meas_pos, meas_kappa, meas_valid, meas_weights, view, scan_seq, cfg,
-        neg_cost, cand_view_idx, eta_m, A_k1, proxy_sel=cfg.select_bf16)
+        neg_cost, cand_view_idx, eta_m, A_k1, proxy_sel=False)
 
 
 def _finish_associate(meas_pos, meas_kappa, meas_valid, meas_weights, view,

@@ -441,3 +441,42 @@ class TestSinkhornKernel:
         np.testing.assert_allclose(np.asarray(piT).T, pi_ref,
                                    rtol=2e-5, atol=1e-9)
         assert np.asarray(piT).T[np.asarray(a) == 0].max() == 0.0
+
+
+class TestFusedSelection:
+    def test_bf16_fused_matmul_matches_exact_candidates(self, rng):
+        """The select_bf16 path folds position cross-term, cosine direction
+        proxy and the dir_ok gate into ONE (N, 8) @ (8, V) matmul; up to the
+        cosine-vs-Bhattacharyya proxy and bf16 rounding it must select the
+        same candidate sets as the exact path on well-separated data."""
+        cfg = CFG
+        atlas = atlas_mod.empty_atlas(cfg)
+        c = jnp.zeros((3,), dtype=cfg.jdtype)
+        q, r, z = xyz_to_tile_axial(c, cfg.h_tile)
+        offs = stencil_offsets_3d(cfg.r_active_xy, cfg.r_active_z)
+        keys = stencil_tile_keys(q, r, z, offs)
+        atlas, slots, _, _ = atlas_mod.activate_tiles(atlas, keys, 0)
+        pts = make_plane_points(rng, n=300)
+        batch, _, _ = surfel_batch_from_points(pts)
+        novelty = jnp.where(batch.valid, 1.0, 0.0).astype(cfg.jdtype)
+        mu = mb.mean_positions(batch, cfg.eps_lift)
+        meas_keys = tile_keys_from_xyz(mu, cfg.h_tile)
+        atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys, keys,
+                                    slots, 0, cfg)
+        view = atlas_mod.extract_view(atlas, slots, cfg)
+        mdir = mb.mean_directions(batch, cfg.eps_mass)
+        mkap = mb.kappas(batch)
+        a_ex, _ = associate(mu, mdir, mkap, batch.valid, view, 3, cfg)
+        a_bf, _ = associate(mu, mdir, mkap, batch.valid, view, 3,
+                            cfg.replace(select_bf16=True))
+        v = np.asarray(batch.valid)
+        # Top-1 candidate must agree on every valid row (positions dominate
+        # the cost on this data; bf16 noise only reorders near-ties).
+        b_ex = np.asarray(a_ex.cand_view_idx)[v, 0]
+        b_bf = np.asarray(a_bf.cand_view_idx)[v, 0]
+        assert (b_ex == b_bf).mean() > 0.95
+        # Exact re-score: transported mass of the shared top candidate agrees.
+        r_ex = np.asarray(a_ex.responsibilities)[v, 0]
+        r_bf = np.asarray(a_bf.responsibilities)[v, 0]
+        same = b_ex == b_bf
+        np.testing.assert_allclose(r_ex[same], r_bf[same], rtol=0.2, atol=5e-3)

@@ -91,6 +91,19 @@ def main():
         if a == "--top":
             top = int(sys.argv[i + 1])
     evs = load_events(trace_dir)
+    # Drop ENCLOSING events (loops/calls that span other ops): keeping them
+    # double-counts — observed as "busy" > window wall. An event is a leaf
+    # iff no other event starts strictly inside its span.
+    starts = sorted(t0 for t0, _, _, _ in evs)
+    import bisect
+    leaves = []
+    for t0, dur, name, src in evs:
+        i = bisect.bisect_right(starts, t0)
+        if i < len(starts) and starts[i] < t0 + dur * 0.999:
+            continue
+        leaves.append((t0, dur, name, src))
+    if len(leaves) >= len(evs) // 4:
+        evs = leaves
     anchor = detect_anchor(evs)
     if anchor is None:
         raise SystemExit("no periodic anchor op found")
