@@ -342,6 +342,12 @@ class GCConfig:
     # TPU-only with N, V multiples of 128 (auto-falls back elsewhere);
     # same vmap caveat as slab_dma_kernel.
     select_kernel: bool = False
+    # Run the surfel per-cell moment accumulation as one Pallas kernel
+    # (ops/surfel_kernels.py): factored one-hot MXU contraction instead of
+    # XLA's row-serialized scatter-add (~60 us/scan traced). bf16x2-exact on
+    # cell-local coordinates. TPU-only with n_points and n_cells multiples
+    # of 128 (auto-falls back elsewhere); same vmap caveat.
+    surfel_moment_kernel: bool = False
     # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
     # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;
     # K>1/MHT and CPU use the XLA reference path. Same vmap caveat.
@@ -428,7 +434,12 @@ class GCConfig:
         """
         base = dict(dtype="float32", approx_topk=True, select_bf16=True,
                     view_refresh_every=8, view_page=128, k_hyp=1,
-                    merge_at_chunk=True)
+                    merge_at_chunk=True,
+                    # unroll=2 lets XLA's scheduler overlap scan t+1's
+                    # measurement-side front (deskew/surfels/windows) with
+                    # scan t's belief tail: 1.105 -> 1.082 ms/scan
+                    # (interleaved best-of-4, docs/PERF_NOTES.md round 5)
+                    scan_unroll=2)
         base.update(overrides)
         return GCConfig(**base)
 

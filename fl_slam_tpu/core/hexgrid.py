@@ -172,3 +172,31 @@ def bin_cell_ids_local(x, y, z, cell_size: float, c1: int, c2: int, cz: int,
     rc = jnp.clip(ro, 0, c2 - 1)
     zc = jnp.clip(zo, 0, cz - 1)
     return (qc * c2 + rc) * cz + zc, in_grid
+
+
+def cell_centers_from_ids(cell, cell_size: float, c1: int, c2: int, cz: int,
+                          z_size: float | None = None, dtype=None):
+    """Per-id cell center coordinates (cx, cy, czc), inverse of
+    ``bin_cell_ids_local``'s flattening: id = (qo*c2 + ro)*cz + zo, axial
+    pointy-top x = s*sqrt(3)*(q + r/2), y = 1.5*s*r (inverse of
+    ``xy_to_axial_frac``).
+
+    Centering surfel moments per cell removes the E[pp'] - cen cen'
+    cancellation (coordinates bounded by the cell radius instead of the
+    whole-scan extent) — required for the bf16x2 moment kernel and improves
+    the f32 path's conditioning too.
+    """
+    if z_size is None:
+        z_size = cell_size
+    cell = cell.astype(jnp.int32)
+    dt = dtype if dtype is not None else jnp.float32
+    qo = cell // (c2 * cz)
+    ro = (cell // cz) % c2
+    zo = cell % cz
+    q = (qo - c1 // 2).astype(dt)
+    r = (ro - c2 // 2).astype(dt)
+    zi = (zo - cz // 2).astype(dt)
+    cx = cell_size * SQRT3 * (q + 0.5 * r)
+    cy = cell_size * 1.5 * r
+    czc = zi * z_size
+    return cx, cy, czc

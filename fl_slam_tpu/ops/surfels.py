@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 
 from fl_slam_tpu.config import GCConfig
-from fl_slam_tpu.core.hexgrid import bin_cell_ids_local
+from fl_slam_tpu.core.hexgrid import bin_cell_ids_local, cell_centers_from_ids
+from fl_slam_tpu.ops import surfel_kernels
 from fl_slam_tpu.core.linalg import (
     sym6_to_mat33, sym6p_eigvals, sym6p_eigvec, sym6p_inv, sym6p_matvec)
 
@@ -91,24 +92,45 @@ def extract_surfels(points_p, weights, cfg: GCConfig, *,
     w_eff = weights * usable.astype(dt)
     w_tot = jnp.sum(w_eff) + EIG_MIN
 
-    # ONE packed segment_sum: [cnt, w, w*p (3), w*p p^T sym6 (6)] = 11 rows.
+    # CELL-LOCAL coordinates: moments accumulate relative to each point's own
+    # cell center (bounded by the cell radius), so the covariance
+    # E[pp'] - cen cen' carries no scan-extent cancellation — numerically
+    # better in f32 and a requirement for the bf16x2 moment kernel.
+    ccx, ccy, ccz = cell_centers_from_ids(
+        cell, voxel_size, cfg.surfel_cells_1, cfg.surfel_cells_2,
+        cfg.surfel_cells_z, dtype=dt)
+    lx, ly, lz = px - ccx, py - ccy, pz - ccz
+
+    # ONE packed moment sum: [cnt, w, w*p (3), w*p p^T sym6 (6)] = 11 rows.
     payload = jnp.stack([
         usable.astype(dt), w_eff,
-        w_eff * px, w_eff * py, w_eff * pz,
-        w_eff * px * px, w_eff * px * py, w_eff * px * pz,
-        w_eff * py * py, w_eff * py * pz, w_eff * pz * pz,
+        w_eff * lx, w_eff * ly, w_eff * lz,
+        w_eff * lx * lx, w_eff * lx * ly, w_eff * lx * lz,
+        w_eff * ly * ly, w_eff * ly * lz, w_eff * lz * lz,
     ], axis=-1)                                              # (N, 11)
-    mom = jax.ops.segment_sum(payload, cell, num_segments=n_cells).T  # (11, C)
+    if surfel_kernels.use_moment_kernel(cfg):
+        mom = surfel_kernels.moment_segment_sum(payload.T, cell, n_cells)
+    else:
+        mom = jax.ops.segment_sum(payload, cell,
+                                  num_segments=n_cells).T    # (11, C)
     cnt = mom[0]
     sw = mom[1]
     swp = mom[2:5]                                           # (3, C)
     swpp = mom[5:11]                                         # (6, C) sym6
 
     swn = jnp.maximum(sw, EIG_MIN)
-    cen = swp / swn[None]                                    # (3, C) centroid
+    # Centroid back in scan-centered coordinates: local mean + cell center.
+    cc_all = jnp.stack(cell_centers_from_ids(
+        jnp.arange(n_cells, dtype=jnp.int32), voxel_size,
+        cfg.surfel_cells_1, cfg.surfel_cells_2, cfg.surfel_cells_z,
+        dtype=dt))                                           # (3, C)
+    cenl = swp / swn[None]                                   # (3, C) cell-local
+    cen = cenl + cc_all                                      # (3, C) centroid
+    # Covariance from the LOCAL moments (shift-invariant; local form avoids
+    # the scan-extent cancellation).
     cov = swpp / swn[None] - jnp.stack([
-        cen[0] * cen[0], cen[0] * cen[1], cen[0] * cen[2],
-        cen[1] * cen[1], cen[1] * cen[2], cen[2] * cen[2]], axis=0)
+        cenl[0] * cenl[0], cenl[0] * cenl[1], cenl[0] * cenl[2],
+        cenl[1] * cenl[1], cenl[1] * cenl[2], cenl[2] * cenl[2]], axis=0)
     eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], dtype=dt)[:, None]
     cov = cov + EIG_MIN * eye6
 

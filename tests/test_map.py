@@ -480,3 +480,22 @@ class TestFusedSelection:
         r_bf = np.asarray(a_bf.responsibilities)[v, 0]
         same = b_ex == b_bf
         np.testing.assert_allclose(r_ex[same], r_bf[same], rtol=0.2, atol=5e-3)
+
+
+def test_moment_kernel_interpret_matches_segment_sum():
+    """surfel_kernels.moment_segment_sum (interpret mode, CPU-runnable) must
+    reproduce jax.ops.segment_sum on cell-local-scaled payloads to bf16x2
+    accuracy (~1.5e-5 relative)."""
+    import jax
+    from fl_slam_tpu.ops import surfel_kernels as sk
+
+    rng = np.random.default_rng(0)
+    F, N, C = 11, 1024, 256
+    payload = jnp.asarray(rng.normal(size=(F, N)).astype(np.float32)) * 0.2
+    cell = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
+    got = sk.moment_segment_sum(payload, cell, C, interpret=True)
+    want = jax.ops.segment_sum(np.asarray(payload).T, cell,
+                               num_segments=C).T
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() < 5e-5 * scale, err.max() / scale

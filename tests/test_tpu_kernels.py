@@ -172,3 +172,20 @@ def test_select_kernel_device_matches_interpret():
     same = np.asarray(di) == np.asarray(ii)
     ties = np.abs(np.asarray(dv) - np.asarray(iv)) < 1e-5
     assert (same | ties).all()
+
+
+def test_moment_kernel_device_matches_segment_sum():
+    """surfel_kernels.moment_segment_sum Mosaic lowering vs segment_sum at
+    the production shape (F=11, N=8192, C=8192), bf16x2 accuracy."""
+    from fl_slam_tpu.ops import surfel_kernels as sk
+
+    rng = np.random.default_rng(1)
+    F, N, C = 11, 8192, 8192
+    payload = jnp.asarray(rng.normal(size=(F, N)).astype(np.float32)) * 0.2
+    cell = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
+    got = jax.jit(lambda p, c: sk.moment_segment_sum(p, c, C))(payload, cell)
+    want = jax.ops.segment_sum(np.asarray(payload).T, cell,
+                               num_segments=C).T
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() < 5e-5 * scale, err.max() / scale
