@@ -439,7 +439,10 @@ class GCConfig:
                     # measurement-side front (deskew/surfels/windows) with
                     # scan t's belief tail: 1.105 -> 1.082 ms/scan
                     # (interleaved best-of-4, docs/PERF_NOTES.md round 5)
-                    scan_unroll=2)
+                    scan_unroll=2,
+                    # factored one-hot MXU moment kernel: 1.059 -> 1.026
+                    # ms/scan (device parity 3.7e-6 rel at production shape)
+                    surfel_moment_kernel=True)
         base.update(overrides)
         return GCConfig(**base)
 
