@@ -432,8 +432,12 @@ class GCConfig:
         hyp_init_spread_* > 0, which makes the bank carry distinct
         hypotheses and live weights.
         """
+        # Chunk cadence R=10: 1.038 -> 1.022 ms/scan (interleaved best-of-4)
+        # at unchanged accuracy (0.117 m / 1.090 deg 3-seed gate). R=20
+        # measured 0.997 but degrades the 2 m/s fast-motion stress
+        # 0.108 -> 0.153 m (membership staleness 2.0 s) — rejected.
         base = dict(dtype="float32", approx_topk=True, select_bf16=True,
-                    view_refresh_every=8, view_page=128, k_hyp=1,
+                    view_refresh_every=10, view_page=128, k_hyp=1,
                     merge_at_chunk=True,
                     # unroll=2 lets XLA's scheduler overlap scan t+1's
                     # measurement-side front (deskew/surfels/windows) with
