@@ -348,6 +348,13 @@ class GCConfig:
     # cell-local coordinates. TPU-only with n_points and n_cells multiples
     # of 128 (auto-falls back elsewhere); same vmap caveat.
     surfel_moment_kernel: bool = False
+    # Paged insert write-back as a DENSE target-page rewrite (merge the SK
+    # proposals into the gathered page, write the same contiguous page
+    # columns back) instead of an unsorted drop-mode column scatter.
+    # MEASURED SLOWER (1.060 vs 1.013 ms/scan interleaved A/B on the v5e:
+    # the merge einsum + full-page stores cost more than the 448-column
+    # drop scatter) — kept as tested infrastructure, default off.
+    insert_page_dense: bool = False
     # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
     # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;
     # K>1/MHT and CPU use the XLA reference path. Same vmap caveat.

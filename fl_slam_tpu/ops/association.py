@@ -116,24 +116,27 @@ def associate(meas_pos, meas_dir, meas_kappa, meas_valid, view: MapView,
         # with a/b the kappa>0 indicators folded into the factors — so the
         # whole selection matrix materializes exactly once (measured: the
         # second (N, V) matmul + separate combine passes cost ~30 us/scan).
+        # NEGATED throughout (the selector maximizes -cost), so the top-k
+        # consumes the fused matmul epilogue directly — no separate (N, V)
+        # negation pass.
         a_m = (meas_kappa > 0.0).astype(dt)[:, None]            # (N, 1)
         b_v = (view.kappas > 0.0).astype(dt)[:, None]           # (V, 1)
         half_beta = 0.5 * COST_BETA
         cat_m = jnp.concatenate([
-            -2.0 * meas_pos, (-half_beta) * a_m * meas_dir,
-            half_beta * a_m, jnp.zeros_like(a_m)], axis=1)      # (N, 8)
+            2.0 * meas_pos, half_beta * a_m * meas_dir,
+            (-half_beta) * a_m, jnp.zeros_like(a_m)], axis=1)   # (N, 8)
         cat_v = jnp.concatenate([
             view.positions, b_v * view.directions,
             b_v, jnp.zeros_like(b_v)], axis=1)                  # (V, 8)
-        cross_all = cat_m @ cat_v.T                             # (N, V)
+        ncross = cat_m @ cat_v.T                                # (N, V)
         seq = jnp.asarray(scan_seq, dtype=jnp.int32)
         cand_dt = jnp.maximum(seq - view.last_supported, 0).astype(dt)
         recency = (eps * cfg.recency_decay_lambda) * cand_dt[None, :]
-        C_full = x2 + m2 + cross_all + recency
-        C_full = jnp.where(view.valid[None, :], C_full, COST_INVALID)
-        k_eff = min(K, C_full.shape[1])
+        negC = ncross - (x2 + m2 + recency)
+        negC = jnp.where(view.valid[None, :], negC, -COST_INVALID)
+        k_eff = min(K, negC.shape[1])
         neg_cost, cand_view_idx = top_k_maybe_approx(
-            -C_full.astype(jnp.bfloat16), k_eff, cfg.approx_topk)
+            negC.astype(jnp.bfloat16), k_eff, cfg.approx_topk)
         return _finish_associate(
             meas_pos, meas_kappa, meas_valid, meas_weights, view, scan_seq,
             cfg, neg_cost, cand_view_idx, eta_m, A_k1, proxy_sel=True)

@@ -1057,12 +1057,35 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
     sub = sub.at[:, o + _ROW_LS].set(seqf * ones)
     sub = sub.at[:, o + _ROW_V].set(ones)
 
-    # Drop-mode column scatter: rows not inserting point out of bounds.
-    tgt = (jnp.repeat(jnp.arange(S, dtype=jnp.int32), K) * M
-           + evict_slot.reshape(-1).astype(jnp.int32))
-    tgt_put = jnp.where(do_f, tgt, jnp.int32(SM))
-    ff = ff.at[:, tgt_put].set(sub.T, mode="drop")
-    prim_ids = sf.prim_ids.at[tgt_put].set(new_ids, mode="drop")
+    if resident_pages is not None and cfg.insert_page_dense:
+        # Paged mode: every eviction slot lives in the ONE gathered target
+        # page per tile, so the write-back is a DENSE page rewrite (merge
+        # the SK proposals into the (CF, S, P) page in registers, write the
+        # same S*P contiguous-run columns the gather read) instead of an
+        # unsorted 448-column drop scatter (~25 us/scan -> ~10 us measured;
+        # scattered column stores pay ~2-3x the sorted-run price).
+        do_sk_w = do_f.reshape(S, K)
+        onek = ((slot_in[:, :, None]
+                 == jnp.arange(P, dtype=jnp.int32)[None, None, :])
+                & do_sk_w[:, :, None])                       # (S, K, P)
+        hit = jnp.any(onek, axis=1)                          # (S, P)
+        sub3 = sub.reshape(S, K, cf)
+        merged = jnp.einsum("skp,skc->csp", onek.astype(dt), sub3)
+        page3 = page.reshape(cf, S, P)
+        upd = jnp.where(hit[None, :, :], merged, page3)
+        cols_flat = cols.reshape(-1)
+        ff = ff.at[:, cols_flat].set(upd.reshape(cf, S * P))
+        pp = sf.prim_ids[cols_flat].reshape(S, P)
+        id_sel = jnp.sum(onek * new_ids.reshape(S, K, 1), axis=1)
+        prim_ids = sf.prim_ids.at[cols_flat].set(
+            jnp.where(hit, id_sel, pp).reshape(-1).astype(jnp.int32))
+    else:
+        # Drop-mode column scatter: rows not inserting point out of bounds.
+        tgt = (jnp.repeat(jnp.arange(S, dtype=jnp.int32), K) * M
+               + evict_slot.reshape(-1).astype(jnp.int32))
+        tgt_put = jnp.where(do_f, tgt, jnp.int32(SM))
+        ff = ff.at[:, tgt_put].set(sub.T, mode="drop")
+        prim_ids = sf.prim_ids.at[tgt_put].set(new_ids, mode="drop")
 
     sf = sf._replace(
         ff=ff, prim_ids=prim_ids,
