@@ -443,7 +443,12 @@ class GCConfig:
         # at unchanged accuracy (0.117 m / 1.090 deg 3-seed gate). R=20
         # measured 0.997 but degrades the 2 m/s fast-motion stress
         # 0.108 -> 0.153 m (membership staleness 2.0 s) — rejected.
+        # m_tile_view 1024 -> 768 (6 view pages/tile): shrinks the (N, V)
+        # selection matrices and view top-k ~25%; 1.008 vs 1.002/0.999
+        # interleaved, accuracy 0.123 m / 1.104 deg (in the seed band; 512
+        # measured 0.980 ms but 0.132 m — rejected).
         base = dict(dtype="float32", approx_topk=True, select_bf16=True,
+                    m_tile_view=768,
                     view_refresh_every=10, view_page=128, k_hyp=1,
                     merge_at_chunk=True,
                     # unroll=2 lets XLA's scheduler overlap scan t+1's

@@ -386,19 +386,15 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     z_drift = (1.0 - rho) * dz_new
     h_fin = _mv(L_post, z_drift)
 
-    # ---- mean threading: NEXT scan's lifted mean + dt marginal -----------
-    # The next scan needs mu = (L_post + eps_lift I)^{-1} h_fin and the dt
-    # marginal variance [(L_post + eps_lift I)^{-1}]_{dt,dt} (window softness).
-    # Sigma_post IS (L_post + eps_lift I)^{-1} (the 23-RHS solve above), so
-    # both ride it exactly: (L+e)^{-1} L z = z - e (L+e)^{-1} z (identity),
-    # and the dt variance is one masked reduction — the per-scan front-of-
-    # pipeline batched Cholesky custom calls disappear entirely.
+    # ---- mean/covariance threading: NEXT scan's lifted mean + Sigma ------
+    # The next scan needs mu = (L_post + eps_lift I)^{-1} h_fin, the dt
+    # marginal variance (window softness) and cov_prev for the OU predict —
+    # ALL of which are Sigma_post (the 23-RHS solve above; anchor drift
+    # leaves L unchanged): mu rides the identity
+    # (L+e)^{-1} L z = z - e (L+e)^{-1} z, and threading Sigma through the
+    # carry deletes kernel B's leading 22x22 factorization + D_Z-RHS solve
+    # as well as the front-of-scan batched Cholesky custom calls.
     mu_next = z_drift - cfg.eps_lift * _mv(Sigma_post, z_drift)
-    dt_i = IDX_DT.start
-    r22 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    c22 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    dt_var = jnp.sum(jnp.where((r22 == dt_i) & (c22 == dt_i), Sigma_post,
-                               jnp.zeros_like(Sigma_post)))
 
     # ---- step 15: barycenter at K=1 (ops/hypothesis.py parity) -----------
     w1 = jnp.maximum(jnp.asarray(1.0, dt), cfg.hyp_weight_floor)
@@ -470,7 +466,7 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jnp.zeros((), dt), iw_pred, iw_real, jnp.zeros((), dt),
     ])
     return (L_post, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-            pnu_new, psi_psd, mnu_new, mpsi_psd, certs, mu_next, dt_var)
+            pnu_new, psi_psd, mnu_new, mpsi_psd, certs, mu_next, Sigma_post)
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +481,7 @@ def _kernel_body(cfg: GCConfig,
                  L_out_ref, h_out_ref, anchor_fin_ref, anchor_rec_ref,
                  z_drift_ref, pose7_ref, pnu_out_ref, ppsi_out_ref,
                  mnu_out_ref, mpsi_out_ref, certs_ref, mu_out_ref,
-                 dtv_out_ref):
+                 sigma_out_ref):
     out = _tail_math(cfg,
                      L_pred_ref[:], h_pred_ref[0, :], anchor_ref[0, :],
                      mu_pred_ref[0, :], L_io_ref[:], h_io_ref[0, :],
@@ -494,7 +490,7 @@ def _kernel_body(cfg: GCConfig,
                      mnu_ref[0, :], mpsi_ref[:], dg_ref[:], da_ref[:],
                      dl_ref[:], scal_ref[0, :])
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, dt_var) = out
+     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post) = out
     L_out_ref[:] = L_fin
     h_out_ref[0, :] = h_fin
     anchor_fin_ref[0, :] = anchor_fin
@@ -507,7 +503,7 @@ def _kernel_body(cfg: GCConfig,
     mpsi_out_ref[:] = mpsi_new
     certs_ref[0, :] = certs
     mu_out_ref[0, :] = mu_next
-    dtv_out_ref[0, :] = dt_var[None]
+    sigma_out_ref[:] = Sigma_post
 
 
 def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
@@ -517,11 +513,12 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     """Run the scalar tail as ONE kernel. All inputs are the K=1 slices.
 
     Returns (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-    pnu', ppsi', mnu', mpsi', certs_vec[len(CERT_KEYS)], mu_next, dt_var) —
-    (L_fin, h_fin, anchor_fin) is the post-drift state belief (K axis
-    stripped); mu_next/dt_var are the NEXT scan's lifted mean and dt
-    marginal variance (mean threading — rides the kernel's existing
-    Sigma_post factorization, replacing the front-of-scan batched solves).
+    pnu', ppsi', mnu', mpsi', certs_vec[len(CERT_KEYS)], mu_next,
+    Sigma_post) — (L_fin, h_fin, anchor_fin) is the post-drift state belief
+    (K axis stripped); mu_next/Sigma_post are the NEXT scan's lifted mean
+    and (L + eps_lift I)^{-1} (mean/covariance threading — ride the
+    kernel's existing factorization, replacing the front-of-scan batched
+    solves AND kernel B's leading inverse).
     """
     dt = L_pred.dtype
     n = D_Z
@@ -543,7 +540,7 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jax.ShapeDtypeStruct((3, 3, 3), dt),    # mpsi
         jax.ShapeDtypeStruct((1, len(CERT_KEYS)), dt),
         jax.ShapeDtypeStruct((1, n), dt),       # mu_next (mean threading)
-        jax.ShapeDtypeStruct((1, 1), dt),       # dt marginal variance
+        jax.ShapeDtypeStruct((n, n), dt),       # Sigma_post (cov threading)
     )
     outs = pl.pallas_call(
         functools.partial(_kernel_body, cfg),
@@ -556,10 +553,10 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
       dz_odom[None, :], pnu[None, :], ppsi, mnu[None, :], mpsi,
       dpsi_gyro, dpsi_accel, dpsi_lidar, scal)
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
-     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, dt_var) = outs
+     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post) = outs
     return (L_fin, h_fin[0], anchor_fin[0], anchor_rec[0], z_drift[0],
             pose7_out[0], pnu_new[0], ppsi_new, mnu_new[0], mpsi_new,
-            certs[0], mu_next[0], dt_var[0, 0])
+            certs[0], mu_next[0], Sigma_post)
 
 
 # ===========================================================================
@@ -798,8 +795,8 @@ def _vdot(a, b):
     return jnp.sum(a * b)
 
 
-def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, Q, sigma_g,
-             sigma_a, odom_cov, acc_M2, pk):
+def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
+             Q, sigma_g, sigma_a, odom_cov, acc_M2, pk):
     """K=1 predict + evidence. ``pk`` is the packed small-input vector
     (layout ``_PK``). Returns (L_pred, h_pred, mu_pred, L_io, h_io, z_lin,
     xi_odom, z_lin_pose7, dpsi_accel, certs[len(PE_CERT_KEYS)])."""
@@ -815,10 +812,10 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, Q, sigma_g,
         cfg.imu_gravity_scale * GRAVITY_W[2], dt)])
 
     # ---- step 2: mechanized OU predict (ops/predict.py parity) -----------
-    A_prev = _sym_lift(L_prev, cfg.eps_lift)
-    Lc0 = _chol(A_prev)
-    cov_prev = _chol_solve(Lc0, _eye(D_Z, dt))
-    cov_prev = 0.5 * (cov_prev + cov_prev.T)
+    # cov_prev = (L_prev + eps_lift I)^{-1} is THREADED through the scan
+    # carry (the previous tail's Sigma_post; anchor drift leaves L
+    # unchanged) — kernel B's leading factorization + D_Z-RHS solve gone.
+    cov_prev = 0.5 * (sigma_prev + sigma_prev.T)
     R_anchor = se3.quat_to_R(anchor[3:7])
     pose_inc = mu_prev[IDX_POSE]
     vel_w = mu_prev[IDX_VEL]
@@ -1036,14 +1033,15 @@ def _kappa_from_resultant_s(R_bar, eps_r, r0, tau, dt):
 
 
 def _pe_kernel_body(cfg: GCConfig, L_prev_ref, h_prev_ref, anchor_ref,
-                    mu_prev_ref, Q_ref, sg_ref, sa_ref, cov_ref, M2_ref,
+                    mu_prev_ref, sigma_prev_ref, Q_ref, sg_ref, sa_ref,
+                    cov_ref, M2_ref,
                     pk_ref, Lp_out, hp_out, mup_out, Lio_out, hio_out,
                     zlin_out, small_out, dpsi_out, certs_out):
     (L_pred, h_pred, mean_pred, L_io, h_io, z_lin, xi_odom, z_lin_pose7,
      dpsi_accel, certs) = _pe_math(
         cfg, L_prev_ref[:], h_prev_ref[0, :], anchor_ref[0, :],
-        mu_prev_ref[0, :], Q_ref[:], sg_ref[:], sa_ref[:], cov_ref[:],
-        M2_ref[:], pk_ref[0, :])
+        mu_prev_ref[0, :], sigma_prev_ref[:], Q_ref[:], sg_ref[:], sa_ref[:],
+        cov_ref[:], M2_ref[:], pk_ref[0, :])
     Lp_out[:] = L_pred
     hp_out[0, :] = h_pred
     mup_out[0, :] = mean_pred
@@ -1055,7 +1053,8 @@ def _pe_kernel_body(cfg: GCConfig, L_prev_ref, h_prev_ref, anchor_ref,
     certs_out[0, :] = certs
 
 
-def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, Q,
+def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
+                     sigma_prev, Q,
                      sigma_g, sigma_a, odom_cov, acc_M2, *, dt_sec, pre_ess,
                      dt_int, dt_imu, grav_rbar, transport_sigma, pose_prev,
                      motion_rot, motion_p, motion_v, omega_avg, a_body_mean,
@@ -1092,11 +1091,11 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, Q,
     outs = pl.pallas_call(
         functools.partial(_pe_kernel_body, cfg),
         out_shape=out_shapes,
-        in_specs=[v] * 10,
+        in_specs=[v] * 11,
         out_specs=tuple([v] * len(out_shapes)),
         interpret=interpret,
-    )(L_prev, h_prev[None, :], anchor[None, :], mu_prev[None, :], Q,
-      sigma_g, sigma_a, odom_cov, acc_M2, pk)
+    )(L_prev, h_prev[None, :], anchor[None, :], mu_prev[None, :], sigma_prev,
+      Q, sigma_g, sigma_a, odom_cov, acc_M2, pk)
     (L_pred, h_pred, mu_pred, L_io, h_io, z_lin, small, dpsi_accel,
      certs) = outs
     return (L_pred, h_pred[0], mu_pred[0], L_io, h_io[0], z_lin[0],

@@ -49,7 +49,7 @@ class MotionDelta(NamedTuple):
 
 def predict_diffusion(b: Belief, Q, dt_sec, *, lambda_ou: float, eps_psd: float,
                       eps_lift: float, motion: Optional[MotionDelta] = None,
-                      mean_prev=None):
+                      mean_prev=None, cov_prev=None):
     """Returns (belief_pred, mean_pred, certs dict). All device-side.
 
     ``mean_pred`` is the exact mechanized mean the predicted belief encodes
@@ -60,7 +60,12 @@ def predict_diffusion(b: Belief, Q, dt_sec, *, lambda_ou: float, eps_psd: float,
     """
     if mean_prev is None:
         mean_prev, _ = spd_solve_lifted(b.L, b.h, eps_lift)
-    cov_prev, lift_prev = spd_inverse_lifted(b.L, eps_lift)
+    if cov_prev is None:
+        # ``cov_prev`` may be threaded in from the scan carry (the previous
+        # tail's (L + eps_lift I)^{-1}); identical to recomputing it here.
+        cov_prev, lift_prev = spd_inverse_lifted(b.L, eps_lift)
+    else:
+        lift_prev = jnp.full(b.h.shape[:-1], eps_lift, dtype=b.h.dtype)
     dtype = b.h.dtype
 
     # ---- mean mechanization --------------------------------------------------

@@ -60,7 +60,7 @@ from fl_slam_tpu.core.belief import (
 from fl_slam_tpu.core.hexgrid import (
     stencil_offsets_3d, stencil_tile_keys, tile_keys_from_xyz, xyz_to_tile_axial,
 )
-from fl_slam_tpu.core.linalg import spd_solve_lifted
+from fl_slam_tpu.core.linalg import spd_inverse_lifted, spd_solve_lifted
 from fl_slam_tpu.ops import association as assoc_ops
 from fl_slam_tpu.ops import belief_kernels
 from fl_slam_tpu.ops import deskew as deskew_ops
@@ -124,9 +124,11 @@ class PipelineState(NamedTuple):
                                 # scans (the tail produces them for free off
                                 # its existing factorization — no front-of-
                                 # scan batched Cholesky)
-    dt_var: jnp.ndarray         # () hyp-0 dt marginal variance
-                                # [(L + eps_lift I)^{-1}]_{dt,dt} (window
-                                # softness), threaded like mu
+    Sigma: jnp.ndarray          # (K_HYP, D_Z, D_Z) lifted covariances
+                                # (L + eps_lift I)^{-1}, threaded like mu:
+                                # feeds the OU predict's cov_prev (kernel B
+                                # skips its leading factorization) and the
+                                # dt marginal (window softness)
     hyp_weights: jnp.ndarray    # (K_HYP,)
     process_noise: noise_ops.ProcessNoiseIW
     meas_noise: noise_ops.MeasurementNoiseIW
@@ -243,12 +245,11 @@ def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
     S = cfg.n_active_tiles
     slots0 = jnp.arange(S, dtype=jnp.int32)
     mu0, _ = spd_solve_lifted(bank.L, bank.h, cfg.eps_lift)
-    e_dt = jnp.zeros((D_Z,), dtype=cfg.jdtype).at[IDX_DT.start].set(1.0)
-    col_dt, _ = spd_solve_lifted(bank.L[0], e_dt, cfg.eps_lift)
+    Sigma0, _ = spd_inverse_lifted(bank.L, cfg.eps_lift)
     return PipelineState(
         belief=bank,
         mu=mu0,
-        dt_var=col_dt[IDX_DT.start],
+        Sigma=0.5 * (Sigma0 + jnp.swapaxes(Sigma0, -1, -2)),
         hyp_weights=jnp.full((cfg.k_hyp,), 1.0 / cfg.k_hyp, dtype=cfg.jdtype),
         process_noise=noise_ops.init_process_noise(cfg),
         meas_noise=noise_ops.init_measurement_noise(cfg),
@@ -395,7 +396,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # can mechanize the prediction mean. Biases/start rotation come from
     # hypothesis 0 (all hypotheses see identical inputs; reference behavior).
     # The bank's previous means and the dt marginal are THREADED through the
-    # carry (state.mu / state.dt_var): the previous scan's tail produced them
+    # carry (state.mu / state.Sigma): the previous scan's tail produced them
     # off its own factorization, so the scan front runs zero Cholesky custom
     # calls (they used to be one batched (K, 22, 22) mean solve + one
     # triangular dt-column solve per scan).
@@ -406,7 +407,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     accel_bias = mu_prev0[IDX_BA]
     rotvec0 = pose_prev0[3:6]
 
-    dt_std = jnp.sqrt(jnp.maximum(state.dt_var, 0.0))
+    dt_std = jnp.sqrt(jnp.maximum(
+        state.Sigma[0, IDX_DT.start, IDX_DT.start], 0.0))
     # Window softness lives on the sensor time-offset scale (10-50 ms). The
     # reference only floors this (pipeline.py:438); without a ceiling a weak
     # initial dt prior (std ~ seconds) smears the windows flat and silently
@@ -471,12 +473,13 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     certs.update(c)
 
     # ---- steps 2+6 per hypothesis: mechanized predict + IMU/odom evidence -----
-    def predict_and_evidence(bel_prev: Belief, mu_prev):
+    def predict_and_evidence(bel_prev: Belief, mu_prev, sigma_prev):
         k_certs: dict = {}
         pose_prev = world_pose_from_increment(bel_prev, mu_prev)
         belief_pred, mu_pred, c = predict_ops.predict_diffusion(
             bel_prev, Q, dt_sec, lambda_ou=cfg.ou_lambda, eps_psd=cfg.eps_psd,
-            eps_lift=cfg.eps_lift, motion=motion, mean_prev=mu_prev)
+            eps_lift=cfg.eps_lift, motion=motion, mean_prev=mu_prev,
+            cov_prev=sigma_prev)
         k_certs.update(c)
         # Exact: h_pred = L_pred @ mu_pred by construction (predict returns
         # the mechanized mean; no lifted re-solve).
@@ -586,7 +589,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         bel0_prev = jax.tree.map(lambda a: a[0], state.belief)
         (L_pred0, h_pred0, mu_pred0, L_io0, h_io0, z_lin0, xi_odom0,
          z_lin_pose, dpsi_accel, kcertB) = belief_kernels.predict_evidence(
-            cfg, bel0_prev.L, bel0_prev.h, bel0_prev.anchor, mu_prev0, Q,
+            cfg, bel0_prev.L, bel0_prev.h, bel0_prev.anchor, mu_prev0,
+            state.Sigma[0], Q,
             sigma_g, sigma_a, scan.odom_cov, acc_M2, dt_sec=dt_sec,
             pre_ess=pre_int["ess"], dt_int=dt_int, dt_imu=dt_imu,
             grav_rbar=grav["rbar"], transport_sigma=grav["transport_sigma"],
@@ -611,7 +615,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
             xi_odom0)
     else:
         (beliefs_pred, mu_pred_k, L_io_k, h_io_k, z_lin_k, dz_odom_k,
-         certsA) = jax.vmap(predict_and_evidence)(state.belief, mu_prev_k)
+         certsA) = jax.vmap(predict_and_evidence)(state.belief, mu_prev_k,
+                                                  state.Sigma)
         certs.update(jax.tree.map(lambda a: a[0], certsA))
 
         bel0_pred = jax.tree.map(lambda a: a[0], beliefs_pred)
@@ -695,7 +700,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         L_ev_raw = L_io_k[0] + cfg.visual_evidence_weight * L_vis
         cond_p6 = fusion_ops.pose6_conditioning(L_ev_raw, cfg.eps_psd)
         (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out, pnu,
-         ppsi, mnu, mpsi, kcert, mu_next0, dt_var_new) = belief_kernels.scalar_tail(
+         ppsi, mnu, mpsi, kcert, mu_next0,
+         Sigma_next0) = belief_kernels.scalar_tail(
             cfg, bel0.L, bel0.h, bel0.anchor, mu_pred_k[0], L_io_k[0],
             h_io_k[0], z_lin_k[0], L_vis, h_vis_rel,
             dz_odom_k[0][IDX_POSE], state.process_noise.nu,
@@ -712,6 +718,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         beliefs_final = Belief(L=L_fin[None], h=h_fin[None],
                                anchor=anchor_fin[None])
         mu_next_k = mu_next0[None]
+        Sigma_next_k = Sigma_next0[None]
         w_norm = jnp.ones((1,), dtype=dt)
         proc_noise = noise_ops.ProcessNoiseIW(nu=pnu, psi=ppsi)
         meas_noise = noise_ops.MeasurementNoiseIW(nu=mnu, psi=mpsi)
@@ -868,14 +875,13 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
 
         z_t0 = z_t_k[0]
 
-        # Thread next scan's lifted means + dt marginal (the exact solves the
-        # scan front used to run — moved here so the carry always holds them;
-        # XLA CSEs the two factorizations of the same beliefs_final.L).
-        mu_next_k, _ = spd_solve_lifted(beliefs_final.L, beliefs_final.h,
-                                        cfg.eps_lift)
-        e_dt = jnp.zeros((D_Z,), dtype=dt).at[IDX_DT.start].set(1.0)
-        col_dt, _ = spd_solve_lifted(beliefs_final.L[0], e_dt, cfg.eps_lift)
-        dt_var_new = col_dt[IDX_DT.start]
+        # Thread next scan's lifted means + covariances (the solves the
+        # scan front / predict used to run — moved here so the carry always
+        # holds them; one batched factorization serves both).
+        Sigma_next_k, _ = spd_inverse_lifted(beliefs_final.L, cfg.eps_lift)
+        Sigma_next_k = 0.5 * (Sigma_next_k
+                              + jnp.swapaxes(Sigma_next_k, -1, -2))
+        mu_next_k = jnp.einsum("kij,kj->ki", Sigma_next_k, beliefs_final.h)
 
     # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
     # The whole scatter phase runs COMPACTLY on the view's (V, CF) rows:
@@ -918,7 +924,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     new_state = state._replace(
         belief=beliefs_final,
         mu=mu_next_k,
-        dt_var=dt_var_new,
+        Sigma=Sigma_next_k,
         hyp_weights=w_norm,
         process_noise=proc_noise,
         meas_noise=meas_noise,
