@@ -49,10 +49,12 @@ def batched_step(cfg: GCConfig, mesh: Mesh, axis: str = "inst",
     reader of ``states.atlas`` (export, metrics) must first reconcile with
     ``flush_states_batched`` — ``batched_replay`` does it for you.
     """
-    # pallas_call has no batching rule -> force the XLA slab-exchange path
-    # under the instance vmap.
+    # pallas_call under vmap traces (jax has a batching rule) but the
+    # batched kernels fail Mosaic lowering on this backend ("failed to
+    # legalize operation 'func.return'", probed 2026-08) -> force the XLA
+    # paths under the instance vmap.
     cfg = cfg.replace(slab_dma_kernel=False, sinkhorn_kernel=False,
-                      belief_kernel=False)
+                      belief_kernel=False, surfel_moment_kernel=False)
 
     def step(states, scans):
         return jax.vmap(lambda s, sc: process_scan(s, sc, cfg))(states, scans)
@@ -68,8 +70,9 @@ def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
 
     scans: ScanInput with leading axes (n_instances, T, ...).
     """
-    cfg = cfg.replace(slab_dma_kernel=False,   # no pallas batching rule
-                      sinkhorn_kernel=False, belief_kernel=False)
+    cfg = cfg.replace(slab_dma_kernel=False,   # see batched_step note
+                      sinkhorn_kernel=False, belief_kernel=False,
+                      surfel_moment_kernel=False)
 
     def run(states, scans):
         def one(state, scans_i):
