@@ -238,3 +238,45 @@ class TestInspectCovariances:
         g_line = [ln for ln in r.stdout.splitlines()
                   if ln.strip().startswith("gyro: empirical")][0]
         assert "consistent" in g_line, r.stdout
+
+
+class TestBagForensics:
+    def _bag(self, tmp_path):
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        import test_rosbag_io as T
+        rng = np.random.default_rng(7)
+        d = str(tmp_path / "bag")
+        os.makedirs(d)
+        T._make_bag(d, rng, n_scans=10)
+        return d
+
+    def test_first_messages_summary_runs(self, tmp_path):
+        d = self._bag(tmp_path)
+        r = _run(["tools/first_messages_summary.py", d, "--lidar", "/lidar",
+                  "--imu", "/imu", "--odom", "/odom", "-n", "3"])
+        assert r.returncode == 0, r.stderr
+        assert "topics in bag" in r.stdout
+        assert "gravity check" in r.stdout
+        assert "pose cov diag" in r.stdout
+
+    def test_estimate_imu_extrinsic_recovers_tilt(self, tmp_path):
+        # Synthetic bag's IMU is upright (accel ~ +Z g): the estimator must
+        # report near-zero tilt and a near-identity R_base_imu.
+        d = self._bag(tmp_path)
+        r = _run(["tools/estimate_imu_extrinsic.py", d, "--imu", "/imu"])
+        assert r.returncode == 0, r.stderr
+        tilt = [ln for ln in r.stdout.splitlines() if "tilt from +Z" in ln]
+        assert tilt and float(tilt[0].split(":")[1].split("deg")[0]) < 5.0
+
+    def test_rotvec_between_antipodal_and_aligned(self):
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from estimate_imu_extrinsic import rotvec_between
+        z = np.array([0.0, 0.0, 1.0])
+        assert np.linalg.norm(rotvec_between(z, z)) < 1e-12
+        rv = rotvec_between(z, -z)
+        assert abs(np.linalg.norm(rv) - np.pi) < 1e-9
+        v = np.array([1.0, 2.0, -0.5])
+        v = v / np.linalg.norm(v)
+        rv = rotvec_between(v, z)
+        from fl_slam_tpu.io.rosbag import rotvec_to_matrix
+        np.testing.assert_allclose(rotvec_to_matrix(rv) @ v, z, atol=1e-9)
