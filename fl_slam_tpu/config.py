@@ -355,6 +355,18 @@ class GCConfig:
     # the merge einsum + full-page stores cost more than the 448-column
     # drop scatter) — kept as tested infrastructure, default off.
     insert_page_dense: bool = False
+    # Camera features as MAP-INSERT proposals. Off = camera contributes
+    # pose evidence, fuse-into-existing mass and color provenance but never
+    # proposes new primitives (lidar surfels own map geometry). Ablation
+    # axis for the round-3 open issue (docs/PERF_NOTES.md): camera-derived
+    # point primitives at production budgets degraded accuracy
+    # weight-independently.
+    camera_insert: bool = True
+    # Project camera feature precisions onto their surface normal before
+    # the slice joins the measurement batch (see
+    # measurement_batch.with_camera_features) — keeps fused map primitives
+    # plane-formed instead of camera-isotropic.
+    camera_lambda_normal: bool = False
     # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
     # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;
     # K>1/MHT and CPU use the XLA reference path. Same vmap caveat.

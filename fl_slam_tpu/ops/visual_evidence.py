@@ -65,7 +65,21 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     # original einsum form traced ~28 us/scan in pure padding traffic).
     xx, xy, xz, yy, yz, zz = (cp[..., 7 + i] for i in range(6))  # (N, K) each
     s_meas = (jnp.trace(meas_prec_w, axis1=-2, axis2=-1) / 3.0)  # (N,)
-    W = pi * s_meas[:, None]                                    # (N, K)
+    # PAIR precision, not measurement precision: the residual d = map - meas
+    # carries BOTH uncertainties, so its scalar information is the harmonic
+    # mean s_meas s_map / (s_meas + s_map) <= min(s_meas, s_map). For
+    # lidar-vs-map (comparable scales) this is a benign ~0.5x rescale; for
+    # CAMERA features (mm-scale backprojection precision, 2-4 orders above
+    # the map's) it caps the row at the map's own information — without it
+    # 512 camera rows dominate L_t weight-independently (the round-3 open
+    # issue: production 200-scan eval degraded 0.12 -> 0.52 m camera-on).
+    # Harmonic MEAN (2ab/(a+b)): identity at s_meas == s_map (so lidar
+    # behavior — all tuning swept at s_meas — is preserved), cap 2 s_map as
+    # s_meas -> inf.
+    s_map = cp[..., 17]                                         # (N, K)
+    s_pair = (2.0 * s_meas[:, None] * s_map
+              / jnp.maximum(s_meas[:, None] + s_map, cfg.eps_lift))
+    W = pi * s_pair                                             # (N, K)
     L_t_w = sym6_to_mat33(jnp.einsum("nk,nks->s", W, cp[..., 7:13]))
     target = map_pos - meas_pos_w[:, None, :]                   # (N, K, 3)
     tx, ty, tz = target[..., 0], target[..., 1], target[..., 2]

@@ -906,6 +906,11 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # mid-chunk insert becomes view-matchable at the next membership refresh
     # (<= R-1 scans; merge-reduce absorbs interim duplicates).
     nov = assoc_ops.novelty_mass(assoc, batch_w.valid, cfg.eps_mass)
+    if not cfg.camera_insert:
+        # Camera features contribute EVIDENCE + fuse-into-existing only;
+        # their novelty never proposes map primitives (see
+        # GCConfig.camera_insert for the production-scale rationale).
+        nov = nov * (batch_w.sources == mb.SOURCE_LIDAR).astype(nov.dtype)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
     if cfg.view_page:
