@@ -95,8 +95,11 @@ def with_camera_features(batch: MeasurementBatch, cfg: GCConfig, *,
         s_n = jnp.einsum("ni,nij,nj->n", nn, Lambdas, nn)     # (N,)
         mu = jnp.einsum("nij,nj->ni", inv3x3(Lambdas, cfg.eps_lift), thetas)
         eye = jnp.eye(3, dtype=dt)
-        Lambdas = (s_n[:, None, None] * jnp.einsum("ni,nj->nij", nn, nn)
-                   + cfg.eps_psd * eye)
+        # In-plane floor RELATIVE to the normal precision (1e-4 s_n): keeps
+        # the implied mean exact against the eps_lift re-solve while staying
+        # 4 orders below the normal direction (plane form preserved).
+        Lambdas = s_n[:, None, None] * (
+            jnp.einsum("ni,nj->nij", nn, nn) + 1e-4 * eye)
         thetas = jnp.einsum("nij,nj->ni", Lambdas, mu)
     s = slice(0, cfg.n_feat)
     return batch._replace(
