@@ -362,11 +362,6 @@ class GCConfig:
     # point primitives at production budgets degraded accuracy
     # weight-independently.
     camera_insert: bool = True
-    # Project camera feature precisions onto their surface normal before
-    # the slice joins the measurement batch (see
-    # measurement_batch.with_camera_features) — keeps fused map primitives
-    # plane-formed instead of camera-isotropic.
-    camera_lambda_normal: bool = False
     # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
     # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;
     # K>1/MHT and CPU use the XLA reference path. Same vmap caveat.

@@ -76,31 +76,13 @@ def with_camera_features(batch: MeasurementBatch, cfg: GCConfig, *,
     """Fill the camera slice ``[0, n_feat)`` (parity:
     ``measurement_batch_from_camera_splats``).
 
-    ``cfg.camera_lambda_normal``: a camera feature constrains the SURFACE
-    along its normal (depth); its in-plane position is texture, not
-    geometry. Fusing the raw near-isotropic backprojection precision into
-    the map makes fused primitives isotropic — the point-to-plane shape
-    weighting then degenerates to point-to-point for exactly the most
-    camera-supported primitives (production-scale trans ATE damage,
-    docs/PERF_NOTES.md open issue). Projecting onto the primary-lobe
-    (surface-normal) direction keeps the map's plane structure:
-    Lambda' = (n^T Lambda n) n n^T + eps I. Mean (theta) is preserved:
-    theta' = Lambda' mu.
+    (Normal-PROJECTING the camera precisions here was tried against the
+    round-3 camera accuracy issue and REJECTED: worse at small budgets
+    — in-plane corner information is real geometry — and NaN at f32
+    production scale from the near-singular plane-form Lambdas. The
+    resolved mechanism was the evidence-side pair precision instead; see
+    ops/visual_evidence.py and docs/PERF_NOTES.md.)
     """
-    if cfg.camera_lambda_normal:
-        dt = Lambdas.dtype
-        n0 = etas[:, 0, :]
-        nn = n0 / jnp.maximum(jnp.linalg.norm(n0, axis=-1, keepdims=True),
-                              1e-12)
-        s_n = jnp.einsum("ni,nij,nj->n", nn, Lambdas, nn)     # (N,)
-        mu = jnp.einsum("nij,nj->ni", inv3x3(Lambdas, cfg.eps_lift), thetas)
-        eye = jnp.eye(3, dtype=dt)
-        # In-plane floor RELATIVE to the normal precision (1e-4 s_n): keeps
-        # the implied mean exact against the eps_lift re-solve while staying
-        # 4 orders below the normal direction (plane form preserved).
-        Lambdas = s_n[:, None, None] * (
-            jnp.einsum("ni,nj->nij", nn, nn) + 1e-4 * eye)
-        thetas = jnp.einsum("nij,nj->ni", Lambdas, mu)
     s = slice(0, cfg.n_feat)
     return batch._replace(
         Lambdas=batch.Lambdas.at[s].set(Lambdas),

@@ -160,39 +160,3 @@ class TestNativeExtractor:
             good = patch[np.isfinite(patch) & (patch > 1e-3)]
             assert abs(feats.z[j] - np.median(good)) < 0.6
 
-
-def test_camera_lambda_normal_projection_preserves_mean():
-    """camera_lambda_normal: Lambda' is plane-form along the primary-lobe
-    normal (in-plane precision ~eps), and the implied mean is preserved."""
-    import jax.numpy as jnp
-    from fl_slam_tpu.config import GCConfig
-    from fl_slam_tpu.core.linalg import inv3x3
-    from fl_slam_tpu.structures import measurement_batch as mb
-
-    cfg = GCConfig.small(camera_lambda_normal=True, n_feat=4)
-    rng = np.random.default_rng(0)
-    A = rng.normal(size=(4, 3, 3))
-    Lam = jnp.asarray(A @ np.transpose(A, (0, 2, 1))
-                      + 50.0 * np.eye(3), cfg.jdtype)
-    mu = jnp.asarray(rng.normal(size=(4, 3)), cfg.jdtype)
-    theta = jnp.einsum("nij,nj->ni", Lam, mu)
-    n = rng.normal(size=(4, 3))
-    n = n / np.linalg.norm(n, axis=1, keepdims=True)
-    etas = jnp.zeros((4, cfg.vmf_n_lobes, 3), cfg.jdtype).at[:, 0, :].set(
-        jnp.asarray(5.0 * n, cfg.jdtype))
-    batch = mb.with_camera_features(
-        mb.empty_batch(cfg), cfg, Lambdas=Lam, thetas=theta, etas=etas,
-        weights=jnp.ones((4,), cfg.jdtype),
-        valid=jnp.ones((4,), bool), colors=jnp.zeros((4, 3), cfg.jdtype))
-    Lp = np.asarray(batch.Lambdas[:4])
-    # mean preserved
-    mu_back = np.einsum("nij,nj->ni", np.asarray(
-        inv3x3(jnp.asarray(Lp), cfg.eps_lift)), np.asarray(batch.thetas[:4]))
-    np.testing.assert_allclose(mu_back, np.asarray(mu), rtol=1e-5, atol=1e-6)
-    # plane-form: normal-direction precision = n^T Lam n; in-plane ~ eps_psd
-    for i in range(4):
-        s_n = n[i] @ np.asarray(Lam[i]) @ n[i]
-        assert abs(n[i] @ Lp[i] @ n[i] - s_n) / s_n < 2e-4
-        t = np.cross(n[i], [1.0, 0.3, -0.2])
-        t = t / np.linalg.norm(t)
-        assert t @ Lp[i] @ t < 2e-4 * s_n
