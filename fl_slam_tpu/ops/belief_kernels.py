@@ -70,7 +70,9 @@ CERT_KEYS = (
     "recompose.pose_increment_norm", "recompose.effect_predicted",
     "recompose.effect_realized",
     "anchor.rho", "anchor.drift_m", "anchor.drift_r",
-    "anchor.effect_predicted",
+    "anchor.effect_predicted", "anchor.effect_realized",
+    "visual.implied_dtrans_norm", "visual.implied_dz",
+    "visual.implied_drot_norm",
     "hyp.floor_adjustment", "hyp.psd_projection", "hyp.spread_proxy",
     "hyp.ess",
     "iw_process.psd_projection", "iw_process.effect_predicted",
@@ -386,6 +388,28 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     z_drift = (1.0 - rho) * dz_new
     h_fin = _mv(L_post, z_drift)
 
+    # anchor ExpectedEffect realized = |Log(anchor_rec^{-1} o anchor_fin)|
+    # (previously outside the kernel "needs arctan2" — _quat_to_rotvec_s
+    # covers it; each outside scalar-op chain costs ~2-10 us of per-op
+    # issue overhead on this single-instruction-stream device).
+    qb, qa = anchor_rec[3:7], anchor_fin[3:7]
+    qb_c = jnp.stack([qb[0], -qb[1], -qb[2], -qb[3]])  # conj (capture-free)
+    q_rel = se3.quat_normalize(se3.quat_mul(qb_c, qa))
+    t_rel = se3.quat_rotate(qb_c, anchor_fin[0:3] - anchor_rec[0:3])
+    w_rel = _quat_to_rotvec_s(q_rel)
+    rho_rel = _mv(se3.so3_V_inv(w_rel), t_rel)
+    eff_real = jnp.sqrt(jnp.sum(rho_rel * rho_rel) + jnp.sum(w_rel * w_rel))
+
+    # Diagnostics: the pose correction the visual evidence ALONE would
+    # apply at z_lin (pipeline parity; 6x6 lifted solve, lift 1e-9).
+    Lp6 = L_vis[0:6, 0:6]
+    rhs6 = h_vis_rel[0:6] + _mv(Lp6, z_lin[0:6])
+    A6 = _sym_lift(Lp6, 1e-9)
+    dz_vis = _chol_solve(_chol(A6), rhs6[:, None]).T[0, :] - z_lin[0:6]
+    vis_dt_norm = jnp.sqrt(jnp.sum(dz_vis[0:3] * dz_vis[0:3]))
+    vis_dz = dz_vis[2]
+    vis_dr_norm = jnp.sqrt(jnp.sum(dz_vis[3:6] * dz_vis[3:6]))
+
     # ---- mean/covariance threading: NEXT scan's lifted mean + Sigma ------
     # The next scan needs mu = (L_post + eps_lift I)^{-1} h_fin, the dt
     # marginal variance (window softness) and cov_prev for the OU predict —
@@ -412,6 +436,7 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     Lc2 = _chol(A2)
     mean_bar = _chol_solve(Lc2, h_bar[:, None]).T[0, :]
     pose7_out = _pose7_plus(anchor_fin, mean_bar[IDX_POSE])
+    pose6_out = _pose6_from_pose7_s(pose7_out)
 
 
     # ---- IW apply (ops/noise.py parity) -----------------------------------
@@ -461,11 +486,12 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         alpha * _tr(L_ev), trace_inc,
         strength, _norm(corr), _norm(delta_corr), _norm(delta_pose),
         _norm(delta_corr),
-        rho, drift_m, drift_r, rho * _norm(dpd),
+        rho, drift_m, drift_r, rho * _norm(dpd), eff_real,
+        vis_dt_norm, vis_dz, vis_dr_norm,
         floor_adjust, hyp_proj, spread, hyp_ess,
         jnp.zeros((), dt), iw_pred, iw_real, jnp.zeros((), dt),
     ])
-    return (L_post, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
+    return (L_post, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
             pnu_new, psi_psd, mnu_new, mpsi_psd, certs, mu_next, Sigma_post)
 
 
@@ -489,14 +515,14 @@ def _kernel_body(cfg: GCConfig,
                      dz_odom_ref[0, :], pnu_ref[0, :], ppsi_ref[:],
                      mnu_ref[0, :], mpsi_ref[:], dg_ref[:], da_ref[:],
                      dl_ref[:], scal_ref[0, :])
-    (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
+    (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
      pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post) = out
     L_out_ref[:] = L_fin
     h_out_ref[0, :] = h_fin
     anchor_fin_ref[0, :] = anchor_fin
     anchor_rec_ref[0, :] = anchor_rec
     z_drift_ref[0, :] = z_drift
-    pose7_ref[0, :] = pose7_out
+    pose7_ref[0, :] = pose6_out
     pnu_out_ref[0, :] = pnu_new
     ppsi_out_ref[:] = ppsi_new
     mnu_out_ref[0, :] = mnu_new
@@ -512,7 +538,7 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
                 grav_proj, cond_p6, *, interpret: bool | None = None):
     """Run the scalar tail as ONE kernel. All inputs are the K=1 slices.
 
-    Returns (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
+    Returns (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
     pnu', ppsi', mnu', mpsi', certs_vec[len(CERT_KEYS)], mu_next,
     Sigma_post) — (L_fin, h_fin, anchor_fin) is the post-drift state belief
     (K axis stripped); mu_next/Sigma_post are the NEXT scan's lifted mean
@@ -533,7 +559,7 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jax.ShapeDtypeStruct((1, 7), dt),       # anchor_fin
         jax.ShapeDtypeStruct((1, 7), dt),       # anchor_rec
         jax.ShapeDtypeStruct((1, n), dt),       # z_drift
-        jax.ShapeDtypeStruct((1, 7), dt),       # pose7_out
+        jax.ShapeDtypeStruct((1, 6), dt),       # pose6_out (published pose)
         jax.ShapeDtypeStruct((1, 7), dt),       # pnu
         jax.ShapeDtypeStruct((7, 6, 6), dt),    # ppsi
         jax.ShapeDtypeStruct((1, 3), dt),       # mnu
@@ -552,10 +578,10 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
       h_io[None, :], z_lin[None, :], L_vis, h_vis_rel[None, :],
       dz_odom[None, :], pnu[None, :], ppsi, mnu[None, :], mpsi,
       dpsi_gyro, dpsi_accel, dpsi_lidar, scal)
-    (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out,
+    (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
      pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post) = outs
     return (L_fin, h_fin[0], anchor_fin[0], anchor_rec[0], z_drift[0],
-            pose7_out[0], pnu_new[0], ppsi_new, mnu_new[0], mpsi_new,
+            pose6_out[0], pnu_new[0], ppsi_new, mnu_new[0], mpsi_new,
             certs[0], mu_next[0], Sigma_post)
 
 

@@ -664,15 +664,18 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         mu_w, batch_w.Lambdas, dir_w, kap, batch_w.valid, assoc, view,
         z_lin_pose, cfg)
     certs.update(c)
-    # Diagnostics: correction the visual evidence alone would apply at z_lin.
-    dz_vis, _ = spd_solve_lifted(L_vis[IDX_POSE, IDX_POSE],
-                                 h_vis_rel[IDX_POSE]
-                                 + L_vis[IDX_POSE, IDX_POSE] @ z_lin0[IDX_POSE],
-                                 1e-9)
-    dz_vis_rel = dz_vis - z_lin0[IDX_POSE]
-    certs["visual.implied_dtrans_norm"] = jnp.linalg.norm(dz_vis_rel[:3])
-    certs["visual.implied_dz"] = dz_vis_rel[2]
-    certs["visual.implied_drot_norm"] = jnp.linalg.norm(dz_vis_rel[3:6])
+    if not belief_kernels.use_scalar_tail_kernel(cfg):
+        # Diagnostics: correction the visual evidence alone would apply at
+        # z_lin (the kernel path emits these from inside scalar_tail — every
+        # outside scalar-op chain costs ~2-10 us of per-op issue overhead).
+        dz_vis, _ = spd_solve_lifted(L_vis[IDX_POSE, IDX_POSE],
+                                     h_vis_rel[IDX_POSE]
+                                     + L_vis[IDX_POSE, IDX_POSE]
+                                     @ z_lin0[IDX_POSE], 1e-9)
+        dz_vis_rel = dz_vis - z_lin0[IDX_POSE]
+        certs["visual.implied_dtrans_norm"] = jnp.linalg.norm(dz_vis_rel[:3])
+        certs["visual.implied_dz"] = dz_vis_rel[2]
+        certs["visual.implied_drot_norm"] = jnp.linalg.norm(dz_vis_rel[3:6])
 
     # LiDAR measurement-noise IW suffstats from weighted residuals.
     map_pos_cand = assoc.cand_packed[..., 0:3]
@@ -699,7 +702,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         # missing beta factor only shifts which eigenvalues hit the floor).
         L_ev_raw = L_io_k[0] + cfg.visual_evidence_weight * L_vis
         cond_p6 = fusion_ops.pose6_conditioning(L_ev_raw, cfg.eps_psd)
-        (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose7_out, pnu,
+        (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out, pnu,
          ppsi, mnu, mpsi, kcert, mu_next0,
          Sigma_next0) = belief_kernels.scalar_tail(
             cfg, bel0.L, bel0.h, bel0.anchor, mu_pred_k[0], L_io_k[0],
@@ -712,9 +715,6 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
                 "imu_grav.psd_projection")], cond_p6)
         certs["fusion.cond_pose6"] = cond_p6
         certs["__packed__:tail"] = kcert   # spliced by replay's pack()
-        # needs quat_to_rotvec (arctan2): ~10 ops, kept outside the kernel
-        certs["anchor.effect_realized"] = jnp.linalg.norm(
-            se3.pose7_minus(anchor_fin, anchor_rec))
         beliefs_final = Belief(L=L_fin[None], h=h_fin[None],
                                anchor=anchor_fin[None])
         mu_next_k = mu_next0[None]
@@ -722,7 +722,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         w_norm = jnp.ones((1,), dtype=dt)
         proc_noise = noise_ops.ProcessNoiseIW(nu=pnu, psi=ppsi)
         meas_noise = noise_ops.MeasurementNoiseIW(nu=mnu, psi=mpsi)
-        pose_out = se3.pose6_from_pose7(pose7_out)
+        pose_out = pose6_out
         z_t0 = anchor_rec
     else:
         # ---- steps 9-13 per hypothesis: temper + fuse + recompose + drift ----------
