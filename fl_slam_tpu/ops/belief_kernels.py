@@ -419,6 +419,13 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     # carry deletes kernel B's leading 22x22 factorization + D_Z-RHS solve
     # as well as the front-of-scan batched Cholesky custom calls.
     mu_next = z_drift - cfg.eps_lift * _mv(Sigma_post, z_drift)
+    # Pose plumbing for the NEXT scan's front and this scan's map update:
+    # the world pose the threaded mean encodes (+ its rotation matrix) and
+    # the recompose anchor's rotation — previously rebuilt outside as scalar
+    # quaternion chains (per-op issue stalls).
+    pose_prev7_next = _pose7_plus(anchor_fin, mu_next[IDX_POSE])
+    R_prev_next = se3.quat_to_R(pose_prev7_next[3:7])
+    R_rec = se3.quat_to_R(anchor_rec[3:7])
 
     # ---- step 15: barycenter at K=1 (ops/hypothesis.py parity) -----------
     w1 = jnp.maximum(jnp.asarray(1.0, dt), cfg.hyp_weight_floor)
@@ -492,7 +499,8 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jnp.zeros((), dt), iw_pred, iw_real, jnp.zeros((), dt),
     ])
     return (L_post, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
-            pnu_new, psi_psd, mnu_new, mpsi_psd, certs, mu_next, Sigma_post)
+            pnu_new, psi_psd, mnu_new, mpsi_psd, certs, mu_next, Sigma_post,
+            pose_prev7_next, R_prev_next, R_rec)
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +515,7 @@ def _kernel_body(cfg: GCConfig,
                  L_out_ref, h_out_ref, anchor_fin_ref, anchor_rec_ref,
                  z_drift_ref, pose7_ref, pnu_out_ref, ppsi_out_ref,
                  mnu_out_ref, mpsi_out_ref, certs_ref, mu_out_ref,
-                 sigma_out_ref):
+                 sigma_out_ref, pprev_out_ref, rprev_out_ref, rrec_out_ref):
     out = _tail_math(cfg,
                      L_pred_ref[:], h_pred_ref[0, :], anchor_ref[0, :],
                      mu_pred_ref[0, :], L_io_ref[:], h_io_ref[0, :],
@@ -516,7 +524,8 @@ def _kernel_body(cfg: GCConfig,
                      mnu_ref[0, :], mpsi_ref[:], dg_ref[:], da_ref[:],
                      dl_ref[:], scal_ref[0, :])
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
-     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post) = out
+     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post,
+     pose_prev7_next, R_prev_next, R_rec) = out
     L_out_ref[:] = L_fin
     h_out_ref[0, :] = h_fin
     anchor_fin_ref[0, :] = anchor_fin
@@ -530,6 +539,9 @@ def _kernel_body(cfg: GCConfig,
     certs_ref[0, :] = certs
     mu_out_ref[0, :] = mu_next
     sigma_out_ref[:] = Sigma_post
+    pprev_out_ref[0, :] = pose_prev7_next
+    rprev_out_ref[:] = R_prev_next
+    rrec_out_ref[:] = R_rec
 
 
 def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
@@ -567,6 +579,9 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jax.ShapeDtypeStruct((1, len(CERT_KEYS)), dt),
         jax.ShapeDtypeStruct((1, n), dt),       # mu_next (mean threading)
         jax.ShapeDtypeStruct((n, n), dt),       # Sigma_post (cov threading)
+        jax.ShapeDtypeStruct((1, 7), dt),       # pose_prev7 for next scan
+        jax.ShapeDtypeStruct((3, 3), dt),       # R(pose_prev7)
+        jax.ShapeDtypeStruct((3, 3), dt),       # R(anchor_rec) for map update
     )
     outs = pl.pallas_call(
         functools.partial(_kernel_body, cfg),
@@ -579,10 +594,12 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
       dz_odom[None, :], pnu[None, :], ppsi, mnu[None, :], mpsi,
       dpsi_gyro, dpsi_accel, dpsi_lidar, scal)
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
-     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post) = outs
+     pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post,
+     pose_prev7_next, R_prev_next, R_rec) = outs
     return (L_fin, h_fin[0], anchor_fin[0], anchor_rec[0], z_drift[0],
             pose6_out[0], pnu_new[0], ppsi_new, mnu_new[0], mpsi_new,
-            certs[0], mu_next[0], Sigma_post)
+            certs[0], mu_next[0], Sigma_post, pose_prev7_next[0],
+            R_prev_next, R_rec)
 
 
 # ===========================================================================
@@ -822,7 +839,7 @@ def _vdot(a, b):
 
 
 def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
-             Q, sigma_g, sigma_a, odom_cov, acc_M2, pk):
+             R_prev_in, Q, sigma_g, sigma_a, odom_cov, acc_M2, pk):
     """K=1 predict + evidence. ``pk`` is the packed small-input vector
     (layout ``_PK``). Returns (L_pred, h_pred, mu_pred, L_io, h_io, z_lin,
     xi_odom, z_lin_pose7, dpsi_accel, certs[len(PE_CERT_KEYS)])."""
@@ -926,7 +943,7 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
     dt_pos = jnp.maximum(dt_int, 0.0)
     dt_eff = dt_pos + cfg.eps_mass
     mass_scale = dt_pos / dt_eff
-    R_start = se3.so3_exp(pose_prev[3:6])
+    R_start = R_prev_in   # threaded (tail's quat_to_R)
     R_end_imu = _mm3(R_start, se3.so3_exp(motion_rot))
     R_end_pred = se3.so3_exp(pose_pred[3:6])
     r_rot_g = _so3_log_s(_mm3(R_end_pred.T, R_end_imu))
@@ -996,7 +1013,7 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
     L7, h7 = _emb_scalar(IDX_ROT.start + 2, prec_wz, r_wz, dt)
     c_wz = (0.5 * r_wz * r_wz * prec_wz, r_wz)
 
-    R_prev_k = se3.so3_exp(pose_prev[3:6])
+    R_prev_k = R_prev_in
     R_curr_k = se3.so3_exp(pose_pred[3:6])
     r_trans_k = (_mv(R_prev_k, g("odom_vel")) * dt_sec
                  - (pose_pred[0:3] - pose_prev[0:3]))
@@ -1059,15 +1076,16 @@ def _kappa_from_resultant_s(R_bar, eps_r, r0, tau, dt):
 
 
 def _pe_kernel_body(cfg: GCConfig, L_prev_ref, h_prev_ref, anchor_ref,
-                    mu_prev_ref, sigma_prev_ref, Q_ref, sg_ref, sa_ref,
-                    cov_ref, M2_ref,
+                    mu_prev_ref, sigma_prev_ref, rprev_ref, Q_ref, sg_ref,
+                    sa_ref, cov_ref, M2_ref,
                     pk_ref, Lp_out, hp_out, mup_out, Lio_out, hio_out,
-                    zlin_out, small_out, dpsi_out, certs_out):
+                    zlin_out, small_out, dpsi_out, certs_out, rzlin_out):
     (L_pred, h_pred, mean_pred, L_io, h_io, z_lin, xi_odom, z_lin_pose7,
      dpsi_accel, certs) = _pe_math(
         cfg, L_prev_ref[:], h_prev_ref[0, :], anchor_ref[0, :],
-        mu_prev_ref[0, :], sigma_prev_ref[:], Q_ref[:], sg_ref[:], sa_ref[:],
-        cov_ref[:], M2_ref[:], pk_ref[0, :])
+        mu_prev_ref[0, :], sigma_prev_ref[:], rprev_ref[:], Q_ref[:],
+        sg_ref[:], sa_ref[:], cov_ref[:], M2_ref[:], pk_ref[0, :])
+    rzlin_out[:] = se3.quat_to_R(z_lin_pose7[3:7])
     Lp_out[:] = L_pred
     hp_out[0, :] = h_pred
     mup_out[0, :] = mean_pred
@@ -1080,7 +1098,7 @@ def _pe_kernel_body(cfg: GCConfig, L_prev_ref, h_prev_ref, anchor_ref,
 
 
 def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
-                     sigma_prev, Q,
+                     sigma_prev, R_prev, Q,
                      sigma_g, sigma_a, odom_cov, acc_M2, *, dt_sec, pre_ess,
                      dt_int, dt_imu, grav_rbar, transport_sigma, pose_prev,
                      motion_rot, motion_p, motion_v, omega_avg, a_body_mean,
@@ -1113,19 +1131,20 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
         jax.ShapeDtypeStruct((1, 13), dt),     # [xi_odom(6), z_lin_pose7(7)]
         jax.ShapeDtypeStruct((3, 3), dt),      # dpsi_accel
         jax.ShapeDtypeStruct((1, len(PE_CERT_KEYS)), dt),
+        jax.ShapeDtypeStruct((3, 3), dt),      # R(z_lin_pose7) for transforms
     )
     outs = pl.pallas_call(
         functools.partial(_pe_kernel_body, cfg),
         out_shape=out_shapes,
-        in_specs=[v] * 11,
+        in_specs=[v] * 12,
         out_specs=tuple([v] * len(out_shapes)),
         interpret=interpret,
     )(L_prev, h_prev[None, :], anchor[None, :], mu_prev[None, :], sigma_prev,
-      Q, sigma_g, sigma_a, odom_cov, acc_M2, pk)
+      R_prev, Q, sigma_g, sigma_a, odom_cov, acc_M2, pk)
     (L_pred, h_pred, mu_pred, L_io, h_io, z_lin, small, dpsi_accel,
-     certs) = outs
+     certs, R_zlin) = outs
     return (L_pred, h_pred[0], mu_pred[0], L_io, h_io[0], z_lin[0],
-            small[0, 0:6], small[0, 6:13], dpsi_accel, certs[0])
+            small[0, 0:6], small[0, 6:13], dpsi_accel, certs[0], R_zlin)
 
 
 PACKED_CERT_GROUPS["__packed__:tail"] = CERT_KEYS

@@ -135,7 +135,7 @@ def prefix_products(dR):
 
 
 def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
-                 accel_bias, gravity_w):
+                 accel_bias, gravity_w, R_start=None):
     """Fixed-length weighted IMU preintegration, parallelized.
 
     Math identical to the reference's sequential ``lax.scan``
@@ -151,7 +151,8 @@ def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
       ess, a_body_mean, a_world_nog_mean, a_world_mean, dt_eff_sum.
     """
     dt = imu_dt_intervals(stamps)
-    R_start = se3.so3_exp(rotvec_start)
+    if R_start is None:
+        R_start = se3.so3_exp(rotvec_start)
     dt_eff = weights * dt                                    # (M,)
     omega = gyro - gyro_bias                                 # (M, 3)
     a_body = accel - accel_bias                              # (M, 3)

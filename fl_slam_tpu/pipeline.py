@@ -129,6 +129,11 @@ class PipelineState(NamedTuple):
                                 # feeds the OU predict's cov_prev (kernel B
                                 # skips its leading factorization) and the
                                 # dt marginal (window softness)
+    pose_prev7: jnp.ndarray     # (7,) hyp-0 world pose the threaded mean
+                                # encodes (anchor + Exp(mu[pose])), and
+    R_prev: jnp.ndarray         # (3, 3) its rotation — produced by the tail
+                                # so the scan front runs no scalar
+                                # quaternion chains
     hyp_weights: jnp.ndarray    # (K_HYP,)
     process_noise: noise_ops.ProcessNoiseIW
     meas_noise: noise_ops.MeasurementNoiseIW
@@ -246,10 +251,13 @@ def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
     slots0 = jnp.arange(S, dtype=jnp.int32)
     mu0, _ = spd_solve_lifted(bank.L, bank.h, cfg.eps_lift)
     Sigma0, _ = spd_inverse_lifted(bank.L, cfg.eps_lift)
+    pose_prev7 = se3.pose7_plus(bank.anchor[0], mu0[0, IDX_POSE])
     return PipelineState(
         belief=bank,
         mu=mu0,
         Sigma=0.5 * (Sigma0 + jnp.swapaxes(Sigma0, -1, -2)),
+        pose_prev7=pose_prev7,
+        R_prev=se3.quat_to_R(pose_prev7[3:7]),
         hyp_weights=jnp.full((cfg.k_hyp,), 1.0 / cfg.k_hyp, dtype=cfg.jdtype),
         process_noise=noise_ops.init_process_noise(cfg),
         meas_noise=noise_ops.init_measurement_noise(cfg),
@@ -402,10 +410,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # triangular dt-column solve per scan).
     mu_prev_k = state.mu
     mu_prev0 = mu_prev_k[0]
-    pose_prev0 = world_pose_from_increment(bel0_prev, mu_prev0)
     gyro_bias = mu_prev0[IDX_BG]
     accel_bias = mu_prev0[IDX_BA]
-    rotvec0 = pose_prev0[3:6]
 
     dt_std = jnp.sqrt(jnp.maximum(
         state.Sigma[0, IDX_DT.start, IDX_DT.start], 0.0))
@@ -424,8 +430,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # count halves and every 3x3 level of the blocked prefix product stays
     # a single batched einsum.
     pre2 = jax.vmap(lambda w: imu_ops.preintegrate(
-        scan.imu_stamps, scan.imu_gyro, scan.imu_accel, w, rotvec0,
-        gyro_bias, accel_bias, gravity_w))(jnp.stack([w_scan, w_int]))
+        scan.imu_stamps, scan.imu_gyro, scan.imu_accel, w, None,
+        gyro_bias, accel_bias, gravity_w, R_start=state.R_prev))(jnp.stack([w_scan, w_int]))
     pre_scan = jax.tree.map(lambda a: a[0], pre2)
     pre_int = jax.tree.map(lambda a: a[1], pre2)
 
@@ -588,13 +594,16 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
             scan.imu_accel, w_int, accel_bias, cfg.eps_mass)
         bel0_prev = jax.tree.map(lambda a: a[0], state.belief)
         (L_pred0, h_pred0, mu_pred0, L_io0, h_io0, z_lin0, xi_odom0,
-         z_lin_pose, dpsi_accel, kcertB) = belief_kernels.predict_evidence(
+         z_lin_pose, dpsi_accel, kcertB,
+         R_zlin) = belief_kernels.predict_evidence(
             cfg, bel0_prev.L, bel0_prev.h, bel0_prev.anchor, mu_prev0,
-            state.Sigma[0], Q,
+            state.Sigma[0], state.R_prev, Q,
             sigma_g, sigma_a, scan.odom_cov, acc_M2, dt_sec=dt_sec,
             pre_ess=pre_int["ess"], dt_int=dt_int, dt_imu=dt_imu,
             grav_rbar=grav["rbar"], transport_sigma=grav["transport_sigma"],
-            pose_prev=pose_prev0, motion_rot=motion.delta_rotvec,
+            pose_prev=jnp.concatenate([state.pose_prev7[0:3],
+                                       jnp.zeros((3,), dtype=dt)]),
+            motion_rot=motion.delta_rotvec,
             motion_p=motion.delta_p_body, motion_v=motion.delta_v_body,
             omega_avg=omega_avg, a_body_mean=pre_int["a_body_mean"],
             odom_vel=scan.odom_vel_body, odom_omega=scan.odom_omega_body,
@@ -621,6 +630,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
 
         bel0_pred = jax.tree.map(lambda a: a[0], beliefs_pred)
         z_lin0 = z_lin_k[0]
+        R_zlin = None
         z_lin_pose = se3.pose7_plus(bel0_pred.anchor, z_lin0[IDX_POSE])
 
         # accel IW suffstats at the hyp-0 predicted rotation
@@ -643,7 +653,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         batch, cfg, Lambdas=scan.cam_Lambdas, thetas=scan.cam_thetas,
         etas=scan.cam_etas, weights=scan.cam_weights,
         valid=scan.cam_valid > 0.5, colors=scan.cam_colors)
-    batch_w = mb.transform_to_world(batch, z_lin_pose, eps_lift=cfg.eps_lift)
+    batch_w = mb.transform_to_world(batch, z_lin_pose, eps_lift=cfg.eps_lift,
+                                    R=R_zlin)
 
     # The candidate view derives from the RESIDENT rows (updated in place by
     # fuse/merge, so mid-chunk scans see the freshest data; only MEMBERSHIP
@@ -703,8 +714,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         L_ev_raw = L_io_k[0] + cfg.visual_evidence_weight * L_vis
         cond_p6 = fusion_ops.pose6_conditioning(L_ev_raw, cfg.eps_psd)
         (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out, pnu,
-         ppsi, mnu, mpsi, kcert, mu_next0,
-         Sigma_next0) = belief_kernels.scalar_tail(
+         ppsi, mnu, mpsi, kcert, mu_next0, Sigma_next0, pose_prev7_next,
+         R_prev_next, R_rec) = belief_kernels.scalar_tail(
             cfg, bel0.L, bel0.h, bel0.anchor, mu_pred_k[0], L_io_k[0],
             h_io_k[0], z_lin_k[0], L_vis, h_vis_rel,
             dz_odom_k[0][IDX_POSE], state.process_noise.nu,
@@ -724,6 +735,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         meas_noise = noise_ops.MeasurementNoiseIW(nu=mnu, psi=mpsi)
         pose_out = pose6_out
         z_t0 = anchor_rec
+        R_zt = R_rec
     else:
         # ---- steps 9-13 per hypothesis: temper + fuse + recompose + drift ----------
         def fuse_and_recompose(belief_pred: Belief, mu_pred, L_io, h_io, z_lin):
@@ -882,6 +894,10 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         Sigma_next_k = 0.5 * (Sigma_next_k
                               + jnp.swapaxes(Sigma_next_k, -1, -2))
         mu_next_k = jnp.einsum("kij,kj->ki", Sigma_next_k, beliefs_final.h)
+        pose_prev7_next = se3.pose7_plus(beliefs_final.anchor[0],
+                                         mu_next_k[0, IDX_POSE])
+        R_prev_next = se3.quat_to_R(pose_prev7_next[3:7])
+        R_zt = None
 
     # ---- step 12b: map update at hypothesis 0's z_t ----------------------------
     # The whole scatter phase runs COMPACTLY on the view's (V, CF) rows:
@@ -891,7 +907,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # with its below-threshold proposals pre-culled). Reference order was
     # fuse -> insert -> cull -> forget -> merge; each reordering delta is
     # bounded to one scan and documented on the respective atlas op.
-    batch_t = mb.transform_to_world(batch, z_t0, eps_lift=cfg.eps_lift)
+    batch_t = mb.transform_to_world(batch, z_t0, eps_lift=cfg.eps_lift,
+                                    R=R_zt)
     rows, c = atlas_ops.compact_fuse(view, batch_t, assoc.responsibilities,
                                      assoc.cand_view_idx, assoc.cand_valid,
                                      seq, cfg)
@@ -930,6 +947,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         belief=beliefs_final,
         mu=mu_next_k,
         Sigma=Sigma_next_k,
+        pose_prev7=pose_prev7_next,
+        R_prev=R_prev_next,
         hyp_weights=w_norm,
         process_noise=proc_noise,
         meas_noise=meas_noise,

@@ -118,19 +118,24 @@ def kappas(batch: MeasurementBatch) -> jnp.ndarray:
 
 
 def transform_to_world(batch: MeasurementBatch, pose_wb, *,
-                       eps_lift: float) -> MeasurementBatch:
+                       eps_lift: float, R=None) -> MeasurementBatch:
     """Push the batch from body frame to world frame at pose ``[t, rotvec]``
     (6-vector) or ``[t, quat wxyz]`` (7-vector, the anchor form).
 
     Gaussian pushforward (parity: pipeline.py transform_gaussian_to_world):
       Lambda_w = R Lambda R^T, mu_w = R mu + t, theta_w = Lambda_w mu_w;
     vMF lobes rotate: eta_w = R eta.
+
+    ``R`` may be threaded in (e.g. emitted by the belief kernels) to skip
+    the scalar quaternion->matrix chain, whose per-op issue stalls cost
+    more than the math on TPU.
     """
     from fl_slam_tpu.core import se3
-    if pose_wb.shape[-1] == 7:
-        R = se3.quat_to_R(pose_wb[3:7])
-    else:
-        R = se3.so3_exp(pose_wb[3:6])
+    if R is None:
+        if pose_wb.shape[-1] == 7:
+            R = se3.quat_to_R(pose_wb[3:7])
+        else:
+            R = se3.so3_exp(pose_wb[3:6])
     t = pose_wb[:3]
     Lambda_w = jnp.einsum("ij,njk,lk->nil", R, batch.Lambdas, R)
     mu_b = jnp.einsum("nij,nj->ni", inv3x3(batch.Lambdas, eps_lift), batch.thetas)

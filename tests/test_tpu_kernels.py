@@ -125,13 +125,15 @@ def test_predict_evidence_device_matches_interpret():
               grav_xbar=jnp.asarray([0.05, 0.02, 0.99], dt) / 0.9925,
               acc_m1=v3(0.1) + jnp.asarray([0, 0, 9.8], dt),
               acc_sw=jnp.float32(0.999))
+    from fl_slam_tpu.core import se3
     L_prev = spd(22, 10.)
     sigma_prev = jnp.linalg.inv(L_prev + 1e-9 * jnp.eye(22, dtype=dt))
     sigma_prev = 0.5 * (sigma_prev + sigma_prev.T)
+    R_prev = se3.so3_exp(kw["pose_prev"][3:6]).astype(dt)
     args = (L_prev, jnp.asarray(rng.normal(size=22).astype(np.float32)),
             jnp.asarray(np.array([1., 2., .3, 1., 0, 0, 0], np.float32)),
             jnp.asarray(rng.normal(size=22).astype(np.float32) * 0.01),
-            sigma_prev,
+            sigma_prev, R_prev,
             spd(22, .01), spd(3, .001), spd(3, .01), spd(6, .01), spd(3, .1))
     dev = jax.jit(lambda *a: bk.predict_evidence(cfg, *a, **kw))(*args)
     itp = bk.predict_evidence(cfg, *args, **kw, interpret=True)
