@@ -362,6 +362,18 @@ class GCConfig:
     # point primitives at production budgets degraded accuracy
     # weight-independently.
     camera_insert: bool = True
+    # Scale on the GEOMETRY (Lambda, theta) contribution of camera-source
+    # rows in the map fuse — mean-preserving (mu = Lambda^{-1} theta is
+    # unchanged), mass-reducing. 1.0 = reference PoE fuse. The round-5
+    # camera residual gap (docs/PERF_NOTES.md: camera-on 0.174 m vs 0.124 m
+    # camera-off at production scale) was suspected fuse-side: camera
+    # backprojection Lambdas are near-isotropic, so fusing them into
+    # lidar-surfel primitives fattens the in-plane precision and erodes the
+    # plane form that the point-to-plane evidence relies on. 0.0 = camera
+    # rows still fuse weight/color/appearance (vMF) mass but leave the
+    # Gaussian geometry to lidar. Applies ONLY to fuse-into-existing; camera
+    # INSERT proposals (camera_insert) keep their full Lambda.
+    camera_fuse_geom_scale: float = 1.0
     # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
     # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;
     # K>1/MHT and CPU use the XLA reference path. Same vmap caveat.

@@ -721,20 +721,31 @@ def slabs_from_ff(sf: SlabsFF, S: int) -> Slabs:
 
 
 def _fuse_base_rows(batch_w: MeasurementBatch, cf: int, dt,
-                    marker_row: int | None = None):
+                    marker_row: int | None = None,
+                    cam_geom_scale: float = 1.0):
     """Per-measurement (N, CF) additive contribution rows in field order.
     ``marker_row`` (optional) gets a 1.0 support marker — ``ff_fuse`` rides
     it through its scatter on a spare pad row (compact_fuse needs none: it
-    tests the weight delta directly)."""
+    tests the weight delta directly). ``cam_geom_scale`` scales camera rows'
+    (Lambda, theta) jointly (mean-preserving; see
+    GCConfig.camera_fuse_geom_scale) — fuse call sites pass the config
+    value; the insert path keeps the default 1.0 (created primitives need
+    their full precision)."""
     N = batch_w.weights.shape[0]
     is_cam = (batch_w.sources == 0).astype(dt)
     is_lid = (batch_w.sources == 1).astype(dt)
     w = batch_w.weights
     col = jnp.clip(batch_w.colors, 0.0, 1.0)
     n_pad = cf - _O_ETA - batch_w.etas.shape[1] * 3
+    lam6 = mat33_to_sym6(batch_w.Lambdas)
+    th = batch_w.thetas
+    if cam_geom_scale != 1.0:
+        gs = (1.0 - (1.0 - cam_geom_scale) * is_cam)[:, None]
+        lam6 = lam6 * gs
+        th = th * gs
     base = jnp.concatenate([
-        mat33_to_sym6(batch_w.Lambdas),                      # (N, 6)
-        batch_w.thetas,                                      # (N, 3)
+        lam6,                                                # (N, 6)
+        th,                                                  # (N, 3)
         (w * is_cam)[:, None] * col,                         # (N, 3) rgb_acc
         w[:, None],                                          # weights
         (w * is_cam)[:, None],                               # cam_mass
@@ -787,7 +798,8 @@ def ff_fuse(sf: SlabsFF, batch_w: MeasurementBatch, resp: jnp.ndarray,
     # stored seq (~seq * 6e-8).
     has_pad = cf > _O_ETA + batch_w.etas.shape[1] * 3
     marker = cf - 1 if has_pad else o + _ROW_LS
-    base = _fuse_base_rows(batch_w, cf, dt, marker_row=marker)
+    base = _fuse_base_rows(batch_w, cf, dt, marker_row=marker,
+                           cam_geom_scale=cfg.camera_fuse_geom_scale)
     vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 
     # Stage 1: compact per-view-row accumulation (contiguous windows).
@@ -835,7 +847,8 @@ def compact_fuse(view: MapView, batch_w: MeasurementBatch, resp: jnp.ndarray,
     dt = raw.dtype
     r = resp * batch_w.valid[:, None].astype(dt) * cand_valid.astype(dt)
     rf = r.reshape(-1)
-    base = _fuse_base_rows(batch_w, cf, dt)
+    base = _fuse_base_rows(batch_w, cf, dt,
+                           cam_geom_scale=cfg.camera_fuse_geom_scale)
     N, K = r.shape
     vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 

@@ -166,6 +166,46 @@ class TestAtlas:
         # Supported primitives got stamped with the new scan seq.
         assert int(jnp.max(atlas.last_supported)) == 1
 
+    def test_camera_fuse_geom_scale(self, rng):
+        """camera_fuse_geom_scale=0: camera-source rows fuse weight/color/
+        appearance mass but contribute NO Gaussian geometry (Lambda/theta);
+        lidar rows are unaffected (GCConfig.camera_fuse_geom_scale)."""
+        cfg0 = GCConfig.small(camera_fuse_geom_scale=0.0)
+
+        def run(cfg):
+            atlas = atlas_mod.empty_atlas(CFG)
+            atlas, slots, _, _, keys = self._active(atlas)
+            pts = make_plane_points(rng, n=300, center=(0.2, 0.1, 0.0))
+            batch, _, _ = surfel_batch_from_points(pts)
+            novelty = jnp.where(batch.valid, 1.0, 0.0).astype(CFG.jdtype)
+            mu = mb.mean_positions(batch, CFG.eps_lift)
+            meas_keys = tile_keys_from_xyz(mu, CFG.h_tile)
+            atlas, _ = atlas_mod.insert(atlas, batch, novelty, meas_keys,
+                                        keys, slots, 0, CFG)
+            # Re-fuse the same batch relabeled as CAMERA-source rows.
+            cam = batch._replace(
+                sources=jnp.zeros_like(batch.sources))  # SOURCE_CAMERA
+            view = atlas_mod.extract_view(atlas, slots, CFG)
+            mdir = mb.mean_directions(cam, CFG.eps_mass)
+            assoc, _ = associate(mu, mdir, mb.kappas(cam), cam.valid, view,
+                                 1, CFG)
+            atlas2, _ = atlas_mod.fuse(atlas, cam, assoc.responsibilities,
+                                       assoc.cand_view_idx, assoc.cand_valid,
+                                       view.slab_idx, 1, cfg, slots=slots)
+            return atlas, atlas2
+
+        rng_state = rng.bit_generator.state
+        before, after = run(CFG)
+        assert float(jnp.sum(sym6_trace(after.lam6, axis=0))) > \
+            float(jnp.sum(sym6_trace(before.lam6, axis=0)))
+        rng.bit_generator.state = rng_state   # identical points both runs
+        before0, after0 = run(cfg0)
+        np.testing.assert_allclose(np.asarray(after0.lam6),
+                                   np.asarray(before0.lam6), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(after0.theta),
+                                   np.asarray(before0.theta), rtol=0, atol=0)
+        assert float(jnp.sum(after0.weights)) > float(jnp.sum(before0.weights))
+
     def test_forget_cull_recency(self, rng):
         atlas = atlas_mod.empty_atlas(CFG)
         atlas, slots, _, _, keys = self._active(atlas)

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--tpu", action="store_true",
                     help="run on the accelerator (default: CPU, hermetic)")
+    ap.add_argument("--camera", action="store_true",
+                    help="simulate the RGB-D camera slice (the round-3/5 "
+                    "camera accuracy issue's benchmark)")
     ap.add_argument("--json", default=None, help="write results JSON here")
     ap.add_argument("overrides", nargs="*",
                     help="GCConfig overrides as key=value")
@@ -69,7 +72,8 @@ def main():
 
     rows = []
     for seed in range(args.seeds):
-        ds = simulate(cfg, n_scans=args.scans, seed=seed, **drift)
+        ds = simulate(cfg, n_scans=args.scans, seed=seed,
+                      with_camera=args.camera, **drift)
         scans = to_scan_inputs(ds, cfg)
         state = init_state(cfg, t0=float(ds.gt_stamps[0]) - 0.1)
         t0 = time.perf_counter()
