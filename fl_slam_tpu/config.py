@@ -373,6 +373,9 @@ class GCConfig:
     # rows still fuse weight/color/appearance (vMF) mass but leave the
     # Gaussian geometry to lidar. Applies ONLY to fuse-into-existing; camera
     # INSERT proposals (camera_insert) keep their full Lambda.
+    # Valid range [0, 1]; values outside are clamped at the consumption site
+    # (_fuse_base_rows) — a negative scale would SUBTRACT camera precision
+    # from fused primitives and silently break the Lambda^-1 theta decode.
     camera_fuse_geom_scale: float = 1.0
     # Run the per-scan scalar belief tail (steps 9-15 + IW apply) as one
     # Pallas kernel (ops/belief_kernels.py) — only active on TPU at k_hyp=1;

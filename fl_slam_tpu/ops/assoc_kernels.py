@@ -84,13 +84,21 @@ def sinkhorn_piT(logKT, log_a, *, n_iter: int, ua: float, vb: float,
     dt = logKT.dtype
     log_a2 = jnp.nan_to_num(log_a, nan=_LOG_ZERO, neginf=_LOG_ZERO,
                             posinf=0.0).reshape(1, N).astype(dt)
+    # Full-array blocks with EXPLICIT i32 index maps (not the bare
+    # memory_space=VMEM default): the default index map's literals trace as
+    # i64 under global x64, and when jax.vmap batches this call (replicas
+    # instance axis) the composed index map returns (i32, i64, i64), which
+    # Mosaic cannot legalize ("failed to legalize operation 'func.return'").
+    # With i32 maps the native batching rule (leading batch grid dim) works.
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda: (jnp.int32(0),) * len(shape),
+        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_sinkhorn_body, int(n_iter), float(ua), float(vb),
                           float(log_b)),
         out_shape=jax.ShapeDtypeStruct((K, N), dt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[full((K, N)), full((1, N))],
+        out_specs=full((K, N)),
         interpret=interpret,
     )(logKT, log_a2)
 

@@ -18,9 +18,13 @@ TPU-first redesign:
   - Sinkhorn runs in log domain (stable in float32 on TPU); the update rule is
     algebraically identical to the reference's multiplicative form
     (``_sinkhorn_unbalanced_fixed_k_jax``): fixed iterations, unbalanced KL
-    relaxation exponents ua = 1/(1+tau_a/eps), vb = 1/(1+tau_b/eps),
-    a = uniform over valid measurements, b = uniform 1/K over candidate slots,
-    pi used directly as transported mass (NO row normalization, spec 5.7.3).
+    relaxation (standard Chizat exponents, see the deliberate-fix note below),
+    a = WEIGHT-PROPORTIONAL over valid measurements with a mean-weight floor
+    (the round-2 accuracy fix — see the marginal construction in
+    ``associate``; the reference uses a uniform marginal, which hands
+    near-zero-weight rows a full transport budget), b = uniform 1/K over
+    candidate slots, pi used directly as transported mass (NO row
+    normalization, spec 5.7.3).
 
 Cost (parity): C = ||dx||^2 + beta * (1 - BC_vMF) + eps * lambda_recency * dt,
 row-min subtracted; invalid candidates masked to 1e12.

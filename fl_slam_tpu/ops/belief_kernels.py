@@ -507,6 +507,12 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
+def _full_spec(shape):
+    """Whole-array VMEM block with an explicit i32 index map (vmap-safe)."""
+    return pl.BlockSpec(shape, lambda: (jnp.int32(0),) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
 def _kernel_body(cfg: GCConfig,
                  L_pred_ref, h_pred_ref, anchor_ref, mu_pred_ref, L_io_ref,
                  h_io_ref, z_lin_ref, L_vis_ref, h_vis_ref, dz_odom_ref,
@@ -564,7 +570,6 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         interpret = FORCE_INTERPRET and jax.default_backend() != "tpu"
     scal = jnp.stack([ess_pre, ot_ess, ot_cost, grav_proj,
                       cond_p6]).astype(dt)[None, :]
-    v = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((n, n), dt),       # L_bar
         jax.ShapeDtypeStruct((1, n), dt),       # h_bar
@@ -583,16 +588,21 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         jax.ShapeDtypeStruct((3, 3), dt),       # R(pose_prev7)
         jax.ShapeDtypeStruct((3, 3), dt),       # R(anchor_rec) for map update
     )
+    operands = (L_pred, h_pred[None, :], anchor[None, :], mu_pred[None, :],
+                L_io, h_io[None, :], z_lin[None, :], L_vis,
+                h_vis_rel[None, :], dz_odom[None, :], pnu[None, :], ppsi,
+                mnu[None, :], mpsi, dpsi_gyro, dpsi_accel, dpsi_lidar, scal)
     outs = pl.pallas_call(
         functools.partial(_kernel_body, cfg),
         out_shape=out_shapes,
-        in_specs=[v] * 18,
-        out_specs=tuple([v] * len(out_shapes)),
+        # full-array blocks with explicit i32 index maps so jax.vmap's
+        # batching rule (instance axis in parallel/replicas.py) composes
+        # all-i32 index maps — the bare memory_space=VMEM default traces
+        # i64 literals under x64, which Mosaic fails to legalize.
+        in_specs=[_full_spec(op.shape) for op in operands],
+        out_specs=tuple(_full_spec(o.shape) for o in out_shapes),
         interpret=interpret,
-    )(L_pred, h_pred[None, :], anchor[None, :], mu_pred[None, :], L_io,
-      h_io[None, :], z_lin[None, :], L_vis, h_vis_rel[None, :],
-      dz_odom[None, :], pnu[None, :], ppsi, mnu[None, :], mpsi,
-      dpsi_gyro, dpsi_accel, dpsi_lidar, scal)
+    )(*operands)
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
      pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post,
      pose_prev7_next, R_prev_next, R_rec) = outs
@@ -1119,7 +1129,6 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
         odom_vel, odom_omega, odom_pose, grav_xbar, acc_m1,
         jnp.stack([acc_sw]).astype(dt)])[None, :]
     assert pk.shape[1] == _PK_LEN + 1, pk.shape
-    v = pl.BlockSpec(memory_space=pltpu.VMEM)
     n = D_Z
     out_shapes = (
         jax.ShapeDtypeStruct((n, n), dt),      # L_pred
@@ -1133,14 +1142,16 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
         jax.ShapeDtypeStruct((1, len(PE_CERT_KEYS)), dt),
         jax.ShapeDtypeStruct((3, 3), dt),      # R(z_lin_pose7) for transforms
     )
+    operands = (L_prev, h_prev[None, :], anchor[None, :], mu_prev[None, :],
+                sigma_prev, R_prev, Q, sigma_g, sigma_a, odom_cov, acc_M2, pk)
     outs = pl.pallas_call(
         functools.partial(_pe_kernel_body, cfg),
         out_shape=out_shapes,
-        in_specs=[v] * 12,
-        out_specs=tuple([v] * len(out_shapes)),
+        # explicit i32 index maps: see scalar_tail (vmap batching needs them)
+        in_specs=[_full_spec(op.shape) for op in operands],
+        out_specs=tuple(_full_spec(o.shape) for o in out_shapes),
         interpret=interpret,
-    )(L_prev, h_prev[None, :], anchor[None, :], mu_prev[None, :], sigma_prev,
-      R_prev, Q, sigma_g, sigma_a, odom_cov, acc_M2, pk)
+    )(*operands)
     (L_pred, h_pred, mu_pred, L_io, h_io, z_lin, small, dpsi_accel,
      certs, R_zlin) = outs
     return (L_pred, h_pred[0], mu_pred[0], L_io, h_io[0], z_lin[0],

@@ -28,11 +28,11 @@ def make_mesh(devices=None, axis: str = "inst") -> Mesh:
 
 
 def init_states_batched(cfg: GCConfig, n_instances: int,
-                        anchors0=None) -> PipelineState:
+                        anchors0=None, t0: float = 0.0) -> PipelineState:
     """Stacked PipelineState with a leading instance axis."""
     def one(i):
         anchor = None if anchors0 is None else anchors0[i]
-        return init_state(cfg, anchor0=anchor)
+        return init_state(cfg, anchor0=anchor, t0=t0)
     states = [one(i) for i in range(n_instances)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
@@ -49,12 +49,12 @@ def batched_step(cfg: GCConfig, mesh: Mesh, axis: str = "inst",
     reader of ``states.atlas`` (export, metrics) must first reconcile with
     ``flush_states_batched`` — ``batched_replay`` does it for you.
     """
-    # pallas_call under vmap traces (jax has a batching rule) but the
-    # batched kernels fail Mosaic lowering on this backend ("failed to
-    # legalize operation 'func.return'", probed 2026-08) -> force the XLA
-    # paths under the instance vmap.
-    cfg = cfg.replace(slab_dma_kernel=False, sinkhorn_kernel=False,
-                      belief_kernel=False, surfel_moment_kernel=False)
+    # Kernels stay ON under the instance vmap (round-3 fix): the round-2
+    # "failed to legalize 'func.return'" Mosaic failure was the DEFAULT
+    # BlockSpec index maps tracing i64 literals under x64 when jax's
+    # batching rule composes them — every kernel now carries explicit i32
+    # index maps (and the slab-DMA kernel a custom_vmap instance rule), so
+    # the batched programs lower natively.
 
     def step(states, scans):
         return jax.vmap(lambda s, sc: process_scan(s, sc, cfg))(states, scans)
@@ -70,18 +70,19 @@ def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
 
     scans: ScanInput with leading axes (n_instances, T, ...).
     """
-    cfg = cfg.replace(slab_dma_kernel=False,   # see batched_step note
-                      sinkhorn_kernel=False, belief_kernel=False,
-                      surfel_moment_kernel=False)
+    # Kernels ON under the instance vmap — see batched_step note.
 
     def run(states, scans):
-        def one(state, scans_i):
-            def body(carry, scan):
-                return process_scan(carry, scan, cfg)
-            final, outs = jax.lax.scan(body, state, scans_i)
-            from fl_slam_tpu.pipeline import flush_slabs
-            return flush_slabs(final), outs
-        return jax.vmap(one)(states, scans)
+        # vmap the SAME chunked replay driver as the single-instance bench:
+        # round-3 bisect showed the earlier hand-rolled lax.scan(process_scan)
+        # ran at the R=1 reference cadence, paying the per-chunk map
+        # maintenance (view selection sorts + slab gathers over the ~360 MB
+        # field block) EVERY scan — the dominant share of the 17x per-instance
+        # slowdown (21.6 ms vs 1.26 ms single). ``replay`` amortizes it to
+        # 1/view_refresh_every and already ends with flush_slabs, so the
+        # returned pools are reconciled.
+        from fl_slam_tpu.pipeline import replay
+        return jax.vmap(lambda s, sc: replay(s, sc, cfg))(states, scans)
 
     shard = NamedSharding(mesh, P(axis))
     # Donate the input states: without it the input AND output instance

@@ -41,14 +41,21 @@ def _versioned_cache_dir() -> str:
     # set; this (virtualized) host exposes different features run to run, and
     # a loaded mismatch "could lead to execution errors such as SIGILL"
     # (xla cpu_aot_loader) — observed as fatal suite crashes. Key the cache
-    # by a fingerprint of the visible CPU flags.
-    try:
-        import hashlib
-        with open("/proc/cpuinfo") as fh:
-            flags = next((ln for ln in fh if ln.startswith("flags")), "")
-        key += "-" + hashlib.sha1(flags.encode()).hexdigest()[:8]
-    except Exception:
-        pass
+    # by a fingerprint of the visible CPU flags — but ONLY when the process
+    # is pinned to the CPU backend (tests / dryrun): TPU executables do not
+    # depend on host CPU features, and fingerprinting them guaranteed a cold
+    # cache (and a 500-1,500 s replay compile) on every driver run because
+    # this virtualized host never shows the same flags twice
+    # (round-2 verdict, BENCH_r02.json compile_s=1548.6).
+    platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    if platforms == "cpu":
+        try:
+            import hashlib
+            with open("/proc/cpuinfo") as fh:
+                flags = next((ln for ln in fh if ln.startswith("flags")), "")
+            key += "-cpu" + hashlib.sha1(flags.encode()).hexdigest()[:8]
+        except Exception:
+            pass
     return f"/tmp/gc_jax_cache_{key}"
 
 

@@ -739,6 +739,9 @@ def _fuse_base_rows(batch_w: MeasurementBatch, cf: int, dt,
     n_pad = cf - _O_ETA - batch_w.etas.shape[1] * 3
     lam6 = mat33_to_sym6(batch_w.Lambdas)
     th = batch_w.thetas
+    # clamp to the documented [0, 1] range: gs < 0 flips the sign of the
+    # camera rows' (Lambda, theta) contribution (indefinite fused Lambda)
+    cam_geom_scale = min(max(cam_geom_scale, 0.0), 1.0)
     if cam_geom_scale != 1.0:
         gs = (1.0 - (1.0 - cam_geom_scale) * is_cam)[:, None]
         lam6 = lam6 * gs

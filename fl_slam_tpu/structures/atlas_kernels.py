@@ -67,8 +67,91 @@ def _exchange_kernel(S: int, refresh_ref, oslots_ref, nslots_ref,
                 pool_p.at[nslot(s)], slab_p.at[jnp.int32(s)], sem.at[jnp.int32(1), jnp.int32(s)]).wait()
 
 
-def _exchange_tpu(pool_f, pool_p, slab_f, slab_p, old_slots, new_slots,
-                  refresh):
+def _exchange_kernel_batched(S: int, refresh_ref, oslots_ref, nslots_ref,
+                             pool_f_in, pool_p_in, slab_f_in, slab_p_in,
+                             pool_f, pool_p, slab_f, slab_p, sem):
+    """Grid (B,) instance-batched twin of ``_exchange_kernel``. Scalars carry
+    a leading instance axis (refresh (B,), slots (B, S)); tensor refs are the
+    whole batched arrays (ANY memory space) indexed by the grid position, so
+    each instance's exchange stays predicated on ITS OWN refresh flag."""
+
+    i32 = jnp.int32
+    b = pl.program_id(0)
+
+    @pl.when(refresh_ref[b] != 0)
+    def _():
+        def oslot(s):
+            return oslots_ref[b, i32(s)].astype(jnp.int32)
+
+        def nslot(s):
+            return nslots_ref[b, i32(s)].astype(jnp.int32)
+
+        for s in range(S):
+            pltpu.make_async_copy(
+                slab_f.at[b, i32(s)], pool_f.at[b, oslot(s)],
+                sem.at[i32(0), i32(s)]).start()
+            pltpu.make_async_copy(
+                slab_p.at[b, i32(s)], pool_p.at[b, oslot(s)],
+                sem.at[i32(1), i32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(
+                slab_f.at[b, i32(s)], pool_f.at[b, oslot(s)],
+                sem.at[i32(0), i32(s)]).wait()
+            pltpu.make_async_copy(
+                slab_p.at[b, i32(s)], pool_p.at[b, oslot(s)],
+                sem.at[i32(1), i32(s)]).wait()
+        for s in range(S):
+            pltpu.make_async_copy(
+                pool_f.at[b, nslot(s)], slab_f.at[b, i32(s)],
+                sem.at[i32(0), i32(s)]).start()
+            pltpu.make_async_copy(
+                pool_p.at[b, nslot(s)], slab_p.at[b, i32(s)],
+                sem.at[i32(1), i32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(
+                pool_f.at[b, nslot(s)], slab_f.at[b, i32(s)],
+                sem.at[i32(0), i32(s)]).wait()
+            pltpu.make_async_copy(
+                pool_p.at[b, nslot(s)], slab_p.at[b, i32(s)],
+                sem.at[i32(1), i32(s)]).wait()
+
+
+def _exchange_tpu_batched(refresh, old_slots, new_slots, pool_f, pool_p,
+                          slab_f, slab_p):
+    """Instance-batched predicated exchange: every operand has a leading B
+    axis. One pallas_call, grid (B,) (sequential — DMA issue is ~free and the
+    copies themselves are HBM-bandwidth-bound either way)."""
+    B, S = slab_f.shape[:2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,              # refresh, old_slots, new_slots
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2, S))],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(pool_f.shape, pool_f.dtype),
+        jax.ShapeDtypeStruct(pool_p.shape, pool_p.dtype),
+        jax.ShapeDtypeStruct(slab_f.shape, slab_f.dtype),
+        jax.ShapeDtypeStruct(slab_p.shape, slab_p.dtype),
+    ]
+    return pl.pallas_call(
+        functools.partial(_exchange_kernel_batched, S),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # instances index SHARED whole-array refs: keep the grid
+            # sequential so megacore cannot interleave two instances' DMAs
+            # on one semaphore array
+            dimension_semantics=("arbitrary",)),
+    )(refresh, old_slots, new_slots, pool_f, pool_p, slab_f, slab_p)
+
+
+@jax.custom_batching.custom_vmap
+def _exchange_tpu(refresh, old_slots, new_slots, pool_f, pool_p, slab_f,
+                  slab_p):
     S = slab_f.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,              # refresh, old_slots, new_slots
@@ -92,6 +175,28 @@ def _exchange_tpu(pool_f, pool_p, slab_f, slab_p, old_slots, new_slots,
         input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(refresh, old_slots, new_slots, pool_f, pool_p, slab_f, slab_p)
+
+
+@_exchange_tpu.def_vmap
+def _exchange_tpu_vmap(axis_size, in_batched, refresh, old_slots, new_slots,
+                       pool_f, pool_p, slab_f, slab_p):
+    """Instance-axis batching rule. Without this, jax's generic fallback for
+    scalar-prefetch kernels (_batch_with_explicit_loop) dynamic-slices the
+    FULL per-instance pool in and out of the loop body every scan — hundreds
+    of MB of pure copy traffic. The batched kernel touches only the slabs
+    being exchanged, exactly like the single-instance one."""
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x[None], (axis_size,) + x.shape)
+    args = [bc(a, b) for a, b in zip(
+        (refresh, old_slots, new_slots, pool_f, pool_p, slab_f, slab_p),
+        in_batched)]
+    # per-instance refresh is (1,); batched it arrives (B, 1) -> flatten
+    args[0] = args[0].reshape(axis_size)
+    outs = _exchange_tpu_batched(*args)
+    # pallas_call returns a list; the primal returns the same structure —
+    # make both a tuple so the batching spec matches
+    return tuple(outs), (True,) * 4
 
 
 def _exchange_kernel_ff(S: int, M: int, refresh_ref, oslots_ref, nslots_ref,
@@ -140,6 +245,111 @@ def _exchange_kernel_ff(S: int, M: int, refresh_ref, oslots_ref, nslots_ref,
                                   sem.at[i32(1), i32(s)]).wait()
 
 
+def _exchange_kernel_ff_batched(S: int, M: int, refresh_ref, oslots_ref,
+                                nslots_ref, pool_f_in, pool_p_in, ff_in,
+                                fp_in, pool_f, pool_p, ff, fp, sem):
+    """Grid (B,) instance-batched twin of ``_exchange_kernel_ff``."""
+
+    i32 = jnp.int32
+    b = pl.program_id(0)
+
+    @pl.when(refresh_ref[b] != 0)
+    def _():
+        def oslot(s):
+            return oslots_ref[b, i32(s)].astype(jnp.int32)
+
+        def nslot(s):
+            return nslots_ref[b, i32(s)].astype(jnp.int32)
+
+        def ffblk(s):
+            return ff.at[b, :, pl.ds(s * M, M)]
+
+        def fpblk(s):
+            return fp.at[b, i32(s)]
+
+        for s in range(S):
+            pltpu.make_async_copy(ffblk(s), pool_f.at[b, oslot(s)],
+                                  sem.at[i32(0), i32(s)]).start()
+            pltpu.make_async_copy(fpblk(s), pool_p.at[b, oslot(s)],
+                                  sem.at[i32(1), i32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(ffblk(s), pool_f.at[b, oslot(s)],
+                                  sem.at[i32(0), i32(s)]).wait()
+            pltpu.make_async_copy(fpblk(s), pool_p.at[b, oslot(s)],
+                                  sem.at[i32(1), i32(s)]).wait()
+        for s in range(S):
+            pltpu.make_async_copy(pool_f.at[b, nslot(s)], ffblk(s),
+                                  sem.at[i32(0), i32(s)]).start()
+            pltpu.make_async_copy(pool_p.at[b, nslot(s)], fpblk(s),
+                                  sem.at[i32(1), i32(s)]).start()
+        for s in range(S):
+            pltpu.make_async_copy(pool_f.at[b, nslot(s)], ffblk(s),
+                                  sem.at[i32(0), i32(s)]).wait()
+            pltpu.make_async_copy(pool_p.at[b, nslot(s)], fpblk(s),
+                                  sem.at[i32(1), i32(s)]).wait()
+
+
+@jax.custom_batching.custom_vmap
+def _exchange_tpu_ff(refresh, old_slots, new_slots, pool_f, pool_p3, ff,
+                     fp3):
+    """ff-layout predicated exchange (operands pre-reshaped: pool_p3
+    (P, 8, M/8), fp3 (S, 8, M/8))."""
+    P, CF, M = pool_f.shape
+    S = fp3.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2, S))],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(pool_f.shape, pool_f.dtype),
+        jax.ShapeDtypeStruct(pool_p3.shape, pool_p3.dtype),
+        jax.ShapeDtypeStruct(ff.shape, ff.dtype),
+        jax.ShapeDtypeStruct(fp3.shape, fp3.dtype),
+    ]
+    return pl.pallas_call(
+        functools.partial(_exchange_kernel_ff, S, M),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(refresh, old_slots, new_slots, pool_f, pool_p3, ff, fp3)
+
+
+@_exchange_tpu_ff.def_vmap
+def _exchange_tpu_ff_vmap(axis_size, in_batched, refresh, old_slots,
+                          new_slots, pool_f, pool_p3, ff, fp3):
+    """Instance-axis rule — see ``_exchange_tpu_vmap``."""
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x[None], (axis_size,) + x.shape)
+    args = [bc(a, b) for a, b in zip(
+        (refresh, old_slots, new_slots, pool_f, pool_p3, ff, fp3),
+        in_batched)]
+    args[0] = args[0].reshape(axis_size)
+    B, _, CF, M = args[3].shape
+    S = args[6].shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2, S))],
+    )
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args[3:]]
+    outs = pl.pallas_call(
+        functools.partial(_exchange_kernel_ff_batched, S, M),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, dimension_semantics=("arbitrary",)),
+    )(*args)
+    return tuple(outs), (True,) * 4
+
+
 def conditional_slab_exchange_ff(pool_f, pool_p, ff, fp, old_slots,
                                  new_slots, refresh, use_kernel: bool = True):
     """Predicated pool<->resident-ff exchange. ``ff (CF, S*M)``, ``fp (S*M,)``
@@ -149,29 +359,11 @@ def conditional_slab_exchange_ff(pool_f, pool_p, ff, fp, old_slots,
     S = SM // M
     aligned = (M % 1024 == 0) and (CF % 8 == 0)
     if use_kernel and jax.default_backend() == "tpu" and aligned:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-            scratch_shapes=[pltpu.SemaphoreType.DMA((2, S))],
-        )
-        out_shape = [
-            jax.ShapeDtypeStruct(pool_f.shape, pool_f.dtype),
-            jax.ShapeDtypeStruct((P, 8, M // 8), pool_p.dtype),
-            jax.ShapeDtypeStruct(ff.shape, ff.dtype),
-            jax.ShapeDtypeStruct((S, 8, M // 8), fp.dtype),
-        ]
-        pf, pp, f2, p2 = pl.pallas_call(
-            functools.partial(_exchange_kernel_ff, S, M),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(jnp.asarray(refresh, jnp.int32).reshape(1),
-          old_slots.astype(jnp.int32), new_slots.astype(jnp.int32),
-          pool_f, pool_p.reshape(P, 8, M // 8),
-          ff, fp.reshape(S, 8, M // 8))
+        pf, pp, f2, p2 = _exchange_tpu_ff(
+            jnp.asarray(refresh, jnp.int32).reshape(1),
+            old_slots.astype(jnp.int32), new_slots.astype(jnp.int32),
+            pool_f, pool_p.reshape(P, 8, M // 8),
+            ff, fp.reshape(S, 8, M // 8))
         return pf, pp.reshape(P, M), f2, p2.reshape(SM)
     # Portable fallback (CPU tests / vmapped replicas): express through the
     # row-major fallback; the transposes are real copies but this path is
@@ -198,10 +390,10 @@ def conditional_slab_exchange(pool_f, pool_p, slab_f, slab_p, old_slots,
         S = slab_f.shape[0]
         # prim_ids as an (.., 8, M/8) view so its DMA blocks tile-align.
         pf, pp, sf, sp = _exchange_tpu(
-            pool_f, pool_p.reshape(P, 8, M // 8),
-            slab_f, slab_p.reshape(S, 8, M // 8),
+            jnp.asarray(refresh, jnp.int32).reshape(1),
             old_slots.astype(jnp.int32), new_slots.astype(jnp.int32),
-            jnp.asarray(refresh, jnp.int32).reshape(1))
+            pool_f, pool_p.reshape(P, 8, M // 8),
+            slab_f, slab_p.reshape(S, 8, M // 8))
         return pf, pp.reshape(P, M), sf, sp.reshape(S, M)
     # Portable fallback (CPU tests / interpret-free): drop-mode scatter flush
     # + cond regather. Semantically identical.

@@ -1,5 +1,6 @@
 """Aux subsystem tests: checkpoint/resume (bit-exact), time alignment."""
 
+import pytest
 import os
 
 import jax
@@ -19,6 +20,7 @@ CFG = GCConfig.small()
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_resume_is_bit_exact(self, tmp_path):
         ds = simulate(CFG, n_scans=6, seed=2)
         scans = to_scan_inputs(ds, CFG)

@@ -102,6 +102,7 @@ class TestDepthFusion:
         assert (mu[:, 0] > 0).mean() > 0.9
 
 
+@pytest.mark.slow
 class TestCameraE2E:
     def test_camera_slice_enters_pipeline(self):
         from fl_slam_tpu.io.synthetic import to_scan_inputs

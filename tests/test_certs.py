@@ -1,6 +1,7 @@
 """Certificate schema + budget assertion tests (parity: the reference's
 test_cert_schema.py and test_budget_assertions.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +24,7 @@ def _one_scan_certs():
 
 
 class TestCertSchema:
+    @pytest.mark.slow
     def test_every_key_categorized(self):
         certs = _one_scan_certs()
         uncat = [k for k in certs if C.category(k) == "other"]

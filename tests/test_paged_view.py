@@ -172,6 +172,7 @@ class TestPagedInsert:
         assert (ins_page % NPG) in sel           # tile 0's selection has it
 
 
+@pytest.mark.slow
 def test_paged_e2e_beats_odom():
     from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
     from fl_slam_tpu.pipeline import init_state, replay

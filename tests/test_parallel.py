@@ -1,6 +1,7 @@
 """Multi-chip batched replay tests on the 8-virtual-device CPU mesh
 (conftest sets xla_force_host_platform_device_count=8)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def _instances(n, T):
     return dss, stacked, anchors
 
 
+@pytest.mark.slow
 class TestBatchedReplay:
     def test_eight_instances_sharded(self):
         n = jax.device_count()
@@ -86,6 +88,7 @@ class TestBatchedReplay:
         assert diff.max() < 1e-5, f"batched diverges from single: {diff.max()}"
 
 
+@pytest.mark.slow
 class TestDryrunHermetic:
     def test_dryrun_multichip_subprocess(self):
         """The driver gate: dryrun must pass regardless of host TPU state.

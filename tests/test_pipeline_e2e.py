@@ -14,6 +14,10 @@ from fl_slam_tpu.eval.metrics import ate, rpe
 from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
 from fl_slam_tpu.pipeline import init_state, process_scan, replay
 
+# Production-scale replay compiles dominate the suite wall clock: the
+# whole module is the SLOW tier (pytest.ini; fast tier = -m "not slow").
+pytestmark = pytest.mark.slow
+
 CFG = GCConfig.small()
 
 
