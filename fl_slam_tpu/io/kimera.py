@@ -1,0 +1,258 @@
+"""Kimera-Multi ``acl_jackal`` canonical-workload facts + parity fixtures.
+
+The reference's single supported dataset is the Kimera bag
+``10_14_acl_jackal-005`` (reference docs/KIMERA_DATASET_AND_PIPELINE.md:13-19)
+and its documented wire-level expectations are the ONLY ground truth available
+without the bag itself. This module encodes those expectations as data —
+topic names, frame ids, the VLP-16 PointCloud2 field layout, the published
+IMU/odometry covariance magnitudes (doc section 10), the VLP-16 vertical beam
+table (doc section 2.1), the TUM ground-truth format (doc section 7) — and
+provides ``make_kimera_fixture_bag``, which synthesizes a ROS 2 sqlite3 bag
+in EXACTLY that layout so the io stack can be regression-gated against the
+real bag's documented shape (tests/test_kimera_layout_parity.py).
+
+``run_eval.py --profile kimera`` resolves the real topic names from here, so
+a user pointing the eval at the actual Kimera bag needs no topic flags.
+
+Parity anchors (reference):
+  - docs/KIMERA_DATASET_AND_PIPELINE.md sections 2, 6, 9, 10 (topics, layout,
+    covariances)
+  - backend parse_pointcloud2_vlp16 (backend_node.py:377-468): fields
+    x, y, z, ring required; t/time optional per-point stamp; intensity
+    optional
+  - tools/first_n_messages_summary.py (first-N expectations recording)
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import numpy as np
+
+from fl_slam_tpu.io import cdr
+from fl_slam_tpu.io.rosbag import BagTopics, CameraTopics
+
+# --------------------------------------------------------------------------
+# Documented facts (KIMERA_DATASET_AND_PIPELINE.md)
+# --------------------------------------------------------------------------
+
+KIMERA_TOPICS = BagTopics(
+    lidar="/acl_jackal/lidar_points",
+    imu="/acl_jackal/forward/imu",
+    odom="/acl_jackal/jackal_velocity_controller/odom",
+)
+
+KIMERA_CAM_TOPICS = CameraTopics(
+    rgb="/acl_jackal/forward/color/image_raw/compressed",
+    depth="/acl_jackal/forward/depth/image_rect_raw",
+)
+
+FRAME_LIDAR = "acl_jackal2/velodyne_link"
+FRAME_IMU = "acl_jackal2/forward_imu_optical_frame"
+FRAME_ODOM = "acl_jackal2/odom"
+FRAME_BASE = "acl_jackal2/base"
+
+# Section 10: "IMU: orientation_cov = -1; angular_velocity_cov,
+# linear_acceleration_cov = 0.01" (diagonal).
+KIMERA_IMU_ORIENTATION_COV0 = -1.0
+KIMERA_IMU_GYRO_COV_DIAG = 0.01
+KIMERA_IMU_ACCEL_COV_DIAG = 0.01
+
+# Section 10: odom pose/twist covariance diagonals (planar wheel odometry:
+# z/roll/pitch unobserved at 1e6).
+KIMERA_ODOM_POSE_COV_DIAG = np.array(
+    [0.001, 0.001, 1e6, 1e6, 1e6, 0.03])
+KIMERA_ODOM_TWIST_COV_DIAG = np.array(
+    [0.001, 0.001, 0.001, 1e6, 1e6, 0.03])
+
+# Section 2.1: VLP-16 vertical beam angles by laser id (degrees).
+VLP16_RING_ANGLE_DEG = np.array([
+    -15.0, 1.0, -13.0, 3.0, -11.0, 5.0, -9.0, 7.0,
+    -7.0, 9.0, -5.0, 11.0, -3.0, 13.0, -1.0, 15.0])
+
+# Section 6 + the velodyne ROS driver wire format: x,y,z,intensity f32,
+# ring u16, time f32; point_step 22 bytes.
+VLP16_FIELDS = (("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+                ("intensity", 12, 7, 1), ("ring", 16, 4, 1),
+                ("time", 18, 7, 1))
+VLP16_POINT_STEP = 22
+
+LIDAR_HZ = 10.0
+IMU_HZ = 200.0
+ODOM_HZ = 50.0
+
+
+# --------------------------------------------------------------------------
+# Wire encoders in the exact documented layout
+# --------------------------------------------------------------------------
+
+def encode_vlp16_pointcloud2(stamp: float, xyz, intensity, ring,
+                             point_time) -> bytes:
+    """sensor_msgs/PointCloud2 in the VLP-16 driver layout (see
+    VLP16_FIELDS): x,y,z,intensity float32 + ring uint16 + time float32,
+    point_step 22, frame acl_jackal2/velodyne_link."""
+    xyz = np.asarray(xyz, dtype="<f4")
+    n = xyz.shape[0]
+    raw = np.zeros((n, VLP16_POINT_STEP), dtype=np.uint8)
+    raw[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+    raw[:, 12:16] = np.asarray(intensity, "<f4").view(np.uint8).reshape(n, 4)
+    raw[:, 16:18] = np.asarray(ring, "<u2").view(np.uint8).reshape(n, 2)
+    raw[:, 18:22] = np.asarray(point_time, "<f4").view(np.uint8).reshape(n, 4)
+
+    w = cdr._Writer()
+    w.header(stamp, frame=FRAME_LIDAR)
+    w.u32(1)                      # height (unorganized cloud)
+    w.u32(n)                      # width
+    w.u32(len(VLP16_FIELDS))
+    for name, off, dt, cnt in VLP16_FIELDS:
+        w.string(name)
+        w.u32(off)
+        w.u8(dt)
+        w.u32(cnt)
+    w.u8(0)                       # is_bigendian
+    w.u32(VLP16_POINT_STEP)
+    w.u32(VLP16_POINT_STEP * n)
+    w.bytes_seq(raw.tobytes())
+    w.u8(1)                       # is_dense
+    return bytes(w.parts)
+
+
+def encode_kimera_imu(stamp: float, gyro, accel) -> bytes:
+    """sensor_msgs/Imu with the bag's documented covariances: orientation
+    unpopulated (cov[0] = -1), gyro/accel covariance 0.01*I."""
+    w = cdr._Writer()
+    w.header(stamp, frame=FRAME_IMU)
+    w.f64n(np.array([0.0, 0.0, 0.0, 1.0]))          # orientation (unused)
+    ocov = np.zeros(9)
+    ocov[0] = KIMERA_IMU_ORIENTATION_COV0
+    w.f64n(ocov)
+    w.f64n(np.asarray(gyro, float))
+    w.f64n(np.eye(3).reshape(-1) * KIMERA_IMU_GYRO_COV_DIAG)
+    w.f64n(np.asarray(accel, float))
+    w.f64n(np.eye(3).reshape(-1) * KIMERA_IMU_ACCEL_COV_DIAG)
+    return bytes(w.parts)
+
+
+def encode_kimera_odom(stamp: float, position, quat_xyzw, vel_body,
+                       omega_body) -> bytes:
+    """nav_msgs/Odometry with the bag's documented pose/twist covariance
+    diagonals and frame ids."""
+    w = cdr._Writer()
+    w.header(stamp, frame=FRAME_ODOM)
+    w.string(FRAME_BASE)
+    w.f64n(np.asarray(position, float))
+    w.f64n(np.asarray(quat_xyzw, float))
+    w.f64n(np.diag(KIMERA_ODOM_POSE_COV_DIAG).reshape(-1))
+    w.f64n(np.asarray(vel_body, float))
+    w.f64n(np.asarray(omega_body, float))
+    w.f64n(np.diag(KIMERA_ODOM_TWIST_COV_DIAG).reshape(-1))
+    return bytes(w.parts)
+
+
+# --------------------------------------------------------------------------
+# Fixture bag
+# --------------------------------------------------------------------------
+
+def vlp16_sweep(rng, n_az: int = 360, room: float = 8.0):
+    """One synthetic VLP-16 rotation: n_az azimuth steps x 16 rings against
+    a square room of half-width ``room``; returns (xyz, intensity, ring,
+    time_rel) in sensor frame with the documented beam angles and a 0.1 s
+    sweep."""
+    az = np.linspace(0.0, 2 * np.pi, n_az, endpoint=False)
+    el = np.deg2rad(VLP16_RING_ANGLE_DEG)
+    azg, elg = np.meshgrid(az, el, indexing="ij")        # (n_az, 16)
+    # range to the wall of a square room in the horizontal plane
+    c, s = np.cos(azg), np.sin(azg)
+    r_wall = room / np.maximum(np.maximum(np.abs(c), np.abs(s)), 1e-6)
+    rho = r_wall / np.maximum(np.cos(elg), 0.2)
+    rho = np.minimum(rho, 100.0) * (1.0 + rng.normal(0, 0.003, rho.shape))
+    x = rho * np.cos(elg) * np.cos(azg)
+    y = rho * np.cos(elg) * np.sin(azg)
+    z = rho * np.sin(elg)
+    xyz = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    ring = np.tile(np.arange(16, dtype=np.uint16), n_az)
+    tr = np.repeat(np.linspace(0.0, 0.1, n_az,
+                               endpoint=False).astype(np.float32), 16)
+    intens = (40.0 + 20.0 * rng.random(xyz.shape[0])).astype(np.float32)
+    return xyz, intens, ring, tr
+
+
+def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
+                            t0: float = 1634219540.0):
+    """Synthesize a ROS 2 sqlite3 bag in the documented Kimera layout:
+    /acl_jackal/* topics, VLP-16 field layout, documented covariances,
+    10 Hz lidar / 200 Hz IMU / 50 Hz odom, plus the TUM ground-truth file.
+    Returns (bag_dir, gt_path)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    db = os.path.join(out_dir, "kimera_fixture_0.db3")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+                "type TEXT, serialization_format TEXT, "
+                "offered_qos_profiles TEXT)")
+    con.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, "
+                "topic_id INTEGER, timestamp INTEGER, data BLOB)")
+    con.executemany("INSERT INTO topics VALUES (?,?,?,?,?)", [
+        (1, KIMERA_TOPICS.lidar, "sensor_msgs/msg/PointCloud2", "cdr", ""),
+        (2, KIMERA_TOPICS.imu, "sensor_msgs/msg/Imu", "cdr", ""),
+        (3, KIMERA_TOPICS.odom, "nav_msgs/msg/Odometry", "cdr", ""),
+    ])
+
+    # ground-truth trajectory: slow forward arc (planar, Jackal-like)
+    vel = 0.4            # m/s
+    yaw_rate = 0.05      # rad/s
+    mid = 0
+    gt_rows = []
+
+    def pose_at(t):
+        dt = t - t0
+        yaw = yaw_rate * dt
+        if abs(yaw_rate) > 1e-9:
+            x = vel / yaw_rate * np.sin(yaw)
+            y = vel / yaw_rate * (1 - np.cos(yaw))
+        else:
+            x, y = vel * dt, 0.0
+        return np.array([x, y, 0.0]), yaw
+
+    for i in range(n_scans):
+        ts = t0 + i / LIDAR_HZ
+        xyz, intens, ring, tr = vlp16_sweep(rng)
+        blob = encode_vlp16_pointcloud2(ts, xyz, intens, ring, tr)
+        mid += 1
+        con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                    (mid, 1, int(ts * 1e9), blob))
+
+        n_imu = int(IMU_HZ / LIDAR_HZ)
+        for j in range(n_imu):
+            ti = ts + j / IMU_HZ
+            gyro = np.array([0.0, 0.0, yaw_rate]) + rng.normal(0, 1e-3, 3)
+            accel = np.array([0.0, 0.0, 9.81]) + rng.normal(0, 1e-2, 3)
+            mid += 1
+            con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                        (mid, 2, int(ti * 1e9),
+                         encode_kimera_imu(ti, gyro, accel)))
+
+        n_od = int(ODOM_HZ / LIDAR_HZ)
+        for j in range(n_od):
+            tod = ts + j / ODOM_HZ
+            p, yaw = pose_at(tod)
+            q = np.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)])
+            mid += 1
+            con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                        (mid, 3, int(tod * 1e9),
+                         encode_kimera_odom(tod, p, q, [vel, 0, 0],
+                                            [0, 0, yaw_rate])))
+
+        p, yaw = pose_at(ts)
+        q = np.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)])
+        gt_rows.append((ts, *p, *q))
+
+    con.commit()
+    con.close()
+
+    gt_path = os.path.join(out_dir, "acl_jackal_gt.tum")
+    with open(gt_path, "w") as fh:
+        for row in gt_rows:
+            fh.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+    return out_dir, gt_path

@@ -1,0 +1,193 @@
+"""Golden-parity gates for the canonical Kimera workload's wire layout.
+
+The real bag (10_14_acl_jackal-005) does not exist in this environment; what
+DOES exist is the reference's documented wire-level contract
+(docs/KIMERA_DATASET_AND_PIPELINE.md sections 2/6/9/10): topic names, the
+VLP-16 PointCloud2 field layout, ring ids, per-point time, IMU/odometry
+covariance magnitudes, TUM ground truth. These tests synthesize a bag in
+EXACTLY that layout (io/kimera.py) and assert the io stack — python CDR,
+native C++ batch decoders, load_scan_records, the forensics tool, the eval
+path — reproduces it. This is the maximum de-risking of the real-bag path
+available without the bag (round-2 verdict item 4).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.io import cdr, native
+from fl_slam_tpu.io.kimera import (
+    FRAME_LIDAR, KIMERA_ODOM_POSE_COV_DIAG, KIMERA_ODOM_TWIST_COV_DIAG,
+    KIMERA_TOPICS, VLP16_FIELDS, VLP16_POINT_STEP, VLP16_RING_ANGLE_DEG,
+    make_kimera_fixture_bag, vlp16_sweep)
+from fl_slam_tpu.io.rosbag import RosbagReader, load_scan_records
+
+CFG = GCConfig.small()
+
+
+@pytest.fixture(scope="module")
+def bag(tmp_path_factory):
+    out = tmp_path_factory.mktemp("kimera_bag")
+    bag_dir, gt = make_kimera_fixture_bag(str(out), n_scans=4, seed=1)
+    return bag_dir, gt
+
+
+class TestWireLayout:
+    def test_pointcloud_field_layout_exact(self, bag):
+        """First lidar message: fields (name, offset, datatype, count) and
+        point_step match the documented VLP-16 driver layout bit for bit."""
+        reader = RosbagReader(bag[0])
+        _, blob = next(iter(reader.read_topic(KIMERA_TOPICS.lidar)))
+        msg = cdr.decode_pointcloud2(blob)
+        got = tuple((f.name, f.offset, f.datatype, f.count)
+                    for f in msg.fields)
+        assert got == VLP16_FIELDS
+        assert msg.point_step == VLP16_POINT_STEP
+        assert msg.height == 1 and msg.width > 0
+
+    def test_pointcloud_frame_id(self, bag):
+        """header.frame_id as stored = acl_jackal2/velodyne_link."""
+        reader = RosbagReader(bag[0])
+        _, blob = next(iter(reader.read_topic(KIMERA_TOPICS.lidar)))
+        c = cdr._Cursor(blob)
+        c.i32()
+        c.u32()
+        assert c.string() == FRAME_LIDAR
+
+    def test_ring_and_time_semantics(self, bag):
+        """ring covers 0..15 (uint16 on the wire); per-point time is a
+        relative sweep offset in [0, 0.1) s."""
+        reader = RosbagReader(bag[0])
+        _, blob = next(iter(reader.read_topic(KIMERA_TOPICS.lidar)))
+        msg = cdr.decode_pointcloud2(blob)
+        f = cdr.pointcloud2_fields(msg, ["ring", "time", "intensity"])
+        assert f["ring"].dtype == np.uint16
+        assert set(np.unique(f["ring"])) == set(range(16))
+        assert f["time"].min() >= 0.0 and f["time"].max() < 0.1
+        assert f["intensity"].min() > 0.0
+
+    def test_vlp16_geometry_matches_beam_table(self, bag):
+        """Elevation angle of each ring's points matches the documented
+        VLP-16 vertical beam table."""
+        xyz, _, ring, _ = vlp16_sweep(np.random.default_rng(0))
+        el = np.rad2deg(np.arctan2(xyz[:, 2],
+                                   np.linalg.norm(xyz[:, :2], axis=1)))
+        for r in range(16):
+            got = np.median(el[ring == r])
+            assert abs(got - VLP16_RING_ANGLE_DEG[r]) < 0.5, (r, got)
+
+    def test_imu_covariances_documented(self, bag):
+        """orientation_cov[0] = -1 (unpopulated), gyro/accel cov = 0.01 I
+        (doc section 10) — decoded from the raw CDR, not the encoder."""
+        reader = RosbagReader(bag[0])
+        _, blob = next(iter(reader.read_topic(KIMERA_TOPICS.imu)))
+        c = cdr._Cursor(blob)
+        c.i32(); c.u32(); c.string()                  # header
+        c.f64n(4)                                     # orientation quat
+        ocov = c.f64n(9)
+        assert ocov[0] == -1.0
+        c.f64n(3)                                     # gyro
+        gcov = c.f64n(9)
+        assert np.allclose(gcov.reshape(3, 3), np.eye(3) * 0.01)
+        c.f64n(3)                                     # accel
+        acov = c.f64n(9)
+        assert np.allclose(acov.reshape(3, 3), np.eye(3) * 0.01)
+
+    def test_odom_covariances_documented(self, bag):
+        """pose_cov diag [1e-3,1e-3,1e6,1e6,1e6,0.03], twist_cov diag
+        [1e-3,1e-3,1e-3,1e6,1e6,0.03] (doc section 10), via the decoder."""
+        reader = RosbagReader(bag[0])
+        _, blob = next(iter(reader.read_topic(KIMERA_TOPICS.odom)))
+        msg = cdr.decode_odometry(blob)
+        assert np.allclose(np.diag(msg.pose_cov), KIMERA_ODOM_POSE_COV_DIAG)
+        assert np.allclose(np.diag(msg.twist_cov),
+                           KIMERA_ODOM_TWIST_COV_DIAG)
+
+
+class TestDecoderParity:
+    def test_native_matches_python_on_vlp16_layout(self, bag):
+        """C++ batch decoder == python CDR decoder on the 22-byte-stride
+        VLP-16 layout (u16 ring at a non-aligned offset)."""
+        if not native.have_native():
+            pytest.skip("native decoders not built")
+        reader = RosbagReader(bag[0])
+        _, blob = next(iter(reader.read_topic(KIMERA_TOPICS.lidar)))
+        st_n, xyz_n, t_n, ring_n = native.decode_pointcloud2(blob, 60000)
+        # force the python fallback
+        msg = cdr.decode_pointcloud2(blob)
+        f = cdr.pointcloud2_fields(msg, ["x", "y", "z", "time", "ring"])
+        assert abs(st_n - msg.stamp) < 1e-9
+        np.testing.assert_array_equal(
+            xyz_n, np.stack([f["x"], f["y"], f["z"]], 1).astype(np.float32))
+        np.testing.assert_array_equal(t_n, f["time"].astype(np.float32))
+        np.testing.assert_array_equal(ring_n, f["ring"].astype(np.int32))
+
+
+class TestStagingParity:
+    def test_load_scan_records_kimera_topics(self, bag):
+        """load_scan_records on the /acl_jackal/* topics: all three topics
+        consumed (no dead ends), per-point stamps from the t field, odom
+        covariance staged verbatim, points finite at documented ranges."""
+        recs = load_scan_records(bag[0], KIMERA_TOPICS, CFG)
+        audit = recs["__audit__"]
+        assert audit["n_scans"] == 4
+        assert audit["dead_end_topics"] == []
+        assert set(audit["consumed"]) == set(KIMERA_TOPICS)
+        # per-point stamps: relative t field applied to header stamp
+        span = recs["point_stamps"][0].max() - recs["scan_start"][0]
+        assert 0.05 < span <= 0.1 + 1e-6
+        # odom covariance magnitudes staged verbatim (planar 1e6 unobserved)
+        assert np.allclose(np.diag(recs["odom_cov"][0]),
+                           KIMERA_ODOM_POSE_COV_DIAG)
+        pts = recs["points"][0]
+        w = recs["point_weights"][0]
+        rng_ok = np.linalg.norm(pts[w > 0], axis=1)
+        assert np.isfinite(pts).all()
+        assert 1.0 < rng_ok.min() and rng_ok.max() < 100.0
+
+    def test_replay_on_kimera_fixture_is_finite(self, bag):
+        """Fixture bag drives the full pipeline: stage -> replay -> finite
+        poses near the documented robot speed."""
+        import jax.numpy as jnp
+        from fl_slam_tpu.io.rosbag import to_scan_inputs
+        from fl_slam_tpu.pipeline import init_state, replay
+
+        recs = load_scan_records(bag[0], KIMERA_TOPICS, CFG)
+        scans = to_scan_inputs(recs, CFG)
+        state = init_state(CFG, t0=float(recs["scan_start"][0]) - 0.1)
+        fs, outs = replay(state, scans, CFG)
+        poses = np.asarray(outs.pose)
+        assert poses.shape == (4, 6)
+        assert np.isfinite(poses).all()
+        # 0.4 m/s for 0.4 s: displacement must be small and sane
+        assert np.linalg.norm(poses[-1][:3]) < 2.0
+
+    def test_gt_alignment_overlap_gate(self, bag):
+        """The shipped TUM file time-aligns with the staged scan clock
+        (run_eval's hard gate path: io/time_alignment.py)."""
+        from fl_slam_tpu.io.time_alignment import (align_gt_timebase,
+                                                   overlap_fraction)
+        recs = load_scan_records(bag[0], KIMERA_TOPICS, CFG)
+        gt = np.loadtxt(bag[1])
+        assert gt.shape[1] == 8  # TUM: t x y z qx qy qz qw
+        offset = align_gt_timebase(gt[:, 0], recs["scan_start"])
+        assert abs(offset) < 0.2
+        ov = overlap_fraction(gt[:, 0], recs["scan_start"], offset=offset)
+        assert ov >= 0.5
+
+    def test_first_messages_summary_tool(self, bag):
+        """The forensics entry point runs clean on the real topic names."""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "first_messages_summary.py"),
+             bag[0], "--lidar", KIMERA_TOPICS.lidar,
+             "--imu", KIMERA_TOPICS.imu, "--odom", KIMERA_TOPICS.odom],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert KIMERA_TOPICS.lidar in r.stdout
+        assert "9.8" in r.stdout or "Hz" in r.stdout

@@ -48,7 +48,20 @@ def main():
     ap.add_argument("--seg-len", type=int, default=0,
                     help="replay in fixed segments of N scans (bounds "
                     "device staging memory for long bags; 0 = one shot)")
+    ap.add_argument("--profile", default=None, choices=["kimera"],
+                    help="topic-name preset; 'kimera' = the canonical "
+                    "/acl_jackal/* topics of the reference workload "
+                    "(io/kimera.py), so the real bag needs no topic flags")
     args = ap.parse_args()
+
+    if args.profile == "kimera":
+        from fl_slam_tpu.io.kimera import KIMERA_CAM_TOPICS, KIMERA_TOPICS
+        args.lidar = KIMERA_TOPICS.lidar
+        args.imu = KIMERA_TOPICS.imu
+        args.odom = KIMERA_TOPICS.odom
+        if (args.rgb is None) and (args.depth is None) and args.calib:
+            args.rgb = KIMERA_CAM_TOPICS.rgb
+            args.depth = KIMERA_CAM_TOPICS.depth
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
