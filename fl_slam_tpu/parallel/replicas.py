@@ -71,6 +71,14 @@ def batched_replay(cfg: GCConfig, mesh: Mesh, axis: str = "inst"):
     scans: ScanInput with leading axes (n_instances, T, ...).
     """
     # Kernels ON under the instance vmap — see batched_step note.
+    # Dense-page insert under batching: the drop-mode scattered-column
+    # insert costs a full-ff layout round trip per scan once vmapped
+    # (no bitcast exists for (B, CF, SM) -> (B*SM, CF)); the dense page
+    # write-back goes through the contiguous-page DMA kernel instead
+    # (atlas_kernels.page_writeback_ff). Measured 10.2 -> 7.9 ms per
+    # 8-instance step. Single-instance keeps drop mode (measured faster
+    # there — commit b53f4b9).
+    cfg = cfg.replace(insert_page_dense=True)
 
     def run(states, scans):
         # vmap the SAME chunked replay driver as the single-instance bench:

@@ -44,6 +44,7 @@ Step map (reference step -> here):
 
 from __future__ import annotations
 
+import time as _time
 from typing import NamedTuple
 
 import jax
@@ -1042,7 +1043,8 @@ def replay_jit(cfg: GCConfig):
                    donate_argnums=(0,))
 
 
-def replay_segments(state: PipelineState, segments, cfg: GCConfig):
+def replay_segments(state: PipelineState, segments, cfg: GCConfig,
+                    progress=None):
     """Replay a bag too large to stage on device at once: a host loop over
     pre-staged fixed-shape segments, ONE compiled program reused for all.
 
@@ -1064,9 +1066,17 @@ def replay_segments(state: PipelineState, segments, cfg: GCConfig):
     """
     run = replay_jit(cfg)
     outs_list = []
-    for seg in segments:
+    n_done = 0
+    t0 = _time.perf_counter() if progress else 0.0
+    for i, seg in enumerate(segments):
         state, outs = run(state, seg)
         outs_list.append(outs)
+        if progress is not None:
+            # sync only the cheap pose leaf so the heartbeat reflects real
+            # device progress without stalling the staging pipeline
+            jax.block_until_ready(outs.pose)
+            n_done += int(outs.pose.shape[0])
+            progress(i, n_done, _time.perf_counter() - t0)
     if not outs_list:
         raise ValueError("replay_segments: empty segment iterable")
     merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),

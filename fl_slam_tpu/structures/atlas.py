@@ -71,6 +71,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fl_slam_tpu.config import GCConfig
+from fl_slam_tpu.structures import atlas_kernels
 from fl_slam_tpu.core.linalg import (
     inv3x3, mat33_to_sym6, sym6_to_mat33, top_k_maybe_approx)
 from fl_slam_tpu.structures.measurement_batch import MeasurementBatch
@@ -1013,10 +1014,13 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
         # the target pages (all CF rows ride the same ~per-column pass), then
         # row slices — three separate single-row gathers each paid their own
         # column pass (~16 us/scan measured).
-        cols = (jnp.arange(S, dtype=jnp.int32)[:, None] * M
-                + tgt_page[:, None] * P
-                + jnp.arange(P, dtype=jnp.int32)[None, :])   # (S, P)
-        page = ff[:, cols.reshape(-1)]                       # (CF, S*P)
+        offs = (jnp.arange(S, dtype=jnp.int32) * M
+                + tgt_page.astype(jnp.int32) * P)            # (S,) col starts
+        cols = offs[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+        # contiguous-page gather via the vmap-safe kernel wrapper: the plain
+        # column gather is bitcast-free single-instance but forces full-ff
+        # layout round-trips under the instance vmap (atlas_kernels note)
+        page = atlas_kernels.page_gather_ff(ff, offs, P)     # (CF, S*P)
         w_in = page[o + _ROW_W].reshape(S, P)
         ls_in = page[o + _ROW_LS].reshape(S, P)
         v_in = page[o + _ROW_V].reshape(S, P) > 0.5
@@ -1092,7 +1096,8 @@ def ff_insert(sf: SlabsFF, batch_w: MeasurementBatch, novelty: jnp.ndarray,
         page3 = page.reshape(cf, S, P)
         upd = jnp.where(hit[None, :, :], merged, page3)
         cols_flat = cols.reshape(-1)
-        ff = ff.at[:, cols_flat].set(upd.reshape(cf, S * P))
+        ff = atlas_kernels.page_writeback_ff(ff, offs,
+                                             upd.reshape(cf, S * P), P)
         pp = sf.prim_ids[cols_flat].reshape(S, P)
         id_sel = jnp.sum(onek * new_ids.reshape(S, K, 1), axis=1)
         prim_ids = sf.prim_ids.at[cols_flat].set(

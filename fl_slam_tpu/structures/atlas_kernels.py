@@ -411,3 +411,165 @@ def conditional_slab_exchange(pool_f, pool_p, slab_f, slab_p, old_slots,
 
     slab_f, slab_p = jax.lax.cond(r != 0, _regather, _keep, None)
     return pool_f, pool_p, slab_f, slab_p
+
+
+# ===========================================================================
+# Paged-insert page IO: contiguous (CF, P) page blocks of the resident ff.
+#
+# Single-instance, the insert path's page gather (``ff[:, cols]``) and dense
+# write-back (``ff.at[:, cols].set``) are layout-free: XLA bitcasts
+# (CF, SM){1,0} to (SM, CF){0,1} and runs a cheap per-column pass. Under the
+# instance vmap that bitcast no longer exists — (B, CF, SM){2,1,0} vs the
+# scatter's wanted (B*SM, CF){0,1} differ by a REAL transpose, and XLA
+# round-trips the full ~360 MB field block through layout copies EVERY scan
+# (round-3 trace: 4 copies of f32[4,8,8,351232] per inner iteration, the
+# single largest batched-only cost). The pages are contiguous 128-column
+# runs, so the batched forms below move exactly the touched (CF, P) blocks
+# by DMA and alias ff in place; the primal (single-instance) call keeps the
+# XLA formulation that is already optimal there.
+# ===========================================================================
+
+
+def _page_gather_kernel(S: int, P: int, offs_ref, ff_in, page_out, sem):
+    """Grid (B,). offs (B, S) scalar-prefetch col starts (multiples of P);
+    ff (B, CF, SM) ANY -> page (B, S, CF, P)."""
+    i32 = jnp.int32
+    b = pl.program_id(0)
+
+    def off(s):
+        # page starts are multiples of P by construction (s*M + page*P);
+        # Mosaic needs the divisibility stated to allow a dynamic lane slice
+        return pl.multiple_of(offs_ref[b, i32(s)], P)
+
+    for s in range(S):
+        pltpu.make_async_copy(
+            ff_in.at[b, :, pl.ds(off(s), P)], page_out.at[b, i32(s)],
+            sem.at[i32(s)]).start()
+    for s in range(S):
+        pltpu.make_async_copy(
+            ff_in.at[b, :, pl.ds(off(s), P)], page_out.at[b, i32(s)],
+            sem.at[i32(s)]).wait()
+
+
+def _page_writeback_kernel(S: int, P: int, offs_ref, upd_in, ff_in, ff_out,
+                           sem):
+    """Grid (B,). upd (B, S, CF, P) -> ff (B, CF, SM) at offs; ff aliased."""
+    i32 = jnp.int32
+    b = pl.program_id(0)
+
+    def off(s):
+        return pl.multiple_of(offs_ref[b, i32(s)], P)
+
+    for s in range(S):
+        pltpu.make_async_copy(
+            upd_in.at[b, i32(s)], ff_out.at[b, :, pl.ds(off(s), P)],
+            sem.at[i32(s)]).start()
+    for s in range(S):
+        pltpu.make_async_copy(
+            upd_in.at[b, i32(s)], ff_out.at[b, :, pl.ds(off(s), P)],
+            sem.at[i32(s)]).wait()
+
+
+def _gather_cols(offs, P):
+    return (offs[..., None]
+            + jnp.arange(P, dtype=jnp.int32)[None, :])
+
+
+@functools.lru_cache(maxsize=8)
+def _page_io(P: int):
+    """(gather, writeback) custom_vmap pair for page width P."""
+
+    @jax.custom_batching.custom_vmap
+    def gather(ff, offs):
+        cols = _gather_cols(offs.astype(jnp.int32), P).reshape(-1)
+        return ff[:, cols]                               # (CF, S*P)
+
+    @gather.def_vmap
+    def gather_vmap(axis_size, in_batched, ff, offs):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+        ff, offs = bc(ff, in_batched[0]), bc(offs, in_batched[1])
+        B, CF, SM = ff.shape
+        S = offs.shape[1]
+        offs = offs.astype(jnp.int32)
+        if jax.default_backend() == "tpu" and P % 128 == 0 and CF % 8 == 0:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                scratch_shapes=[pltpu.SemaphoreType.DMA((S,))],
+            )
+            (page,) = pl.pallas_call(
+                functools.partial(_page_gather_kernel, S, P),
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((B, S, CF, P), ff.dtype)],
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=False,
+                    dimension_semantics=("arbitrary",)),
+            )(offs, ff)
+            out = jnp.swapaxes(page, 1, 2).reshape(B, CF, S * P)
+        else:
+            cols = _gather_cols(offs, P).reshape(B, -1)  # (B, S*P)
+            out = jnp.take_along_axis(ff, cols[:, None, :], axis=2)
+        return out, True
+
+    @jax.custom_batching.custom_vmap
+    def writeback(ff, offs, upd):
+        cols = _gather_cols(offs.astype(jnp.int32), P).reshape(-1)
+        return ff.at[:, cols].set(upd)
+
+    @writeback.def_vmap
+    def writeback_vmap(axis_size, in_batched, ff, offs, upd):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+        ff = bc(ff, in_batched[0])
+        offs = bc(offs, in_batched[1]).astype(jnp.int32)
+        upd = bc(upd, in_batched[2])
+        B, CF, SM = ff.shape
+        S = offs.shape[1]
+        if jax.default_backend() == "tpu" and P % 128 == 0 and CF % 8 == 0:
+            upd4 = jnp.swapaxes(upd.reshape(B, CF, S, P), 1, 2)  # (B,S,CF,P)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                scratch_shapes=[pltpu.SemaphoreType.DMA((S,))],
+            )
+            (out,) = pl.pallas_call(
+                functools.partial(_page_writeback_kernel, S, P),
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct(ff.shape, ff.dtype)],
+                # input numbering includes the scalar arg: 0 = offs,
+                # 1 = upd4, 2 = ff -> alias ff to the output
+                input_output_aliases={2: 0},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    dimension_semantics=("arbitrary",)),
+            )(offs, upd4, ff)
+        else:
+            cols = _gather_cols(offs, P)                 # (B, S, P)
+            flat = cols.reshape(B, -1)
+            out = jax.vmap(lambda f, c, u: f.at[:, c].set(u))(
+                ff, flat, upd)
+        return out, True
+
+    return gather, writeback
+
+
+def page_gather_ff(ff, offs, P: int):
+    """Contiguous page gather: ff (CF, SM), offs (S,) int32 col starts
+    (multiples of the lane width) -> (CF, S*P). vmap-safe: the batched form
+    is a predicated DMA kernel on TPU (see module note)."""
+    g, _ = _page_io(int(P))
+    return g(ff, offs.astype(jnp.int32))
+
+
+def page_writeback_ff(ff, offs, upd, P: int):
+    """Inverse of ``page_gather_ff``: write upd (CF, S*P) back at offs,
+    in place on TPU."""
+    _, wb = _page_io(int(P))
+    return wb(ff, offs.astype(jnp.int32), upd)

@@ -151,18 +151,64 @@ def main():
     # ---- replay (one compiled program over the whole bag; --seg-len bounds
     # device staging memory for bags too large to stage at once) -----------------
     state = init_state(cfg, anchor0=anchor0, t0=t0)
-    print("[replay] compiling + running...")
+
+    # Heartbeat thread: the replay compile can take minutes on a cold cache;
+    # a silent terminal is indistinguishable from a hang (round-2 verdict;
+    # parity: the reference eval's /gc/status monitor loop,
+    # run_and_evaluate_gc.sh:338-441).
+    import threading
+
+    class _Heartbeat:
+        def __init__(self, what):
+            self.what = what
+            self.t0 = time.perf_counter()
+            self._stop = threading.Event()
+            self._th = threading.Thread(target=self._run, daemon=True)
+
+        def _run(self):
+            while not self._stop.wait(30.0):
+                print(f"[replay] {self.what}... "
+                      f"{time.perf_counter() - self.t0:.0f}s elapsed",
+                      flush=True)
+
+        def __enter__(self):
+            self._th.start()
+            return self
+
+        def __exit__(self, *a):
+            self._stop.set()
+
     t_start = time.perf_counter()
     if args.seg_len:
         from fl_slam_tpu.io.rosbag import scan_input_segments
         from fl_slam_tpu.pipeline import replay_segments
         T_total = int(host_recs["scan_start"].shape[0])
-        final_state, outs = replay_segments(
-            state, scan_input_segments(host_recs, cfg, args.seg_len), cfg)
+
+        def _progress(i, n_done, wall_s):
+            print(f"[replay] segment {i + 1}: {n_done} scans, "
+                  f"{n_done / max(wall_s, 1e-9):.1f} scans/s "
+                  f"(incl. compile)", flush=True)
+
+        print("[replay] compiling + running (segmented)...", flush=True)
+        with _Heartbeat("segmented replay"):
+            final_state, outs = replay_segments(
+                state, scan_input_segments(host_recs, cfg, args.seg_len),
+                cfg, progress=_progress)
         outs = jax.tree.map(lambda a: a[:T_total], outs)
     else:
         run = replay_jit(cfg)
-        final_state, outs = run(state, scans)
+        print("[replay] compiling...", flush=True)
+        with _Heartbeat("compiling"):
+            compiled = run.lower(state, scans).compile()
+        print(f"[replay] compiled in "
+              f"{time.perf_counter() - t_start:.1f}s; running...",
+              flush=True)
+        t_run = time.perf_counter()
+        with _Heartbeat("running"):
+            final_state, outs = compiled(state, scans)
+            jax.block_until_ready(outs.pose)
+        print(f"[replay] executed in {time.perf_counter() - t_run:.2f}s",
+              flush=True)
     jax.block_until_ready(outs.pose)
     wall = time.perf_counter() - t_start
     poses = np.asarray(outs.pose)
