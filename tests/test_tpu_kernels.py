@@ -195,3 +195,99 @@ def test_moment_kernel_device_matches_segment_sum():
     err = np.abs(np.asarray(got) - np.asarray(want))
     scale = np.abs(np.asarray(want)).max()
     assert err.max() < 5e-5 * scale, err.max() / scale
+
+
+# ---------------------------------------------------------------------------
+# Instance-batched (vmapped) kernel paths — the round-3 fix that lets the
+# batched replay keep the kernels ON (parallel/replicas.py). Each test vmaps
+# the kernel wrapper over a small instance axis on device and asserts
+# equality with the per-instance loop.
+# ---------------------------------------------------------------------------
+
+
+class TestBatchedKernels:
+    B = 3
+
+    def test_vmapped_sinkhorn_matches_loop(self):
+        from fl_slam_tpu.ops.assoc_kernels import sinkhorn_piT
+        rng = np.random.default_rng(5)
+        K, N = 8, 512
+        kw = dict(n_iter=10, ua=0.8, vb=0.8, log_b=-2.0)
+        logKT = jnp.asarray(rng.normal(size=(self.B, K, N)), jnp.float32)
+        log_a = jnp.asarray(rng.normal(size=(self.B, N)), jnp.float32)
+        out = jax.jit(jax.vmap(lambda k, a: sinkhorn_piT(k, a, **kw)))(
+            logKT, log_a)
+        ref = jnp.stack([sinkhorn_piT(logKT[i], log_a[i], **kw)
+                         for i in range(self.B)])
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_vmapped_select_matches_loop(self):
+        from fl_slam_tpu.ops.assoc_kernels import select_candidates
+        rng = np.random.default_rng(6)
+        N, V = 256, 512
+        mp = jnp.asarray(rng.normal(size=(self.B, N, 3)), jnp.float32)
+        md = jnp.asarray(rng.normal(size=(self.B, N, 3)), jnp.float32)
+        mk = jnp.abs(jnp.asarray(rng.normal(size=(self.B, N)), jnp.float32))
+        vp = jnp.asarray(rng.normal(size=(self.B, V, 17)), jnp.float32)
+        vp = vp.at[..., 14].set(1.0)
+        ss = jnp.zeros((self.B,), jnp.float32)
+        f = lambda a, b, c, d, s: select_candidates(
+            a, b, c, d, s, k=8, cost_beta=0.5, recency_scale=0.001)
+        vals, idx = jax.jit(jax.vmap(f))(mp, md, mk, vp, ss)
+        for i in range(self.B):
+            rv, ri = f(mp[i], md[i], mk[i], vp[i], ss[i])
+            np.testing.assert_array_equal(np.asarray(vals[i]),
+                                          np.asarray(rv))
+            np.testing.assert_array_equal(np.asarray(idx[i]), np.asarray(ri))
+
+    def test_vmapped_moment_matches_loop(self):
+        from fl_slam_tpu.ops.surfel_kernels import moment_segment_sum
+        rng = np.random.default_rng(7)
+        F, N, C = 14, 512, 256
+        pay = jnp.asarray(rng.normal(size=(self.B, F, N)), jnp.float32)
+        cell = jnp.asarray(rng.integers(0, C, size=(self.B, N)), jnp.int32)
+        out = jax.jit(jax.vmap(lambda p, c: moment_segment_sum(p, c, C)))(
+            pay, cell)
+        ref = jnp.stack([moment_segment_sum(pay[i], cell[i], C)
+                         for i in range(self.B)])
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    @pytest.mark.parametrize("refresh", [(1, 0, 1), (0, 0, 0)])
+    def test_vmapped_exchange_matches_loop(self, refresh):
+        from fl_slam_tpu.structures.atlas_kernels import (
+            conditional_slab_exchange)
+        rng = np.random.default_rng(8)
+        P, S, CF, M = 8, 3, 32, 1024
+        ops = [_mk(rng, P, S, CF, M) for _ in range(self.B)]
+        batched = [jnp.stack([o[j] for o in ops]) for j in range(6)]
+        r = jnp.asarray(refresh, jnp.int32)
+        f = lambda pf, pp, sf, sp, o, n, rr: conditional_slab_exchange(
+            pf, pp, sf, sp, o, n, rr, use_kernel=True)
+        out = jax.jit(jax.vmap(f))(*batched, r)
+        for i in range(self.B):
+            ref = conditional_slab_exchange(*ops[i], r[i], use_kernel=False)
+            for k, x in zip(out, ref):
+                np.testing.assert_array_equal(np.asarray(k[i]),
+                                              np.asarray(x))
+
+    def test_vmapped_page_io_matches_loop(self):
+        from fl_slam_tpu.structures.atlas_kernels import (
+            page_gather_ff, page_writeback_ff)
+        rng = np.random.default_rng(9)
+        CF, S, M, P = 32, 3, 1024, 128
+        ff = jnp.asarray(rng.normal(size=(self.B, CF, S * M)), jnp.float32)
+        pg = rng.integers(0, M // P, size=(self.B, S))
+        offs = jnp.asarray(np.arange(S)[None, :] * M + pg * P, jnp.int32)
+        upd = jnp.asarray(rng.normal(size=(self.B, CF, S * P)), jnp.float32)
+        g = jax.jit(jax.vmap(lambda f, o: page_gather_ff(f, o, P)))
+        w = jax.jit(jax.vmap(
+            lambda f, o, u: page_writeback_ff(f, o, u, P)))
+        got_g = g(ff, offs)
+        got_w = w(ff, offs, upd)
+        for i in range(self.B):
+            np.testing.assert_array_equal(
+                np.asarray(got_g[i]),
+                np.asarray(page_gather_ff(ff[i], offs[i], P)))
+            np.testing.assert_array_equal(
+                np.asarray(got_w[i]),
+                np.asarray(page_writeback_ff(ff[i], offs[i], upd[i], P)))
