@@ -42,6 +42,7 @@ CATEGORY_OF_PREFIX = {
     "odom": "influence",
     "planar_z": "mismatch",
     "planar_vz": "mismatch",
+    "planar": "mismatch",
     "imu_grav": "support",
     "imu_gyro": "mismatch",
     "imu_preint": "mismatch",
@@ -81,6 +82,30 @@ NLL_SUFFIX = ".nll_proxy"
 # Frobenius damping, budget caps, mask shrink). ``aggregate`` sums |p - r|.
 EFFECT_SUFFIX_P = ".effect_predicted"
 EFFECT_SUFFIX_R = ".effect_realized"
+
+# The FULL ExpectedEffect registry: every runtime operator emits a
+# predicted/realized pair (reference contract: every operator returns
+# (result, CertBundle, ExpectedEffect) — certificates.py:348-510,
+# docs/OPERATOR_CONTRACTS.md:3). run_eval and the cert-schema tests assert
+# the replay's pairs cover EXACTLY this set — a new operator without a pair,
+# or a dropped pair, fails the gate (the round-2 ``>= 6 pairs`` gate was
+# trivially satisfiable).
+EXPECTED_EFFECT_OPS = (
+    "predict",
+    "deskew",
+    "surfel",
+    "odom_pose", "odom_vel", "odom_wz", "odom_kin",
+    "imu_grav", "imu_gyro", "imu_preint", "imu_ba",
+    "planar",
+    "ot",
+    "visual",
+    "fusion",
+    "recompose",
+    "anchor",
+    "hyp",
+    "iw_process", "iw_meas",
+    "map", "map.insert",
+)
 
 
 def effect_pairs(certs: dict) -> dict:

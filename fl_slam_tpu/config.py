@@ -192,6 +192,13 @@ class GCConfig:
     # old baseline while taking a -40% translation win (3-seed mean
     # 0.112 m / 1.048 deg vs 0.188 / 1.063 pre-session).
     visual_evidence_weight: float = 0.45
+    # Rotation-block gain INSIDE the visual evidence (multiplies the
+    # matrix-Fisher (L_r, h_r) before the 22D embed, on top of
+    # visual_evidence_weight which scales both blocks). The two blocks want
+    # different strengths: the round-2 joint sweep moved on a coupled
+    # trans/rot trade curve (0.45/0.6/0.8 -> rot 1.08/1.24/1.50 deg while
+    # trans 0.101/0.086/0.080 m) precisely because one knob scaled both.
+    visual_rot_weight: float = 1.0
 
     # Translation WLS pair weighting: (1-f) * point-to-plane + f * point-to-
     # point. Pure point-to-plane (f=0) kills the along-wall aperture bias but

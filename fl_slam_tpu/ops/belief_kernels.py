@@ -77,6 +77,8 @@ CERT_KEYS = (
     "hyp.ess",
     "iw_process.psd_projection", "iw_process.effect_predicted",
     "iw_process.effect_realized", "iw_meas.psd_projection",
+    "hyp.effect_predicted", "hyp.effect_realized",
+    "iw_meas.effect_predicted", "iw_meas.effect_realized",
 )
 
 # Packed-cert registry: the kernel cert VECTORS ride the per-scan certs dict
@@ -477,10 +479,17 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
               cfg.iw_rho_meas_lidar)
     eye3 = _eye(3, dt)
     mpsi_blocks = []
+    iwm_pred = jnp.zeros((), dt)
+    iwm_real = jnp.zeros((), dt)
     for i, (dm, rho_i) in enumerate(zip((dpsi_gyro, dpsi_accel, dpsi_lidar),
                                         rhos_m)):
         raw = rho_i * mpsi[i] + dm
-        mpsi_blocks.append(0.5 * (raw + raw.T) + cfg.eps_psd * eye3)
+        psd_m = 0.5 * (raw + raw.T) + cfg.eps_psd * eye3
+        mpsi_blocks.append(psd_m)
+        # ExpectedEffect: predicted = the suffstat feed's trace; realized =
+        # the trace actually added to Psi after symmetrize + eps floor
+        iwm_pred = iwm_pred + jnp.sum(dm * eye3)
+        iwm_real = iwm_real + jnp.sum((psd_m - rho_i * mpsi[i]) * eye3)
     mpsi_psd = jnp.stack(mpsi_blocks)
     rho_m = jnp.stack([jnp.asarray(x, dt) for x in rhos_m])
     nu_min_m = jnp.asarray(3.0 + 1.0 + cfg.iw_nu_weak_add, dt)
@@ -497,6 +506,10 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         vis_dt_norm, vis_dz, vis_dr_norm,
         floor_adjust, hyp_proj, spread, hyp_ess,
         jnp.zeros((), dt), iw_pred, iw_real, jnp.zeros((), dt),
+        # ExpectedEffect tails: barycenter (K=1: identity information
+        # average; realized includes the second eps_psd lift) and iw_meas
+        _tr(L_post), _tr(L_bar),
+        iwm_pred, iwm_real,
     ])
     return (L_post, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
             pnu_new, psi_psd, mnu_new, mpsi_psd, certs, mu_next, Sigma_post,
@@ -656,6 +669,16 @@ PE_CERT_KEYS = (
     "odom_wz.nll_proxy", "odom_wz.residual",
     "odom_kin.nll_proxy", "odom_kin.lift", "odom_kin.psd_projection",
     "odom.dependence_scale",
+    # ExpectedEffect pairs (appended tail; order must match _pe_math c_eff)
+    "odom_pose.effect_predicted", "odom_pose.effect_realized",
+    "imu_grav.effect_predicted", "imu_grav.effect_realized",
+    "imu_gyro.effect_predicted", "imu_gyro.effect_realized",
+    "imu_preint.effect_predicted", "imu_preint.effect_realized",
+    "imu_ba.effect_predicted", "imu_ba.effect_realized",
+    "planar.effect_predicted", "planar.effect_realized",
+    "odom_vel.effect_predicted", "odom_vel.effect_realized",
+    "odom_wz.effect_predicted", "odom_wz.effect_realized",
+    "odom_kin.effect_predicted", "odom_kin.effect_realized",
 )
 
 # packed small-input vector layout (see predict_evidence)
@@ -1065,10 +1088,35 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
     rrT = 0.5 * (rrT + rrT.T) + cfg.eps_psd * _eye(3, dt)
     dpsi_accel = rrT * jnp.maximum(g("dt_imu"), 1e-12)
 
+    # ExpectedEffect pairs per factor (predicted = nominal NLL at unit
+    # weight; realized = after the applied continuous scalings) — mirrors
+    # the XLA path's _pair() block in pipeline.predict_and_evidence; order
+    # must match the PE_CERT_KEYS tail.
+    w_odom_p = jnp.asarray(cfg.odom_pose_weight, dt)
+    w_planar = jnp.asarray(cfg.planar_weight, dt)
+    nll_pose = c_odom_pose[0]
+    nll_grav = c_grav[2]
+    nll_gyro = c_gyro[0]
+    nll_pre = c_preint[0]
+    nll_ba = c_ba[1]
+    nll_plan = c_planar[0] + c_planar[1]
+    nll_vel = c_vel[0]
+    nll_wz = c_wz[0]
+    nll_kin = c_kin[0]
+    c_eff = (nll_pose, w_odom_p * nll_pose,
+             nll_grav, s_dep * nll_grav,
+             nll_gyro, w_imu_f * nll_gyro,
+             nll_pre, w_imu_f * nll_pre,
+             nll_ba, nll_ba,
+             nll_plan, w_planar * nll_plan,
+             nll_vel, s_odom * nll_vel,
+             nll_wz, s_odom * nll_wz,
+             nll_kin, s_odom * w_kin * nll_kin)
+
     certs = jnp.stack(list(c_predict) + list(c_odom_pose) + list(c_grav)
                       + list(c_gyro) + list(c_preint) + list(c_ba)
                       + list(c_planar) + list(c_vel) + list(c_wz)
-                      + list(c_kin) + [s_odom])
+                      + list(c_kin) + [s_odom] + list(c_eff))
     return (L_pred, h_pred, mean_pred, L_io, h_io, z_lin, xi_odom,
             z_lin_pose7, dpsi_accel, certs)
 

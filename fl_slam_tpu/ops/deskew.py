@@ -84,8 +84,23 @@ def deskew_constant_twist(points_p, timestamps, weights, t0, t1, xi_body, *,
     w_time = smooth_window_weights(timestamps, t0, t1, sigma, weight_floor)
     weights_out = weights * w_time.astype(weights.dtype)
 
+    # ExpectedEffect (reference contract: every operator returns
+    # (result, certs, ExpectedEffect), certificates.py:348-510):
+    # predicted = first-order mean point displacement implied by the twist
+    # (|rho| + |omega| x lever arm, scaled by the mean sweep fraction);
+    # realized = actual weighted mean |p_deskewed - p|. Divergence measures
+    # how non-linear / non-constant the true motion was over the sweep.
+    w_m = jnp.maximum(weights.astype(dt), 0.0)
+    w_sum = jnp.sum(w_m) + eps_mass
+    rng = jnp.sqrt(jnp.sum(points_p.astype(dt) ** 2, axis=0))
+    alpha_mean = jnp.sum(w_m * jnp.abs(alpha)) / w_sum
+    r_mean = jnp.sum(w_m * rng) / w_sum
+    disp = jnp.sqrt(jnp.sum((points_out - points_p.astype(dt)) ** 2, axis=0))
     certs = {
         "deskew.mass_retained": jnp.sum(weights_out) / (jnp.sum(weights) + eps_mass),
         "deskew.twist_norm": jnp.linalg.norm(xi_body),
+        "deskew.effect_predicted": alpha_mean * (jnp.linalg.norm(rho)
+                                                 + th_tot * r_mean),
+        "deskew.effect_realized": jnp.sum(w_m * disp) / w_sum,
     }
     return points_out, weights_out, certs

@@ -43,5 +43,10 @@ def barycenter_projection(L_stack, h_stack, z_lin_stack, weights, *,
         "hyp.psd_projection": proj,
         "hyp.spread_proxy": spread,
         "hyp.ess": 1.0 / jnp.sum(w * w),
+        # ExpectedEffect: information mass of the linear barycenter vs the
+        # projected output (divergence = the I-projection's PSD repair).
+        "hyp.effect_predicted": jnp.einsum(
+            "k,kii->", w, L_stack),
+        "hyp.effect_realized": jnp.trace(L_out),
     }
     return L_out, h_out, z_lin_out, w, certs

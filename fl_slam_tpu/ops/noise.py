@@ -182,7 +182,14 @@ def measurement_apply_suffstats(state: MeasurementNoiseIW, dpsi, dnu,
 
     nu_min = jnp.asarray([3.0, 3.0, 3.0], dtype) + 1.0 + cfg.iw_nu_weak_add
     nu = _smooth_nu_clip(rho * state.nu + dnu, nu_min, nu_max)
-    certs = {"iw_meas.psd_projection": jnp.sum(proj)}
+    certs = {"iw_meas.psd_projection": jnp.sum(proj),
+             # ExpectedEffect (parity with iw_process above): feed trace vs
+             # the trace retained after the PSD guard.
+             "iw_meas.effect_predicted": jnp.sum(
+                 jnp.trace(dpsi, axis1=-2, axis2=-1)),
+             "iw_meas.effect_realized": jnp.sum(
+                 jnp.trace(psi_psd - rho[:, None, None] * state.psi,
+                           axis1=-2, axis2=-1))}
     return MeasurementNoiseIW(nu=nu, psi=psi_psd), certs
 
 

@@ -201,6 +201,12 @@ def extract_surfels(points_p, weights, cfg: GCConfig, *,
         "surfel.mass_out_of_grid": w_tot_fin - w_tot,
         "surfel.budget_overflow": jnp.maximum(
             jnp.sum(valid_cell.astype(dt)) - float(S), 0.0),
+        # ExpectedEffect: predicted = point mass entering the grid (what a
+        # lossless extraction would carry into surfels); realized = mass of
+        # the surfels actually emitted. Divergence = mass dropped by cell
+        # validity (min-occupancy/planarity) + the fixed S budget.
+        "surfel.effect_predicted": w_tot,
+        "surfel.effect_realized": jnp.sum(w_sel),
     }
     return {
         "Lambdas": Lam_sel,

@@ -119,6 +119,18 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
              else se3.so3_exp(z_lin_pose[3:6]))
     rotvec_delta = se3.so3_log(R_lin.T @ R_hat)                 # right tangent
     h_r = L_r @ rotvec_delta
+    # decoupled rotation gain (see GCConfig.visual_rot_weight): applied here
+    # so both the XLA tail and the belief kernel (which receive the embedded
+    # L_vis) see the same scaled block
+    rg = jnp.asarray(cfg.visual_rot_weight, dt)
+    # ExpectedEffect: information mass the matched pairs nominate vs what
+    # enters the fusion after the evidence-weight scalings (pipeline applies
+    # cfg.visual_evidence_weight to both blocks; rg scales rotation here).
+    vw = jnp.asarray(cfg.visual_evidence_weight, dt)
+    eff_pred = jnp.trace(L_t_w) + jnp.trace(L_r)
+    eff_real = vw * (jnp.trace(L_t_w) + rg * jnp.trace(L_r))
+    L_r = rg * L_r
+    h_r = rg * h_r
 
     # ---- conjugate world-tangent translation -> right chart at z_lin --------
     L_t = R_lin.T @ L_t_w @ R_lin
@@ -137,5 +149,7 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
         "visual.transported_mass": jnp.sum(pi),
         "visual.rot_residual_norm": jnp.linalg.norm(rotvec_delta),
         "visual.scatter_s_min": jnp.min(jnp.diag(A)),
+        "visual.effect_predicted": eff_pred,
+        "visual.effect_realized": eff_real,
     }
     return L, h, certs

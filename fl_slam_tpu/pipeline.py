@@ -570,6 +570,29 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         h_io = h_io + s_odom * (h6 + h7 + w_kin * h8)
         k_certs["odom.dependence_scale"] = s_odom
 
+        # ExpectedEffect pairs, one per factor (reference contract: EVERY
+        # operator returns (result, certs, ExpectedEffect) —
+        # certificates.py:348-510). predicted = the factor's nominal NLL
+        # reduction at unit weight; realized = after the continuous
+        # down-scalings actually applied (dependence inflation, ablation
+        # weights). Divergence = how much the adaptive scalings shrank the
+        # factor this scan. Mirrored in the kernel path
+        # (belief_kernels._pe_math / PE_CERT_KEYS).
+        def _pair(op, nll, scale):
+            k_certs[op + ".effect_predicted"] = nll
+            k_certs[op + ".effect_realized"] = scale * nll
+        _pair("odom_pose", k_certs["odom_pose.nll_proxy"],
+              cfg.odom_pose_weight)
+        _pair("imu_grav", k_certs["imu_grav.nll_proxy"], s_dep)
+        _pair("imu_gyro", k_certs["imu_gyro.nll_proxy"], w_imu_f)
+        _pair("imu_preint", k_certs["imu_preint.nll_proxy"], w_imu_f)
+        _pair("imu_ba", k_certs["imu_ba.nll_proxy"], 1.0)
+        _pair("planar", k_certs["planar_z.nll_proxy"]
+              + k_certs["planar_vz.nll_proxy"], cfg.planar_weight)
+        _pair("odom_vel", k_certs["odom_vel.nll_proxy"], s_odom)
+        _pair("odom_wz", k_certs["odom_wz.nll_proxy"], s_odom)
+        _pair("odom_kin", k_certs["odom_kin.nll_proxy"], s_odom * w_kin)
+
         # Every factor above encodes h = L * r with r the residual measured AT
         # the prediction; information fusion needs the absolute chart target
         # h = L * (mu_pred + r). (The reference adds L*r directly — benign

@@ -58,10 +58,13 @@ class TestExpectedEffect:
     def test_pairs_present_and_complete(self):
         certs = _one_scan_certs()
         pairs = C.effect_pairs(certs)
-        # the major operators of the 14-step pipeline all report an effect
-        for op in ("predict", "fusion", "recompose", "anchor", "ot", "map",
-                   "map.insert", "iw_process"):
-            assert op in pairs, f"missing ExpectedEffect pair for {op}"
+        # EVERY operator of the pinned registry reports a pair, and nothing
+        # outside it does (reference contract: every operator returns
+        # (result, certs, ExpectedEffect) — the exact-set assert makes a
+        # dropped pair or an unregistered new operator a test failure)
+        assert set(pairs) == set(C.EXPECTED_EFFECT_OPS), (
+            sorted(set(C.EXPECTED_EFFECT_OPS) - set(pairs)),
+            sorted(set(pairs) - set(C.EXPECTED_EFFECT_OPS)))
         # no orphan halves
         for k in certs:
             if k.endswith(C.EFFECT_SUFFIX_P):

@@ -231,10 +231,14 @@ def main():
             n if not args.seg_len
             else -(-n // args.seg_len) * args.seg_len),
         # cert-schema gate: every key categorized, schema non-trivial,
-        # ExpectedEffect pairs complete
+        # ExpectedEffect pairs cover EXACTLY the pinned operator registry
+        # (certs.EXPECTED_EFFECT_OPS — the reference's every-operator
+        # contract; a new operator without a pair, or a dropped pair,
+        # fails here)
         "cert_schema": (len(schema) > 40
                         and all(C.category(k) != "other" for k in schema)
-                        and len(C.effect_pairs(outs.certs)) >= 6),
+                        and set(C.effect_pairs(outs.certs))
+                        == set(C.EXPECTED_EFFECT_OPS)),
         # budget-shape gate: the staged tensors match the declared
         # compile-time budgets (spec section 12.9.1)
         "budget_shapes": (
