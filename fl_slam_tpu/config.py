@@ -218,6 +218,27 @@ class GCConfig:
     # ---- per-group evidence weights (ablation knobs, reference pattern of
     # imu_gravity_scale/deskew_rotation_only; all 1.0 = full pipeline) -------
     odom_pose_weight: float = 1.0
+    # RELATIVE odometry factor: compare the scan-to-scan odometry INCREMENT
+    # against the previous pose ESTIMATE instead of the integrated absolute
+    # odom pose. Wheel odometry is physically an increment sensor; its
+    # absolute pose integrates drift, and the absolute factor drags the
+    # estimate toward that accumulated drift at the message covariance's
+    # full confidence (the drifting-odometry benchmark's dominant yaw-error
+    # mechanism). Relative mode keeps the factor's short-horizon stiffness
+    # (per-step increments are drift-free to first order) without the drag.
+    # First scan falls back to the absolute factor (anchors the start).
+    odom_pose_relative: bool = False
+    # In relative mode, fraction of the ABSOLUTE pose factor blended back in
+    # (0 = pure relative, 1 = pure absolute). The absolute share supplies
+    # the anchor that keeps the relative system from random-walking; its
+    # rotation block is additionally scaled by odom_pose_rot_scale so the
+    # accumulated yaw drift drags weakly while translation anchors fully.
+    odom_pose_mix: float = 0.5
+    # Information scale on the odom pose factor's ROTATION block only
+    # (1.0 = the message covariance verbatim). The wheel odometry's yaw is
+    # its systematically-drifting axis; this scales L_rot (and the cross
+    # block by sqrt) without touching the load-bearing translation rows.
+    odom_pose_rot_scale: float = 1.0
     odom_twist_weight: float = 1.0
     planar_weight: float = 1.0
     # The pose-twist kinematic factor uses the SAME odom twist sample as the

@@ -688,8 +688,9 @@ _PK = dict(dt_sec=0, pre_ess=1, dt_int=2, dt_imu=3, grav_rbar=4,
            motion_v=slice(18, 21), omega_avg=slice(21, 24),
            a_body_mean=slice(24, 27), odom_vel=slice(27, 30),
            odom_omega=slice(30, 33), odom_pose=slice(33, 39),
-           grav_xbar=slice(39, 42), acc_m1=slice(42, 45), acc_sw=45)
-_PK_LEN = 45
+           grav_xbar=slice(39, 42), acc_m1=slice(42, 45), acc_sw=45,
+           odom_rel=slice(46, 52), first_scan=52)
+_PK_LEN = 52
 
 
 def _atanf(x):
@@ -938,12 +939,47 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
     h_io = jnp.zeros((D_Z,), dt)
 
     # ---- odom quadratic pose factor (ops/odom.py:14) ---------------------
-    xi_odom = _se3_rel_log_s(pose_pred, g("odom_pose"))
+    if cfg.odom_pose_relative:
+        # relative target from the previous ESTIMATE (trans pose_prev[0:3],
+        # rotation R_prev_in) composed with the odom increment; first scan
+        # falls back to the absolute pose (see GCConfig.odom_pose_relative)
+        d_od = g("odom_rel")
+        t_tgt = pose_prev[0:3] + _mv(R_prev_in, d_od[0:3])
+        R_tgt = _mm3(R_prev_in, se3.so3_exp(d_od[3:6]))
+        tgt6 = jnp.concatenate([t_tgt, _so3_log_s(R_tgt)])
+        first = g("first_scan")
+        odom_tgt = jnp.where(first > 0.5, g("odom_pose"), tgt6)
+    else:
+        odom_tgt = g("odom_pose")
+    xi_odom = _se3_rel_log_s(pose_pred, odom_tgt)
     cov6 = 0.5 * (odom_cov + odom_cov.T) + cfg.eps_psd * _eye(6, dt)
     Lc6 = _chol(_sym_lift(cov6, cfg.eps_lift))
     L_pose6 = _chol_solve(Lc6, _eye(6, dt))
     L_pose6 = 0.5 * (L_pose6 + L_pose6.T)
-    L1, h1 = _emb_block(0, 6, L_pose6, _mv(L_pose6, xi_odom), dt)
+
+    def _rot_scaled(L6):
+        # rotation-block information scale (see GCConfig.odom_pose_rot_scale;
+        # mirror of ops/odom.quadratic_pose_evidence rot_scale)
+        sr = jnp.asarray(float(cfg.odom_pose_rot_scale) ** 0.5, dt)
+        one = jnp.asarray(1.0, dt)
+        dvec = jnp.concatenate([jnp.stack([one, one, one]),
+                                jnp.stack([sr, sr, sr])])
+        return dvec[:, None] * L6 * dvec[None, :]
+
+    if cfg.odom_pose_relative:
+        # blend: (1-mix) relative (full cov) + mix absolute (rot-scaled) —
+        # mirror of the XLA path in pipeline.predict_and_evidence
+        mix = jnp.asarray(cfg.odom_pose_mix, dt)
+        xi_abs = _se3_rel_log_s(pose_pred, g("odom_pose"))
+        L_abs = _rot_scaled(L_pose6)
+        Lmix = (1.0 - mix) * L_pose6 + mix * L_abs
+        hmix = ((1.0 - mix) * _mv(L_pose6, xi_odom)
+                + mix * _mv(L_abs, xi_abs))
+        L1, h1 = _emb_block(0, 6, Lmix, hmix, dt)
+    else:
+        if cfg.odom_pose_rot_scale != 1.0:
+            L_pose6 = _rot_scaled(L_pose6)
+        L1, h1 = _emb_block(0, 6, L_pose6, _mv(L_pose6, xi_odom), dt)
     L_io = L_io + cfg.odom_pose_weight * L1
     h_io = h_io + cfg.odom_pose_weight * h1
     c_odom_pose = (0.5 * _vdot(xi_odom, _mv(L_pose6, xi_odom)),
@@ -1161,7 +1197,8 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
                      dt_int, dt_imu, grav_rbar, transport_sigma, pose_prev,
                      motion_rot, motion_p, motion_v, omega_avg, a_body_mean,
                      odom_vel, odom_omega, odom_pose, grav_xbar, acc_m1,
-                     acc_sw, interpret: bool | None = None):
+                     acc_sw, odom_rel=None, first_scan=None,
+                     interpret: bool | None = None):
     """Run predict + evidence (K=1) as ONE kernel.
 
     Returns (L_pred, h_pred, mu_pred, L_io, h_io, z_lin, xi_odom,
@@ -1170,12 +1207,17 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
     dt = L_prev.dtype
     if interpret is None:
         interpret = FORCE_INTERPRET and jax.default_backend() != "tpu"
+    if odom_rel is None:
+        odom_rel = jnp.zeros((6,), dt)
+    if first_scan is None:
+        first_scan = jnp.ones((), dt)    # no increment info -> absolute
     pk = jnp.concatenate([
         jnp.stack([dt_sec, pre_ess, dt_int, dt_imu, grav_rbar,
                    transport_sigma]).astype(dt),
         pose_prev, motion_rot, motion_p, motion_v, omega_avg, a_body_mean,
         odom_vel, odom_omega, odom_pose, grav_xbar, acc_m1,
-        jnp.stack([acc_sw]).astype(dt)])[None, :]
+        jnp.stack([acc_sw]).astype(dt), odom_rel.astype(dt),
+        jnp.stack([jnp.asarray(first_scan, dt)])])[None, :]
     assert pk.shape[1] == _PK_LEN + 1, pk.shape
     n = D_Z
     out_shapes = (

@@ -12,7 +12,7 @@ from fl_slam_tpu.ops.embed import evidence_from_block, evidence_from_scalar
 
 
 def quadratic_pose_evidence(pose_pred, odom_pose, odom_cov, *, eps_psd: float,
-                            eps_lift: float):
+                            eps_lift: float, rot_scale: float = 1.0):
     """SE(3) pose factor: xi_err = Log(T_pred^{-1} T_odom) on the pose block.
 
     ROS covariance order [x,y,z,roll,pitch,yaw] == chart [trans, rot]: no
@@ -25,6 +25,12 @@ def quadratic_pose_evidence(pose_pred, odom_pose, odom_cov, *, eps_psd: float,
     cov_psd = 0.5 * (odom_cov + odom_cov.T)
     cov_psd, proj = psd_guard(cov_psd, eps_psd)  # external input; diag covs in practice
     L_pose, lift = spd_inverse_lifted(cov_psd, eps_lift)
+    if rot_scale != 1.0:
+        # L' = S L S, S = diag(1,1,1,sqrt(s)..): scales the rotation
+        # information by s, cross terms by sqrt(s), translation untouched
+        sr = jnp.sqrt(jnp.asarray(rot_scale, dtype))
+        d = jnp.concatenate([jnp.ones((3,), dtype), jnp.full((3,), sr)])
+        L_pose = d[:, None] * L_pose * d[None, :]
     L, h = evidence_from_block(IDX_POSE, L_pose, L_pose @ xi_err, dtype)
     certs = {
         "odom_pose.nll_proxy": 0.5 * xi_err @ L_pose @ xi_err,

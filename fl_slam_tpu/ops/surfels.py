@@ -150,7 +150,8 @@ def extract_surfels(points_p, weights, cfg: GCConfig, *,
     Lam6_reg = Lam6 + (WISHART_NU / WISHART_PSI) * eye6
 
     sigma_perp_sq = jnp.maximum(lam[0], EIG_MIN)
-    kappa = jnp.clip(KAPPA_SCALE / jnp.sqrt(sigma_perp_sq), KAPPA_MIN, KAPPA_MAX)
+    kappa = jnp.clip(cfg.kappa_scale * KAPPA_SCALE
+                     / jnp.sqrt(sigma_perp_sq), KAPPA_MIN, KAPPA_MAX)
     valid_cell = (cnt >= MIN_POINTS_PER_CELL) & (sw > 0.0)
 
     # Continuous planarity weighting (no gate): surface-like cells have

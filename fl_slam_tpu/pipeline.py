@@ -144,6 +144,9 @@ class PipelineState(NamedTuple):
     slab_keys: jnp.ndarray      # (S,) int64 tile keys of the resident slabs
     scan_seq: jnp.ndarray       # () int32
     prev_scan_t: jnp.ndarray    # () previous scan clock (scan_start)
+    odom_prev6: jnp.ndarray     # (6,) previous scan's raw odom pose (for
+                                # the relative-odometry factor; see
+                                # GCConfig.odom_pose_relative)
 
 
 class ScanOutput(NamedTuple):
@@ -270,6 +273,7 @@ def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
         slab_keys=jnp.full((S,), -2, dtype=jnp.int64),
         scan_seq=jnp.int32(0),
         prev_scan_t=jnp.asarray(t0, dtype=cfg.jdtype),
+        odom_prev6=jnp.zeros((6,), dtype=cfg.jdtype),
     )
 
 
@@ -496,9 +500,31 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         L_io = jnp.zeros_like(belief_pred.L)
         h_io = jnp.zeros_like(belief_pred.h)
 
-        L1, h1, dz_odom, c = odom_ops.quadratic_pose_evidence(
-            pose_pred, scan.odom_pose, scan.odom_cov,
-            eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+        if cfg.odom_pose_relative:
+            # relative-odometry target: previous ESTIMATE composed with the
+            # scan-to-scan odom increment (drift-free to first order); the
+            # first scan anchors on the absolute pose. A cfg.odom_pose_mix
+            # share of the ABSOLUTE factor (rotation scaled by
+            # odom_pose_rot_scale) blends back in as the anchor.
+            d_od = se3.se3_minus(scan.odom_pose, state.odom_prev6)
+            tgt = se3.se3_plus(pose_prev, d_od)
+            odom_target = jnp.where(state.scan_seq == 0, scan.odom_pose,
+                                    tgt)
+            mix = cfg.odom_pose_mix
+            L1r, h1r, dz_odom, c = odom_ops.quadratic_pose_evidence(
+                pose_pred, odom_target, scan.odom_cov,
+                eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift)
+            L1a, h1a, _, _ = odom_ops.quadratic_pose_evidence(
+                pose_pred, scan.odom_pose, scan.odom_cov,
+                eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift,
+                rot_scale=cfg.odom_pose_rot_scale)
+            L1 = (1.0 - mix) * L1r + mix * L1a
+            h1 = (1.0 - mix) * h1r + mix * h1a
+        else:
+            L1, h1, dz_odom, c = odom_ops.quadratic_pose_evidence(
+                pose_pred, scan.odom_pose, scan.odom_cov,
+                eps_psd=cfg.eps_psd, eps_lift=cfg.eps_lift,
+                rot_scale=cfg.odom_pose_rot_scale)
         L_io = L_io + cfg.odom_pose_weight * L1
         h_io = h_io + cfg.odom_pose_weight * h1
         k_certs.update(c)
@@ -632,7 +658,9 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
             omega_avg=omega_avg, a_body_mean=pre_int["a_body_mean"],
             odom_vel=scan.odom_vel_body, odom_omega=scan.odom_omega_body,
             odom_pose=scan.odom_pose, grav_xbar=grav["xbar"],
-            acc_m1=acc_m1, acc_sw=acc_sw)
+            acc_m1=acc_m1, acc_sw=acc_sw,
+            odom_rel=se3.se3_minus(scan.odom_pose, state.odom_prev6),
+            first_scan=(state.scan_seq == 0).astype(cfg.jdtype))
         certs["__packed__:pe"] = kcertB    # spliced by replay's pack()
         certs["imu_grav.rbar"] = grav["rbar"]
         certs["imu_grav.ess"] = grav["ess_w"]
@@ -979,6 +1007,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         slabs=slabs,
         scan_seq=seq + 1,
         prev_scan_t=scan.scan_start,
+        odom_prev6=scan.odom_pose,
     )
     out = ScanOutput(pose=pose_out, stamp=scan.scan_start, certs=certs)
     return new_state, ctx, out
