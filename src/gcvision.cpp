@@ -37,6 +37,19 @@ struct Corner {
 inline bool fast9(const uint8_t* g, int64_t w, int64_t x, int64_t y, int thr,
                   float* resp) {
   int c = g[y * w + x];
+  // Compass pretest: any 9 consecutive circle pixels contain >= 2 of the 4
+  // compass points (indices 0, 4, 8, 12 — gaps of 4, a 9-run spans >= 2).
+  // Flat pixels reject after 4 samples instead of 32 (detection pass was
+  // ~19 ms/frame at 424x240 without it; standard FAST speed test).
+  {
+    int pb = 0, pd = 0;
+    for (int k = 0; k < 16; k += 4) {
+      int d = int(g[(y + CIRC[k][1]) * w + (x + CIRC[k][0])]) - c;
+      pb += (d > thr);
+      pd += (d < -thr);
+    }
+    if (pb < 2 && pd < 2) return false;
+  }
   int bright = 0, dark = 0, bright_run = 0, dark_run = 0;
   int best_bright = 0, best_dark = 0;
   float score = 0.0f;

@@ -191,3 +191,23 @@ class TestStagingParity:
         assert r.returncode == 0, r.stderr[-2000:]
         assert KIMERA_TOPICS.lidar in r.stdout
         assert "9.8" in r.stdout or "Hz" in r.stdout
+
+
+@pytest.mark.slow
+def test_run_eval_on_kimera_fixture(tmp_path):
+    """The full eval entry point (stage -> replay -> gates -> metrics ->
+    artifacts) runs clean on a Kimera-layout bag via --profile kimera with
+    the TUM ground truth — the closest executable stand-in for the
+    reference's single supported test path (run_and_evaluate_gc.sh on the
+    real bag)."""
+    bag_dir, gt = make_kimera_fixture_bag(str(tmp_path / "bag"), n_scans=6,
+                                          seed=2)
+    out = tmp_path / "run"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "run_eval.py"),
+         "--out", str(out), "--bag", bag_dir, "--profile", "kimera",
+         "--gt", gt, "--cpu", "--small", "--no-render"],
+        capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
+    assert (out / "metrics.json").exists() or "ate" in r.stdout.lower()
