@@ -446,6 +446,58 @@ class GCConfig:
     def replace(self, **kw) -> "GCConfig":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "GCConfig":
+        """Fail-fast range/consistency checks on the tunable knobs (parity:
+        the reference's budget/param validation at node start,
+        backend_node.py:548-586). Called from init_state so every replay
+        entry point inherits the gate; returns self for chaining.
+
+        The checks cover knobs whose out-of-range values fail SILENTLY
+        (sign flips in fused information, negative variances, divisibility
+        assumptions) — in-range behavior is never affected.
+        """
+        def chk(cond, msg):
+            if not cond:
+                raise ValueError(f"GCConfig.validate: {msg}")
+
+        chk(self.n_points > 0 and self.imu_len > 0 and self.n_surfel > 0
+            and self.n_feat >= 0, "budgets must be positive")
+        chk(self.k_hyp >= 1, "k_hyp >= 1")
+        chk(self.k_assoc >= 1 and self.k_sinkhorn >= 1, "OT budgets >= 1")
+        chk(0.0 <= self.camera_fuse_geom_scale <= 1.0,
+            f"camera_fuse_geom_scale in [0, 1] (a negative value SUBTRACTS "
+            f"camera precision from fused primitives); got "
+            f"{self.camera_fuse_geom_scale}")
+        for name in ("visual_evidence_weight", "visual_rot_weight",
+                     "odom_pose_weight", "odom_twist_weight",
+                     "planar_weight", "imu_factor_weight",
+                     "odom_kinematic_weight", "odom_pose_rot_scale",
+                     "kappa_scale", "imu_gravity_scale"):
+            chk(getattr(self, name) >= 0.0, f"{name} must be >= 0 (a "
+                f"negative evidence weight flips the information sign)")
+        chk(0.0 <= self.odom_pose_mix <= 1.0, "odom_pose_mix in [0, 1]")
+        chk(0.0 < self.forgetting_factor <= 1.0,
+            "forgetting_factor in (0, 1]")
+        chk(self.recency_decay_lambda >= 0.0, "recency_decay_lambda >= 0")
+        chk(0.0 < self.recency_min_scale <= 1.0,
+            "recency_min_scale in (0, 1]")
+        for name in ("eps_psd", "eps_lift", "eps_mass", "ot_epsilon",
+                     "ot_tau_a", "ot_tau_b", "planar_z_sigma",
+                     "planar_vz_sigma", "odom_twist_vel_sigma",
+                     "odom_twist_wz_sigma", "accel_bias_sigma"):
+            chk(getattr(self, name) > 0.0, f"{name} must be > 0")
+        chk(self.m_tile_view <= self.m_tile,
+            "m_tile_view <= m_tile")
+        if self.view_page > 0:   # 0 = paged view mode off
+            chk(self.m_tile % self.view_page == 0,
+                "view_page must divide m_tile")
+            chk(self.k_insert <= self.view_page,
+                "k_insert <= view_page (one page must hold a scan's "
+                "inserts)")
+        chk(self.scan_unroll >= 1 and self.view_refresh_every >= 1,
+            "cadence knobs >= 1")
+        return self
+
     # ------------------------------------------------------------------
     @staticmethod
     def small(**overrides) -> "GCConfig":

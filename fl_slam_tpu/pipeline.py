@@ -241,6 +241,7 @@ def hyp_perturbations(cfg: GCConfig) -> jnp.ndarray:
 
 def init_state(cfg: GCConfig, anchor0=None, prior_info: float = 1e-6,
                t0: float = 0.0) -> PipelineState:
+    cfg.validate()   # fail-fast knob ranges (GCConfig.validate)
     one = initial_belief(cfg, anchor0=anchor0)
     bank = jax.tree.map(lambda a: jnp.stack([a] * cfg.k_hyp), one)
     if mht_enabled(cfg):

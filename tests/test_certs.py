@@ -130,3 +130,25 @@ class TestBudgetAssertions:
         c1, c2 = GCConfig.small(), GCConfig.small(n_points=512)
         assert hash(c1) != hash(c2)
         assert c1 != c2
+
+
+class TestConfigValidation:
+    """GCConfig.validate fail-fast ranges (parity: the reference's budget/
+    param validation at node start, backend_node.py:548-586)."""
+
+    def test_canonical_configs_pass(self):
+        from fl_slam_tpu.config import GCConfig
+        GCConfig.small().validate()
+        GCConfig.tpu().validate()
+
+    def test_silent_sign_flips_rejected(self):
+        from fl_slam_tpu.config import GCConfig
+        import pytest as _pytest
+        for bad in (dict(camera_fuse_geom_scale=-0.5),
+                    dict(visual_evidence_weight=-1.0),
+                    dict(odom_pose_mix=1.5),
+                    dict(forgetting_factor=0.0),
+                    dict(ot_epsilon=0.0),
+                    dict(view_page=100)):   # does not divide m_tile
+            with _pytest.raises(ValueError):
+                GCConfig.tpu(**bad).validate()
