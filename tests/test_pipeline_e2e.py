@@ -355,10 +355,17 @@ class TestScalarTailKernel:
     poses/certs at scan 0 to fp tolerance, same trajectory class over 12
     scans (f32 chaos compounds the ~1e-7 solve deltas downstream)."""
 
-    def test_kernel_path_matches_xla(self):
+    @pytest.mark.parametrize("variant", ["default", "relative_odom"])
+    def test_kernel_path_matches_xla(self, variant):
         from fl_slam_tpu.ops import belief_kernels
 
         cfg = GCConfig.small(dtype="float32", k_hyp=1)
+        if variant == "relative_odom":
+            # the relative/mixed odom factor has its own kernel branch
+            # (dark at the neutral default) — hold it to the same
+            # XLA-equivalence gate
+            cfg = cfg.replace(odom_pose_relative=True, odom_pose_mix=0.5,
+                              odom_pose_rot_scale=0.3)
         ds = simulate(cfg, n_scans=12, seed=3, odom_drift_vel_scale=1.03,
                       odom_drift_yaw_rate=0.01)
         scans = to_scan_inputs(ds, cfg)
