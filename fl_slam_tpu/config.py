@@ -370,6 +370,13 @@ class GCConfig:
     # TPU-only with N, V multiples of 128 (auto-falls back elsewhere);
     # same vmap caveat as slab_dma_kernel.
     select_kernel: bool = False
+    # Route the compact-fuse scatter-add (N*K contribution rows into the
+    # (V, CF) view delta) through the factored one-hot MXU moment kernel
+    # instead of XLA's row-serialized scatter (~0.13 ms/scan-instance, the
+    # TOP op in the batched trace; same contraction as the surfel moment
+    # kernel). bf16x2-exact (~1e-5 rel on the fused deltas). TPU-only with
+    # V and N*K multiples of 128 (auto-falls back elsewhere).
+    fuse_moment_kernel: bool = False
     # Run the surfel per-cell moment accumulation as one Pallas kernel
     # (ops/surfel_kernels.py): factored one-hot MXU contraction instead of
     # XLA's row-serialized scatter-add (~60 us/scan traced). bf16x2-exact on
@@ -560,7 +567,11 @@ class GCConfig:
                     scan_unroll=2,
                     # factored one-hot MXU moment kernel: 1.059 -> 1.026
                     # ms/scan (device parity 3.7e-6 rel at production shape)
-                    surfel_moment_kernel=True)
+                    surfel_moment_kernel=True,
+                    # same contraction for the compact-fuse scatter: 0.924
+                    # -> 0.891 ms/scan interleaved A/B; accuracy in the
+                    # seed band (0.118 m / 1.113 deg 3-seed)
+                    fuse_moment_kernel=True)
         base.update(overrides)
         return GCConfig(**base)
 

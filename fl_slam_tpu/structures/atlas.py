@@ -856,8 +856,17 @@ def compact_fuse(view: MapView, batch_w: MeasurementBatch, resp: jnp.ndarray,
     N, K = r.shape
     vals = (base[:, None, :] * r[:, :, None]).reshape(N * K, cf)
 
-    delta = jnp.zeros((V, cf), dtype=dt)
-    delta = delta.at[cand_view_idx.reshape(-1)].add(vals)
+    idx = cand_view_idx.reshape(-1).astype(jnp.int32)
+    from fl_slam_tpu.ops import surfel_kernels
+    if (cfg.fuse_moment_kernel and V % 128 == 0 and (N * K) % 128 == 0
+            and (surfel_kernels.FORCE_INTERPRET
+                 or jax.default_backend() == "tpu")):
+        # factored one-hot MXU contraction (see GCConfig.fuse_moment_kernel):
+        # the same segment-sum as the scatter below, scatter-free
+        delta = surfel_kernels.moment_segment_sum(vals.T, idx, V).T
+    else:
+        delta = jnp.zeros((V, cf), dtype=dt)
+        delta = delta.at[idx].add(vals)
     rows = raw + delta
     # LS row: the base rows carry a 1.0 marker there (legacy scatter path);
     # in compact form we overwrite it with the stamp rule directly.

@@ -539,3 +539,38 @@ def test_moment_kernel_interpret_matches_segment_sum():
     err = np.abs(np.asarray(got) - np.asarray(want))
     scale = np.abs(np.asarray(want)).max()
     assert err.max() < 5e-5 * scale, err.max() / scale
+
+
+def test_fuse_moment_kernel_interpret_matches_scatter():
+    """compact_fuse via the factored one-hot MXU contraction
+    (cfg.fuse_moment_kernel, interpret mode) == the XLA scatter-add path
+    through a real scan (CPU twin of the device A/B; bf16x2 split is
+    ~1e-5-relative on the fused deltas)."""
+    import jax
+    import fl_slam_tpu.ops.surfel_kernels as sk
+    from fl_slam_tpu.io.synthetic import simulate, to_scan_inputs
+    from fl_slam_tpu.pipeline import init_state, replay
+
+    # kernel-eligible shapes: V = 7 * 128 = 896, NK = (0 + 128) * 8 = 1024
+    base = dict(dtype="float32", n_feat=0, n_surfel=128, m_tile=256,
+                m_tile_view=128, n_tiles_pool=16, k_insert=8)
+    outs = {}
+    try:
+        sk.FORCE_INTERPRET = True
+        for mode in (False, True):
+            cfg = GCConfig.small(**base, fuse_moment_kernel=mode,
+                                 surfel_moment_kernel=False)
+            V = cfg.n_active_tiles * cfg.m_tile_view
+            NK = cfg.n_meas * cfg.k_assoc
+            assert V % 128 == 0 and NK % 128 == 0, (V, NK)
+            ds = simulate(cfg, n_scans=4, seed=6)
+            scans = to_scan_inputs(ds, cfg)
+            st = init_state(cfg, t0=float(ds.gt_stamps[0]) - 0.1)
+            jax.clear_caches()
+            _, o = replay(st, scans, cfg)
+            outs[mode] = np.asarray(o.pose)
+    finally:
+        sk.FORCE_INTERPRET = False
+    d = np.abs(outs[True] - outs[False]).max()
+    assert np.isfinite(outs[True]).all()
+    assert d < 1e-3, d

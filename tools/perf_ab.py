@@ -15,8 +15,8 @@ from fl_slam_tpu.pipeline import init_state, replay_jit
 
 T = 200
 CASES = {
-    "R=8": dict(view_refresh_every=8),
-    "R=16": dict(view_refresh_every=16),
+    "fuse_scatter": dict(fuse_moment_kernel=False),
+    "fuse_moment_kernel": dict(fuse_moment_kernel=True),
 }
 print("backend:", jax.default_backend(), flush=True)
 runs = {}
