@@ -571,7 +571,15 @@ class GCConfig:
                     # same contraction for the compact-fuse scatter: 0.924
                     # -> 0.891 ms/scan interleaved A/B; accuracy in the
                     # seed band (0.118 m / 1.113 deg 3-seed)
-                    fuse_moment_kernel=True)
+                    fuse_moment_kernel=True,
+                    # camera rows fuse weight/color/appearance but NOT
+                    # Gaussian geometry: the round-3 sweep confirmed the
+                    # fuse-side hypothesis for the camera-on translation
+                    # gap — camera-on 0.171/0.154/0.141/0.129 m at
+                    # gs = 1.0/0.5/0.25/0.0 (3-seed; camera-off band
+                    # 0.111-0.142 m — 0.0 is IN BAND). Camera INSERT
+                    # proposals keep full Lambda; a no-op camera-off.
+                    camera_fuse_geom_scale=0.0)
         base.update(overrides)
         return GCConfig(**base)
 
