@@ -144,15 +144,26 @@ def fill_normals_from_depth(out: "FeatureArrays", depth,
         return
     d = np.asarray(depth, dtype=np.float64)
     bad = ~np.isfinite(d) | (d <= 1e-3)
-    # 3x3 median (stacked shifted copies). Invalid pixels ride as +inf: the
-    # median stays exact while fewer than 5 of 9 neighbors are invalid and
-    # becomes inf (-> masked to 0) otherwise. np.median partitions in ~2 ms;
-    # np.nanmedian takes the masked-array slow path (~56 ms/frame measured).
-    dn = np.where(bad, np.inf, d)
-    p = np.pad(dn, 1, constant_values=np.inf)
-    stack = np.stack([p[i:i + d.shape[0], j:j + d.shape[1]]
-                      for i in range(3) for j in range(3)])
-    med = np.median(stack, axis=0)
+    # 3x3 median (shifted copies). Invalid pixels ride as +inf: the median
+    # stays exact while fewer than 5 of 9 neighbors are invalid and becomes
+    # inf (-> masked to 0) otherwise. Median-of-9 via Paeth's 19-comparator
+    # min/max network in f32 — np.median's partition on the 9-stack cost
+    # ~21 ms/frame; the network is ~2 ms of pure elementwise min/max.
+    dn = np.where(bad, np.inf, d).astype(np.float32)
+    pp = np.pad(dn, 1, constant_values=np.inf)
+    v = [pp[i:i + d.shape[0], j:j + d.shape[1]].copy()
+         for i in range(3) for j in range(3)]
+
+    def srt(i, j):
+        lo = np.minimum(v[i], v[j])
+        np.maximum(v[i], v[j], out=v[j])
+        v[i] = lo
+
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                 (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+                 (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
+        srt(i, j)
+    med = v[4].astype(np.float64)
     med = np.where(np.isfinite(med), med, 0.0)
     # central differences (m/px); half-width 2 matches the old rad-3 patch's
     # effective support without its edge sensitivity
