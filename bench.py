@@ -135,6 +135,38 @@ def main():
         budget["host_syncs_per_scan"], (counters, budget)
     assert counters["compiled_programs"] == budget["jit_programs"]
 
+    # Utilization context (round-3 verdict item 7): one xplane capture of a
+    # replay, leaf-only busy attribution over the middle scan windows ->
+    # busy_frac + top-3 sinks recorded beside the headline number so "fast"
+    # claims are auditable round over round. Never fails the bench.
+    busy = None
+    if on_accel and os.environ.get("GC_BENCH_TRACE", "1") not in ("0", "off"):
+        try:
+            import importlib.util as _ilu
+            spec = _ilu.spec_from_file_location(
+                "xplane_by_source",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "xplane_by_source.py"))
+            xbs = _ilu.module_from_spec(spec)
+            spec.loader.exec_module(xbs)
+            trace_dir = "/tmp/gc_bench_trace"
+            import shutil
+            shutil.rmtree(trace_dir, ignore_errors=True)
+            state_t = init_state(cfg, t0=float(ds.gt_stamps[0]) - 0.1)
+            jax.block_until_ready(state_t)
+            with jax.profiler.trace(trace_dir):
+                state_t, out_t = run(state_t, scans)
+                jax.block_until_ready(out_t.pose)
+            s = xbs.busy_summary(trace_dir, top=3)
+            busy = {
+                "busy_frac": round(s["busy_frac"], 3),
+                "busy_us_per_scan": round(s["busy_us_per_scan"], 1),
+                "wall_us_per_scan": round(s["wall_us_per_scan"], 1),
+                "top_sinks": [f"{k} {us}us" for k, us, _ in s["top"]],
+            }
+        except Exception as e:  # profiling is best-effort context
+            busy = {"error": str(e)[:200]}
+
     scans_per_sec = n_scans / elapsed
     xrt = scans_per_sec / SCAN_HZ
     print(json.dumps({
@@ -152,6 +184,7 @@ def main():
             "per_scan_ms": round(1000.0 * elapsed / n_scans, 3),
             "mode": "single_compiled_replay",
             "runtime_counters": counters,
+            **({"utilization": busy} if busy is not None else {}),
             **({"note": os.environ["GC_BENCH_FALLBACK"]}
                if "GC_BENCH_FALLBACK" in os.environ else {}),
         },

@@ -164,13 +164,18 @@ def fill_normals_from_depth(out: "FeatureArrays", depth,
                  (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
         srt(i, j)
     med = v[4].astype(np.float64)
-    med = np.where(np.isfinite(med), med, 0.0)
     # central differences (m/px); half-width 2 matches the old rad-3 patch's
-    # effective support without its edge sensitivity
+    # effective support without its edge sensitivity. Differentiate the
+    # UNMASKED median (inf where >=5 of 9 neighbors invalid): a stencil that
+    # touches a hole produces inf/nan in gu/gv and the feature is
+    # invalidated below, instead of a huge spurious-but-unit-norm normal
+    # from differencing across a 0 fill (advisor round-3 #3).
     gu = np.zeros_like(med)
     gv = np.zeros_like(med)
-    gu[:, 1:-1] = 0.5 * (med[:, 2:] - med[:, :-2])
-    gv[1:-1, :] = 0.5 * (med[2:, :] - med[:-2, :])
+    with np.errstate(invalid="ignore"):
+        gu[:, 1:-1] = 0.5 * (med[:, 2:] - med[:, :-2])
+        gv[1:-1, :] = 0.5 * (med[2:, :] - med[:-2, :])
+    med = np.where(np.isfinite(med), med, 0.0)
 
     j = np.flatnonzero(valid)
     u = out.uv[j, 0]
@@ -181,6 +186,10 @@ def fill_normals_from_depth(out: "FeatureArrays", depth,
     ok = z > 1e-3
     g_u = gu[vi, ui]
     g_v = gv[vi, ui]
+    # gradient stencil touched a masked median pixel -> no trustworthy normal
+    ok &= np.isfinite(g_u) & np.isfinite(g_v)
+    g_u = np.where(np.isfinite(g_u), g_u, 0.0)
+    g_v = np.where(np.isfinite(g_v), g_v, 0.0)
     # tangents dP/du, dP/dv of the backprojection; normal = tu x tv
     tu = np.stack([(z + (u - intr.cx) * g_u) / intr.fx,
                    (v - intr.cy) * g_u / intr.fy,

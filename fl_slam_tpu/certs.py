@@ -24,6 +24,7 @@ gives that stream the reference's audit semantics:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from fl_slam_tpu.config import D_Z, GCConfig
@@ -183,6 +184,91 @@ def compute_budget(cfg: GCConfig) -> dict:
         "host_syncs_per_scan": 0,        # certs stay on device
         "jit_programs": 1,               # one lax.scan over the bag
     }
+
+
+def pytree_bytes(tree) -> int:
+    """Total bytes of a pytree of arrays or ShapeDtypeStructs."""
+    import numpy as np
+    return sum(int(np.prod(l.shape)) * jnp.dtype(l.dtype).itemsize
+               for l in jax.tree.leaves(tree))
+
+
+#: HBM per device by kind substring (jax Device.device_kind, lowercased).
+#: memory_stats() returns None on the tunneled axon platform, so the limit
+#: comes from this table (override: GC_HBM_BYTES env or limit_bytes arg).
+_HBM_BY_KIND = (
+    ("v5 lite", 16_000_000_000), ("v5e", 16_000_000_000),
+    ("v5p", 95_000_000_000), ("v4", 32_000_000_000),
+    ("v6", 32_000_000_000), ("v3", 16_000_000_000),
+)
+
+
+def device_hbm_bytes(device=None) -> int | None:
+    """Usable HBM of ``device`` (default backend device 0), or None when
+    unknown (CPU hosts). Prefers live memory_stats over the kind table."""
+    import os
+    env = os.environ.get("GC_HBM_BYTES")
+    if env:
+        return int(float(env))
+    if device is None:
+        devs = jax.devices()
+        if not devs or devs[0].platform == "cpu":
+            return None
+        device = devs[0]
+    stats = getattr(device, "memory_stats", lambda: None)()
+    if stats and stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    kind = getattr(device, "device_kind", "").lower()
+    for key, nbytes in _HBM_BY_KIND:
+        if key in kind:
+            return nbytes
+    return None
+
+
+def memory_envelope(cfg: GCConfig, n_instances: int = 1,
+                    staged_bytes: int = 0) -> dict:
+    """Per-device HBM envelope for an ``n_instances``-on-one-chip replay.
+
+    ``state_bytes`` is EXACT (jax.eval_shape over init_state — no device
+    allocation); the peak model is an engineering envelope calibrated on the
+    measured v5e density limit (PERF_NOTES round 3: 8 instances x ~470 MB
+    states run, 16 RESOURCE_EXHAUSTED at init):
+
+        peak ≈ n_inst * 2.5 * state_bytes + staged_bytes
+
+    2.5 = live state (1x) + init-stack / replay-donation transient (1x)
+    + working set of outputs and scatter temporaries (~0.5x). 8 instances
+    -> ~9.6 GB (fits 16 GB), 16 -> ~19 GB (correctly over).
+    """
+    from fl_slam_tpu.pipeline import init_state
+    state = pytree_bytes(jax.eval_shape(lambda: init_state(cfg)))
+    peak = int(n_instances * 2.5 * state) + int(staged_bytes)
+    return {"state_bytes": int(state), "n_instances": int(n_instances),
+            "staged_bytes": int(staged_bytes), "peak_bytes_est": peak}
+
+
+def assert_memory_envelope(cfg: GCConfig, n_instances: int = 1,
+                           staged_bytes: int = 0, device=None,
+                           limit_bytes: int | None = None) -> dict:
+    """Fail fast — BEFORE touching the device — when the estimated peak
+    exceeds the device HBM (parity: the reference's fail-fast budget
+    validation ethos, backend_node.py:548-586). Returns the envelope dict;
+    no-op check when the limit is unknown (CPU hosts without override)."""
+    env = memory_envelope(cfg, n_instances, staged_bytes)
+    limit = limit_bytes if limit_bytes is not None else \
+        device_hbm_bytes(device)
+    env["limit_bytes"] = limit
+    if limit is not None and env["peak_bytes_est"] > limit:
+        per = env["state_bytes"] / 1e9
+        fit = max(1, int((limit - staged_bytes) / (2.5 * env["state_bytes"])))
+        raise ValueError(
+            f"memory envelope exceeded: {n_instances} instances x "
+            f"{per:.2f} GB state (peak est {env['peak_bytes_est']/1e9:.1f} GB"
+            f" incl. {staged_bytes/1e9:.2f} GB staged scans) > device HBM "
+            f"{limit/1e9:.1f} GB; max instances/device at this config ~{fit}."
+            " Shrink the map pool (n_tiles_pool/m_tile), stage fewer scans"
+            " per segment, or spread instances over more chips.")
+    return env
 
 
 def tape_schema(certs: dict) -> tuple:

@@ -28,8 +28,20 @@ def make_mesh(devices=None, axis: str = "inst") -> Mesh:
 
 
 def init_states_batched(cfg: GCConfig, n_instances: int,
-                        anchors0=None, t0: float = 0.0) -> PipelineState:
-    """Stacked PipelineState with a leading instance axis."""
+                        anchors0=None, t0: float = 0.0,
+                        n_devices: int = 1,
+                        staged_bytes: int = 0) -> PipelineState:
+    """Stacked PipelineState with a leading instance axis.
+
+    Fails fast with a sized message when ``n_instances / n_devices``
+    instances cannot fit one device's HBM (certs.assert_memory_envelope —
+    the measured v5e density limit is 8 instances/chip at the production
+    config; PERF_NOTES round 3)."""
+    from fl_slam_tpu.certs import assert_memory_envelope
+    per_dev = -(-n_instances // max(1, n_devices))   # ceil
+    assert_memory_envelope(cfg, per_dev,
+                           staged_bytes=staged_bytes // max(1, n_devices))
+
     def one(i):
         anchor = None if anchors0 is None else anchors0[i]
         return init_state(cfg, anchor0=anchor, t0=t0)

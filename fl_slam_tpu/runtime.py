@@ -41,14 +41,28 @@ def _versioned_cache_dir() -> str:
     # set; this (virtualized) host exposes different features run to run, and
     # a loaded mismatch "could lead to execution errors such as SIGILL"
     # (xla cpu_aot_loader) — observed as fatal suite crashes. Key the cache
-    # by a fingerprint of the visible CPU flags — but ONLY when the process
-    # is pinned to the CPU backend (tests / dryrun): TPU executables do not
-    # depend on host CPU features, and fingerprinting them guaranteed a cold
-    # cache (and a 500-1,500 s replay compile) on every driver run because
-    # this virtualized host never shows the same flags twice
-    # (round-2 verdict, BENCH_r02.json compile_s=1548.6).
+    # by a fingerprint of the visible CPU flags whenever the process can end
+    # up on the CPU backend: either no TPU plugin is installed (backend
+    # silently defaults to CPU regardless of JAX_PLATFORMS), or the env var
+    # gives "cpu" priority (JAX_PLATFORMS is an ordered list — "cpu" or
+    # "cpu,tpu" both resolve CPU-first). TPU executables do not depend on
+    # host CPU features, and fingerprinting them guaranteed a cold cache
+    # (and a 500-1,500 s replay compile) on every driver run because this
+    # virtualized host never shows the same flags twice (round-2 verdict,
+    # BENCH_r02.json compile_s=1548.6). Residual edge (accepted): TPU plugin
+    # present + env not cpu-first + device init FAILS at runtime falls back
+    # to unfingerprinted CPU executables; that fallback prints a loud jax
+    # warning and none of our entry points run compute after it.
     platforms = os.environ.get("JAX_PLATFORMS", "").lower()
-    if platforms == "cpu":
+    cpu_first = platforms.split(",")[0].strip() == "cpu" if platforms else False
+    tpu_plugin = False
+    try:
+        from importlib import metadata as _md
+        _md.version("libtpu")
+        tpu_plugin = True
+    except Exception:
+        tpu_plugin = False
+    if cpu_first or not tpu_plugin:
         try:
             import hashlib
             with open("/proc/cpuinfo") as fh:

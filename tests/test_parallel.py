@@ -88,6 +88,48 @@ class TestBatchedReplay:
         assert diff.max() < 1e-5, f"batched diverges from single: {diff.max()}"
 
 
+class TestMemoryEnvelope:
+    """certs.memory_envelope: the v5e instance-density limit is encoded
+    arithmetic (8/chip fits, 16 fails BEFORE touching the device), not
+    folklore (round-3 verdict item 6)."""
+
+    def test_production_density_limit_encoded(self):
+        from fl_slam_tpu.certs import assert_memory_envelope
+        prod = GCConfig.tpu()
+        v5e = 16_000_000_000
+        env = assert_memory_envelope(prod, 8, limit_bytes=v5e)
+        assert 0 < env["peak_bytes_est"] <= v5e
+        # state_bytes is exact (eval_shape): the ~470 MB production pool
+        assert 3e8 < env["state_bytes"] < 7e8
+        with pytest.raises(ValueError, match="max instances/device"):
+            assert_memory_envelope(prod, 16, limit_bytes=v5e)
+
+    def test_staged_bytes_count_against_the_limit(self):
+        from fl_slam_tpu.certs import assert_memory_envelope
+        prod = GCConfig.tpu()
+        v5e = 16_000_000_000
+        with pytest.raises(ValueError, match="staged"):
+            assert_memory_envelope(prod, 8, staged_bytes=8_000_000_000,
+                                   limit_bytes=v5e)
+
+    def test_unknown_limit_is_noop_on_cpu(self):
+        from fl_slam_tpu.certs import assert_memory_envelope
+        env = assert_memory_envelope(GCConfig.tpu(), 1024)
+        assert env["limit_bytes"] is None
+
+    def test_init_states_batched_fails_fast(self):
+        from fl_slam_tpu.certs import memory_envelope
+        import os
+        prod = GCConfig.tpu()
+        per = memory_envelope(prod, 1)["state_bytes"]
+        os.environ["GC_HBM_BYTES"] = str(int(per))   # 1 state fills "HBM"
+        try:
+            with pytest.raises(ValueError, match="memory envelope"):
+                init_states_batched(prod, 2)
+        finally:
+            del os.environ["GC_HBM_BYTES"]
+
+
 @pytest.mark.slow
 class TestDryrunHermetic:
     def test_dryrun_multichip_subprocess(self):

@@ -83,17 +83,10 @@ def detect_anchor(evs):
     return best
 
 
-def main():
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gc_trace"
-    top = 40
-    by_op = "--by-op" in sys.argv
-    for i, a in enumerate(sys.argv):
-        if a == "--top":
-            top = int(sys.argv[i + 1])
-    evs = load_events(trace_dir)
-    # Drop ENCLOSING events (loops/calls that span other ops): keeping them
-    # double-counts — observed as "busy" > window wall. An event is a leaf
-    # iff no other event starts strictly inside its span.
+def leaf_events(evs):
+    """Drop ENCLOSING events (loops/calls that span other ops): keeping them
+    double-counts — observed as "busy" > window wall. An event is a leaf
+    iff no other event starts strictly inside its span."""
     starts = sorted(t0 for t0, _, _, _ in evs)
     import bisect
     leaves = []
@@ -102,19 +95,24 @@ def main():
         if i < len(starts) and starts[i] < t0 + dur * 0.999:
             continue
         leaves.append((t0, dur, name, src))
-    if len(leaves) >= len(evs) // 4:
-        evs = leaves
+    return leaves if len(leaves) >= len(evs) // 4 else evs
+
+
+def busy_summary(trace_dir, top=3, by_op=False):
+    """Leaf-only device-busy attribution over the middle scan windows.
+
+    Returns {busy_us_per_scan, wall_us_per_scan, busy_frac, anchor,
+    windows, top: [(source, us_per_scan), ...]} — the utilization context
+    BENCH records carry (round-3 verdict item 7)."""
+    evs = leaf_events(load_events(trace_dir))
     anchor = detect_anchor(evs)
     if anchor is None:
-        raise SystemExit("no periodic anchor op found")
+        raise RuntimeError("no periodic anchor op found")
     ts = [t0 for t0, _, name, _ in evs if name == anchor]
     n_win = len(ts) - 1
     lo = max(1, n_win // 3)
     hi = max(lo + 1, 2 * n_win // 3)
     windows = [(ts[i], ts[i + 1]) for i in range(lo, hi)]
-    print(f"anchor={anchor}  windows={len(windows)} "
-          f"(of {n_win}), mean period "
-          f"{(ts[-1] - ts[0]) / n_win:.1f} us")
 
     agg = collections.Counter()
     cnt = collections.Counter()
@@ -127,11 +125,35 @@ def main():
                 cnt[key] += 1
                 busy += dur
     nw = len(windows)
-    print(f"device busy per scan: {busy / nw:.1f} us "
-          f"(window wall {sum(w1 - w0 for w0, w1 in windows) / nw:.1f} us)")
+    wall = sum(w1 - w0 for w0, w1 in windows) / nw
+    return {
+        "anchor": anchor,
+        "windows": nw,
+        "n_windows_total": n_win,
+        "busy_us_per_scan": busy / nw,
+        "wall_us_per_scan": wall,
+        "busy_frac": (busy / nw) / wall if wall > 0 else 0.0,
+        "top": [(k, round(v / nw, 1), round(cnt[k] / nw, 1))
+                for k, v in agg.most_common(top)],
+    }
+
+
+def main():
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gc_trace"
+    top = 40
+    by_op = "--by-op" in sys.argv
+    for i, a in enumerate(sys.argv):
+        if a == "--top":
+            top = int(sys.argv[i + 1])
+    s = busy_summary(trace_dir, top=top, by_op=by_op)
+    print(f"anchor={s['anchor']}  windows={s['windows']} "
+          f"(of {s['n_windows_total']})")
+    print(f"device busy per scan: {s['busy_us_per_scan']:.1f} us "
+          f"(window wall {s['wall_us_per_scan']:.1f} us, "
+          f"busy_frac {s['busy_frac']:.2f})")
     print(f"{'us/scan':>9}  {'ops':>6}  source")
-    for key, tot in agg.most_common(top):
-        print(f"{tot / nw:9.1f}  {cnt[key] / nw:6.1f}  {key[:100]}")
+    for key, us, n in s["top"]:
+        print(f"{us:9.1f}  {n:6.1f}  {key[:100]}")
 
 
 if __name__ == "__main__":
