@@ -1125,11 +1125,16 @@ def replay_segments(state: PipelineState, segments, cfg: GCConfig,
         state, outs = run(state, seg)
         outs_list.append(outs)
         if progress is not None:
-            # sync only the cheap pose leaf so the heartbeat reflects real
-            # device progress without stalling the staging pipeline
-            jax.block_until_ready(outs.pose)
+            # NON-blocking progress: the dispatch is async, so the host
+            # returns here immediately and the generator stages segment
+            # i+1 WHILE the device replays segment i — blocking on
+            # outs.pose (the round-3 behavior) serialized staging after
+            # replay and forfeited the overlap. ``done`` counts segments
+            # whose outputs are already materialized.
             n_done += int(outs.pose.shape[0])
-            progress(i, n_done, _time.perf_counter() - t0)
+            done = sum(int(o.pose.shape[0]) for o in outs_list
+                       if o.pose.is_ready())
+            progress(i, n_done, _time.perf_counter() - t0, done)
     if not outs_list:
         raise ValueError("replay_segments: empty segment iterable")
     merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),

@@ -184,6 +184,85 @@ class TestBagReader:
         assert audit["dead_end_topics"] == []
         assert audit["staged_bytes"] > 0
 
+    def test_native_staging_matches_python(self, tmp_path, rng):
+        """The C++ single-pass staging kernel (gcio_stage_lidar_batch) must
+        reproduce the Python staging loop exactly — including nonfinite
+        sentinel handling, range-weight sigmoids, budget resample, IMU
+        windows, closest-odom selection and the audit counters."""
+        if not native.have_native_staging():
+            pytest.skip("native staging not built")
+        bag = _make_bag(str(tmp_path), rng, n_scans=5)
+        topics = BagTopics("/lidar", "/imu", "/odom")
+        rn = load_scan_records(bag, topics, CFG, native_staging=True)
+        rp = load_scan_records(bag, topics, CFG, native_staging=False)
+        an, ap = rn.pop("__audit__"), rp.pop("__audit__")
+        assert an["staging_backend"] == "native"
+        assert ap["staging_backend"] == "python"
+        for k in ("nonfinite_points_total", "imu_windows_saturated",
+                  "missing_odom_scans", "n_scans"):
+            assert an[k] == ap[k], (k, an[k], ap[k])
+        for k in sorted(rp):
+            a, b = np.asarray(rn[k]), np.asarray(rp[k])
+            assert a.shape == b.shape, (k, a.shape, b.shape)
+            # identical math; the only fp divergence is the staging kernel's
+            # range-reduced exp (|rel| < 1e-14) and summation order
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12,
+                                       err_msg=k)
+
+    def test_native_staging_nonfinite_and_chunks(self, tmp_path, rng):
+        """Sentinel semantics and cross-chunk prev_t threading: a bag with
+        NaN/inf points staged in 2-scan native chunks equals the python
+        loop."""
+        if not native.have_native_staging():
+            pytest.skip("native staging not built")
+        import sqlite3 as _sq
+        db = os.path.join(str(tmp_path), "synth_0.db3")
+        con = _sq.connect(db)
+        con.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+                    "type TEXT, serialization_format TEXT, "
+                    "offered_qos_profiles TEXT)")
+        con.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, "
+                    "topic_id INTEGER, timestamp INTEGER, data BLOB)")
+        con.execute("INSERT INTO topics VALUES (1, '/lidar', "
+                    "'sensor_msgs/msg/PointCloud2', 'cdr', '')")
+        mid = 0
+        for i in range(5):
+            t0 = 50.0 + 0.1 * i
+            xyz = rng.normal(0, 3, (200, 3)).astype(np.float32)
+            xyz[3, 0] = np.nan
+            xyz[7, 1] = np.inf
+            xyz[9, 2] = -np.inf
+            xyz[9, 0] = 0.0
+            blob = cdr.encode_pointcloud2(t0, xyz)
+            mid += 1
+            con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                        (mid, 1, int(t0 * 1e9), blob))
+        con.commit()
+        con.close()
+        topics = BagTopics("/lidar", "/imu_none", "/odom_none")
+        bag = str(tmp_path)
+        rn = load_scan_records(bag, topics, CFG, native_staging=True)
+        rp = load_scan_records(bag, topics, CFG, native_staging=False)
+        an, ap = rn.pop("__audit__"), rp.pop("__audit__")
+        assert an["nonfinite_points_total"] == ap["nonfinite_points_total"] \
+            == 15
+        assert an["missing_odom_scans"] == ap["missing_odom_scans"] == 5
+        for k in sorted(rp):
+            np.testing.assert_allclose(np.asarray(rn[k]), np.asarray(rp[k]),
+                                       rtol=1e-12, atol=1e-12, err_msg=k)
+
+        # prev_t threads across chunk boundaries: chunk=2 == one-shot
+        from fl_slam_tpu.io.rosbag import RosbagReader, _native_stage_loop
+        reader = RosbagReader(bag)
+        audit = {"nonfinite_points_total": 0, "imu_windows_saturated": 0,
+                 "missing_odom_scans": 0}
+        r2 = _native_stage_loop(reader, topics, CFG, np.eye(3), np.zeros(3),
+                                np.zeros((0, 7)), np.zeros((0, 86)), None,
+                                60000, dict(audit), chunk=2)
+        for k in sorted(r2):
+            np.testing.assert_allclose(r2[k], np.asarray(rn[k]),
+                                       rtol=0, atol=0, err_msg=k)
+
     def test_quat_to_rotvec(self):
         np.testing.assert_allclose(
             quat_xyzw_to_rotvec(np.array([0, 0, np.sin(0.2), np.cos(0.2)])),

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_bag(out_dir, n_scans, w, h, rng):
+def make_bag(out_dir, n_scans, w, h, rng, n_points=2048):
     from fl_slam_tpu.io import cdr
 
     db = os.path.join(out_dir, "stage_bench_0.db3")
@@ -54,8 +54,8 @@ def make_bag(out_dir, n_scans, w, h, rng):
     mid = 0
     for i in range(n_scans):
         t0 = 100.0 + 0.1 * i
-        xyz = rng.normal(0, 3, (2048, 3)).astype(np.float32)
-        tq = np.linspace(0, 0.09, 2048).astype(np.float32)
+        xyz = rng.normal(0, 3, (n_points, 3)).astype(np.float32)
+        tq = np.linspace(0, 0.09, n_points).astype(np.float32)
         mid += 1
         con.execute("INSERT INTO messages VALUES (?,?,?,?)",
                     (mid, 1, int(t0 * 1e9),
@@ -92,6 +92,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=300)
     ap.add_argument("--wh", type=int, nargs=2, default=(424, 240))
+    ap.add_argument("--points", type=int, default=2048,
+                    help="raw points per scan (VLP-16 real bag ~28800)")
+    ap.add_argument("--python-staging", action="store_true",
+                    help="force the Python staging loop (native is default)")
+    ap.add_argument("--no-camera", action="store_true")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -104,32 +109,39 @@ def main():
     cfg = GCConfig.tpu()
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as td:
-        make_bag(td, args.scans, w, h, rng)
+        make_bag(td, args.scans, w, h, rng, args.points)
         topics = BagTopics("/lidar", "/imu", "/odom")
 
+        ns = not args.python_staging
         t0 = time.perf_counter()
-        recs = load_scan_records(td, topics, cfg)
+        recs = load_scan_records(td, topics, cfg, native_staging=ns)
         t_lidar = time.perf_counter() - t0
         n = int(recs["__audit__"]["n_scans"])
+        backend = recs["__audit__"]["staging_backend"]
 
-        intr = PinholeIntrinsics(fx=300.0, fy=300.0, cx=w / 2, cy=h / 2,
-                                 width=w, height=h)
-        t0 = time.perf_counter()
-        recs = load_scan_records(
-            td, topics, cfg,
-            cam_topics=CameraTopics("/cam/rgb", "/cam/depth"),
-            intrinsics=intr)
-        t_cam = time.perf_counter() - t0
-        cam_scans = int(recs["__audit__"]["camera_scans"])
+        t_cam = float("nan")
+        cam_scans = 0
+        if not args.no_camera:
+            intr = PinholeIntrinsics(fx=300.0, fy=300.0, cx=w / 2, cy=h / 2,
+                                     width=w, height=h)
+            t0 = time.perf_counter()
+            recs = load_scan_records(
+                td, topics, cfg, native_staging=ns,
+                cam_topics=CameraTopics("/cam/rgb", "/cam/depth"),
+                intrinsics=intr)
+            t_cam = time.perf_counter() - t0
+            cam_scans = int(recs["__audit__"]["camera_scans"])
 
     print(json.dumps({
         "metric": "staging_throughput",
         "scans": n,
+        "raw_points_per_scan": args.points,
+        "staging_backend": backend,
         "image": f"{w}x{h}",
         "lidar_only_s": round(t_lidar, 2),
         "lidar_only_scans_per_s": round(n / t_lidar, 1),
         "with_camera_s": round(t_cam, 2),
-        "camera_scans_per_s": round(n / t_cam, 1),
+        "camera_scans_per_s": round(n / t_cam, 1) if t_cam == t_cam else None,
         "camera_scans_staged": cam_scans,
         "note": "staging overlaps the device replay via --seg-len; the "
                 "camera rate bounds full-bag wall clock when below the "

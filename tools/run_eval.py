@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--seg-len", type=int, default=0,
                     help="replay in fixed segments of N scans (bounds "
                     "device staging memory for long bags; 0 = one shot)")
+    ap.add_argument("--stream", action="store_true",
+                    help="with --seg-len and --bag: stage each segment "
+                    "LAZILY so host staging of segment k+1 overlaps the "
+                    "device replay of segment k (io/rosbag.StreamingStager)"
+                    " — the end-to-end (staging-inclusive) path")
     ap.add_argument("--profile", default=None, choices=["kimera"],
                     help="topic-name preset; 'kimera' = the canonical "
                     "/acl_jackal/* topics of the reference workload "
@@ -98,29 +103,50 @@ def main():
                 print("[FAIL] --rgb/--depth need --calib with intrinsics")
                 sys.exit(2)
             cam = CameraTopics(rgb=args.rgb, depth=args.depth)
-        recs = load_scan_records(args.bag,
-                                 BagTopics(args.lidar, args.imu, args.odom),
-                                 cfg, max_scans=args.scans,
-                                 T_base_lidar=calib.get("T_base_lidar"),
-                                 cam_topics=cam,
-                                 intrinsics=calib.get("intrinsics"),
-                                 T_base_cam=calib.get("T_base_cam"))
-        # --seg-len must not stage the whole bag on device: keep the host
-        # records and let the segment generator upload one segment at a
-        # time (io/rosbag.scan_input_segments).
-        host_recs = recs if args.seg_len else None
-        scans = None if args.seg_len else bag_to_inputs(recs, cfg)
-        stamps = recs["scan_start"]
-        if "__audit__" in recs:
-            with open(os.path.join(args.out, "wiring_audit.json"), "w") as fh:
-                json.dump(recs["__audit__"], fh, indent=2)
-            print("[audit]", {k: recs["__audit__"].get(k) for k in
-                              ("n_scans", "missing_odom_scans",
-                               "dead_end_topics", "camera_pairs",
-                               "camera_scans")})
-        if cam is not None and recs["__audit__"].get("camera_scans", 0) == 0:
-            print("[FAIL] camera requested but no scan got camera features")
-            sys.exit(2)
+        stager = None
+        if args.stream and args.seg_len:
+            # Lazy segment staging: only a 10-scan HEAD is staged up front
+            # (initial anchor + budget-shape probe); the rest stages
+            # segment-by-segment inside the replay loop, overlapped with
+            # the device (StreamingStager).
+            from fl_slam_tpu.io.rosbag import StreamingStager
+            recs = load_scan_records(
+                args.bag, BagTopics(args.lidar, args.imu, args.odom), cfg,
+                max_scans=10, T_base_lidar=calib.get("T_base_lidar"))
+            stager = StreamingStager(
+                args.bag, BagTopics(args.lidar, args.imu, args.odom), cfg,
+                args.seg_len, T_base_lidar=calib.get("T_base_lidar"),
+                cam_topics=cam, intrinsics=calib.get("intrinsics"),
+                T_base_cam=calib.get("T_base_cam"), max_scans=args.scans)
+            host_recs = None
+            scans = None
+            stamps = recs["scan_start"]      # head; replaced post-replay
+        else:
+            recs = load_scan_records(
+                args.bag, BagTopics(args.lidar, args.imu, args.odom),
+                cfg, max_scans=args.scans,
+                T_base_lidar=calib.get("T_base_lidar"),
+                cam_topics=cam, intrinsics=calib.get("intrinsics"),
+                T_base_cam=calib.get("T_base_cam"))
+            # --seg-len must not stage the whole bag on device: keep the
+            # host records and let the segment generator upload one segment
+            # at a time (io/rosbag.scan_input_segments).
+            host_recs = recs if args.seg_len else None
+            scans = None if args.seg_len else bag_to_inputs(recs, cfg)
+            stamps = recs["scan_start"]
+            if "__audit__" in recs:
+                with open(os.path.join(args.out, "wiring_audit.json"),
+                          "w") as fh:
+                    json.dump(recs["__audit__"], fh, indent=2)
+                print("[audit]", {k: recs["__audit__"].get(k) for k in
+                                  ("n_scans", "missing_odom_scans",
+                                   "dead_end_topics", "camera_pairs",
+                                   "camera_scans")})
+            if cam is not None \
+                    and recs["__audit__"].get("camera_scans", 0) == 0:
+                print("[FAIL] camera requested but no scan got camera "
+                      "features")
+                sys.exit(2)
         # Smoothed initial anchor from the first K odom with IMU stability
         # weights (parity: backend_node.py:1467-1513) — one noisy first odom
         # message must not bias the whole anchor chain.
@@ -144,9 +170,13 @@ def main():
 
     def _field(name):
         """Staged field, whichever form this run holds (device ScanInput for
-        one-shot; host records for --seg-len)."""
-        return (host_recs[name] if scans is None
-                else np.asarray(getattr(scans, name)))
+        one-shot; host records for --seg-len; the staged 10-scan head for
+        --stream — same staging code path, probe-sized)."""
+        if scans is not None:
+            return np.asarray(getattr(scans, name))
+        if host_recs is not None:
+            return host_recs[name]
+        return recs[name]
 
     # ---- replay (one compiled program over the whole bag; --seg-len bounds
     # device staging memory for bags too large to stage at once) -----------------
@@ -182,18 +212,42 @@ def main():
     if args.seg_len:
         from fl_slam_tpu.io.rosbag import scan_input_segments
         from fl_slam_tpu.pipeline import replay_segments
-        T_total = int(host_recs["scan_start"].shape[0])
 
-        def _progress(i, n_done, wall_s):
-            print(f"[replay] segment {i + 1}: {n_done} scans, "
-                  f"{n_done / max(wall_s, 1e-9):.1f} scans/s "
+        def _progress(i, n_disp, wall_s, n_done):
+            print(f"[replay] segment {i + 1}: {n_disp} scans dispatched, "
+                  f"{n_done} done, {n_disp / max(wall_s, 1e-9):.1f} scans/s "
                   f"(incl. compile)", flush=True)
 
-        print("[replay] compiling + running (segmented)...", flush=True)
-        with _Heartbeat("segmented replay"):
-            final_state, outs = replay_segments(
-                state, scan_input_segments(host_recs, cfg, args.seg_len),
-                cfg, progress=_progress)
+        if args.bag and args.stream:
+            # end-to-end path: segments stage lazily INSIDE this loop,
+            # overlapped with the device replay (wall below includes ALL
+            # host staging)
+            print("[replay] compiling + running (streamed segments)...",
+                  flush=True)
+            with _Heartbeat("streamed replay"):
+                final_state, outs = replay_segments(
+                    state, iter(stager), cfg, progress=_progress)
+            T_total = int(stager.n_scans)
+            stamps = np.concatenate(stager.scan_starts)
+            with open(os.path.join(args.out, "wiring_audit.json"),
+                      "w") as fh:
+                json.dump(stager.audit, fh, indent=2)
+            print("[audit]", {k: stager.audit.get(k) for k in
+                              ("n_scans", "missing_odom_scans",
+                               "dead_end_topics", "camera_pairs",
+                               "camera_scans")})
+            if cam is not None and stager.audit.get("camera_scans", 0) == 0:
+                print("[FAIL] camera requested but no scan got camera "
+                      "features")
+                sys.exit(2)
+        else:
+            T_total = int(host_recs["scan_start"].shape[0])
+            print("[replay] compiling + running (segmented)...", flush=True)
+            with _Heartbeat("segmented replay"):
+                final_state, outs = replay_segments(
+                    state, scan_input_segments(host_recs, cfg,
+                                               args.seg_len),
+                    cfg, progress=_progress)
         outs = jax.tree.map(lambda a: a[:T_total], outs)
     else:
         run = replay_jit(cfg)
@@ -287,7 +341,9 @@ def main():
         for d in (1.0, 5.0, 10.0):
             metrics[f"rpe_{int(d)}m"] = rpe(poses, gt_poses, delta_m=d)
         m_rpe = metrics["rpe_1m"]
-        odom = np.asarray(_field("odom_pose"))
+        odom = (np.concatenate(stager.odom_poses)
+                if (args.bag and args.stream and args.seg_len)
+                else np.asarray(_field("odom_pose")))
         metrics["ate_raw_odom"] = ate(odom, gt_poses, align="initial")
         print(f"[metrics] ATE trans {m_ate['trans']['rmse']:.4f} m, "
               f"rot {m_ate['rot_deg']['rmse']:.3f} deg | raw odom "
