@@ -121,7 +121,12 @@ def _onehot(n, k, dt):
 
 
 def _tr(A):
-    return jnp.sum(A * _eye(A.shape[-1], A.dtype))
+    # One axis at a time with keepdims: a multi-axis (full) reduce crashes
+    # Mosaic under the instance-vmap batch axis, and a bare two-step reduce
+    # leaves a 1-D intermediate the UNBATCHED path cannot reduce (probed
+    # both ways). keepdims keeps every reduce 2-D in both regimes.
+    d = jnp.sum(A * _eye(A.shape[-1], A.dtype), axis=-2, keepdims=True)
+    return jnp.sum(d, axis=-1, keepdims=True)[..., 0, 0]
 
 
 def _mv(A, x):
@@ -467,8 +472,10 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         raw = (rho_i * ppsi[i] + blocks[i]) * m
         psd = 0.5 * (raw + raw.T) + cfg.eps_psd * eye6
         psi_blocks.append(psd)
-        iw_pred = iw_pred + jnp.sum(blocks[i] * eye6)
-        iw_real = iw_real + jnp.sum((psd - rho_i * ppsi[i]) * eye6)
+        # single-axis reduce chains (full 2-D reduces crash the batched
+        # lowering; see _tr)
+        iw_pred = iw_pred + _tr(blocks[i])
+        iw_real = iw_real + _tr(psd - rho_i * ppsi[i])
     psi_psd = jnp.stack(psi_blocks)
     rho_q = jnp.stack([jnp.asarray(x, dt) for x in rhos_q])
     dims_q = jnp.stack([jnp.asarray(float(d), dt) for d in _IW_DIMS])
@@ -488,8 +495,8 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
         mpsi_blocks.append(psd_m)
         # ExpectedEffect: predicted = the suffstat feed's trace; realized =
         # the trace actually added to Psi after symmetrize + eps floor
-        iwm_pred = iwm_pred + jnp.sum(dm * eye3)
-        iwm_real = iwm_real + jnp.sum((psd_m - rho_i * mpsi[i]) * eye3)
+        iwm_pred = iwm_pred + _tr(dm)
+        iwm_real = iwm_real + _tr(psd_m - rho_i * mpsi[i])
     mpsi_psd = jnp.stack(mpsi_blocks)
     rho_m = jnp.stack([jnp.asarray(x, dt) for x in rhos_m])
     nu_min_m = jnp.asarray(3.0 + 1.0 + cfg.iw_nu_weak_add, dt)
@@ -563,6 +570,105 @@ def _kernel_body(cfg: GCConfig,
     rrec_out_ref[:] = R_rec
 
 
+# ---------------------------------------------------------------------------
+# Instance-batched dispatch (round-3 verdict item 1).
+#
+# jax.vmap's native pallas batching rule prepends a GRID dimension, so B
+# instances execute the kernel B times grid-SEQUENTIALLY — measured: the two
+# belief kernels cost 8x one instance at B=8 (585 us/step of the 6.4 ms
+# batched step). The custom_vmap rules below instead lower ONE kernel whose
+# body is jax.vmap(_tail_math / _pe_math): the 22-lane VPU work of all
+# instances rides the sublane axis of single batched ops. Probe-verified on
+# the v5e: batched (B, 22, 22) elementwise / axis-2 reduces / vmapped
+# masked-Cholesky all lower natively (the one SIGABRT trap is captured
+# jnp.eye-style array constants — every helper here builds constants from
+# broadcasted_iota, which lowers fine).
+# ---------------------------------------------------------------------------
+
+def _squeeze_dummy(o):
+    """(B, 1, k...) -> (B, k...): drop the Mosaic 2-D dummy row axis that
+    single-instance operands carry (batched operands are naturally >=2-D)."""
+    if o.ndim >= 3 and o.shape[1] == 1:
+        return o.reshape((o.shape[0],) + o.shape[2:])
+    return o
+
+
+def _batched_pallas(cfg, interpret, math_fn, n_in, out_shapes, extra=None):
+    """pallas_call whose body vmaps ``math_fn`` over the leading instance
+    axis. ``out_shapes``: UNBATCHED output ShapeDtypeStructs; outputs are
+    returned batched as (B,) + unbatched shape."""
+    def call(*ops):
+        B = ops[0].shape[0]
+        sq = [_squeeze_dummy(o) for o in ops]
+
+        def body(*refs):
+            ins = [r[:] for r in refs[:n_in]]
+            outs = jax.vmap(lambda *xs: math_fn(cfg, *xs))(*ins)
+            if extra is not None:
+                outs = extra(outs)
+            for r, o in zip(refs[n_in:], outs):
+                r[:] = o
+
+        kernel_outs = tuple(
+            jax.ShapeDtypeStruct(
+                (B,) + tuple(s.shape[1:] if s.shape[0] == 1 else s.shape),
+                s.dtype)
+            for s in out_shapes)
+        outs = pl.pallas_call(
+            body,
+            out_shape=kernel_outs,
+            in_specs=[_full_spec(o.shape) for o in sq],
+            out_specs=tuple(_full_spec(o.shape) for o in kernel_outs),
+            interpret=interpret,
+        )(*sq)
+        # restore the unbatched dummy axes: (B, k...) -> (B, 1, k...)
+        return tuple(
+            o.reshape((o.shape[0],) + s.shape) for o, s in
+            zip(outs, out_shapes))
+    return call
+
+
+_DISPATCH_CACHE: dict = {}
+
+
+def _make_dispatch(cfg, interpret, out_shapes, math_fn, n_in, extra=None,
+                   single=None):
+    """custom_vmap wrapper: unbatched calls run ``single`` (the existing
+    per-instance kernel); a vmapped (instance-axis) call lowers the ONE
+    batched kernel above instead of grid-serializing."""
+    @jax.custom_batching.custom_vmap
+    def call(*operands):
+        return single(*operands)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *operands):
+        ops = [o if b else jnp.broadcast_to(o[None], (axis_size,) + o.shape)
+               for o, b in zip(operands, in_batched)]
+        outs = _batched_pallas(cfg, interpret, math_fn, n_in, out_shapes,
+                               extra)(*ops)
+        return outs, tuple(True for _ in outs)
+
+    return call
+
+
+def _tail_dispatch(cfg: GCConfig, interpret: bool, out_shapes):
+    key = ("tail", cfg, interpret)
+    if key not in _DISPATCH_CACHE:
+        def single(*operands):
+            return pl.pallas_call(
+                functools.partial(_kernel_body, cfg),
+                out_shape=out_shapes,
+                # full-array blocks with explicit i32 index maps (an i64
+                # index-map literal under x64 fails Mosaic legalization)
+                in_specs=[_full_spec(op.shape) for op in operands],
+                out_specs=tuple(_full_spec(o.shape) for o in out_shapes),
+                interpret=interpret,
+            )(*operands)
+        _DISPATCH_CACHE[key] = _make_dispatch(
+            cfg, interpret, out_shapes, _tail_math, 18, single=single)
+    return _DISPATCH_CACHE[key]
+
+
 def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
                 z_lin, L_vis, h_vis_rel, dz_odom, pnu, ppsi, mnu, mpsi,
                 dpsi_gyro, dpsi_accel, dpsi_lidar, ess_pre, ot_ess, ot_cost,
@@ -605,17 +711,7 @@ def scalar_tail(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
                 L_io, h_io[None, :], z_lin[None, :], L_vis,
                 h_vis_rel[None, :], dz_odom[None, :], pnu[None, :], ppsi,
                 mnu[None, :], mpsi, dpsi_gyro, dpsi_accel, dpsi_lidar, scal)
-    outs = pl.pallas_call(
-        functools.partial(_kernel_body, cfg),
-        out_shape=out_shapes,
-        # full-array blocks with explicit i32 index maps so jax.vmap's
-        # batching rule (instance axis in parallel/replicas.py) composes
-        # all-i32 index maps — the bare memory_space=VMEM default traces
-        # i64 literals under x64, which Mosaic fails to legalize.
-        in_specs=[_full_spec(op.shape) for op in operands],
-        out_specs=tuple(_full_spec(o.shape) for o in out_shapes),
-        interpret=interpret,
-    )(*operands)
+    outs = _tail_dispatch(cfg, bool(interpret), out_shapes)(*operands)
     (L_fin, h_fin, anchor_fin, anchor_rec, z_drift, pose6_out,
      pnu_new, ppsi_new, mnu_new, mpsi_new, certs, mu_next, Sigma_post,
      pose_prev7_next, R_prev_next, R_rec) = outs
@@ -827,7 +923,9 @@ def _eigmin3(A):
     """Smallest eigenvalue of symmetric 3x3 (Smith 1961, with _acos);
     parity: core/linalg.eigvalsh3x3 restricted to lambda_min."""
     dt = A.dtype
-    s = jnp.maximum(jnp.max(jnp.abs(A)), jnp.asarray(1e-30, dt))
+    s_2d = jnp.max(jnp.abs(A), axis=-2, keepdims=True)        # (..., 1, 3)
+    s = jnp.maximum(jnp.max(s_2d, axis=-1, keepdims=True)[..., 0, 0],
+                    jnp.asarray(1e-30, dt))
     A = A / s
     a00, a11, a22 = A[0, 0], A[1, 1], A[2, 2]
     a01, a02, a12 = A[0, 1], A[0, 2], A[1, 2]
@@ -944,7 +1042,13 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
         # rotation R_prev_in) composed with the odom increment; first scan
         # falls back to the absolute pose (see GCConfig.odom_pose_relative)
         d_od = g("odom_rel")
-        t_tgt = pose_prev[0:3] + _mv(R_prev_in, d_od[0:3])
+        # d_od is an se(3) LOG (se3_minus): its translation part is
+        # rho = V(omega)^{-1} t_rel, so composing pose_prev ∘ Exp(d_od)
+        # needs V(omega) applied — matching se3_plus on the XLA path.
+        # Skipping V was a first-order-in-omega systematic bias (~0.8 mm
+        # per scan at 0.04 m / 0.05 rad increments; advisor round-3 #1).
+        t_rel = _mv(se3.so3_V(d_od[3:6]), d_od[0:3])
+        t_tgt = pose_prev[0:3] + _mv(R_prev_in, t_rel)
         R_tgt = _mm3(R_prev_in, se3.so3_exp(d_od[3:6]))
         tgt6 = jnp.concatenate([t_tgt, _so3_log_s(R_tgt)])
         first = g("first_scan")
@@ -1191,6 +1295,34 @@ def _pe_kernel_body(cfg: GCConfig, L_prev_ref, h_prev_ref, anchor_ref,
     certs_out[0, :] = certs
 
 
+def _pe_math_out(cfg: GCConfig, *ins):
+    """_pe_math + the two derived outputs the kernel writes (small = packed
+    [xi_odom, z_lin_pose7]; R(z_lin)) — write-ready tuple in out_shapes
+    order, shared by the single-instance body and the batched vmap body."""
+    (L_pred, h_pred, mean_pred, L_io, h_io, z_lin, xi_odom, z_lin_pose7,
+     dpsi_accel, certs) = _pe_math(cfg, *ins)
+    small = jnp.concatenate([xi_odom, z_lin_pose7])
+    R_zlin = se3.quat_to_R(z_lin_pose7[3:7])
+    return (L_pred, h_pred, mean_pred, L_io, h_io, z_lin, small, dpsi_accel,
+            certs, R_zlin)
+
+
+def _pe_dispatch(cfg: GCConfig, interpret: bool, out_shapes):
+    key = ("pe", cfg, interpret)
+    if key not in _DISPATCH_CACHE:
+        def single(*operands):
+            return pl.pallas_call(
+                functools.partial(_pe_kernel_body, cfg),
+                out_shape=out_shapes,
+                in_specs=[_full_spec(op.shape) for op in operands],
+                out_specs=tuple(_full_spec(o.shape) for o in out_shapes),
+                interpret=interpret,
+            )(*operands)
+        _DISPATCH_CACHE[key] = _make_dispatch(
+            cfg, interpret, out_shapes, _pe_math_out, 12, single=single)
+    return _DISPATCH_CACHE[key]
+
+
 def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
                      sigma_prev, R_prev, Q,
                      sigma_g, sigma_a, odom_cov, acc_M2, *, dt_sec, pre_ess,
@@ -1234,14 +1366,7 @@ def predict_evidence(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev,
     )
     operands = (L_prev, h_prev[None, :], anchor[None, :], mu_prev[None, :],
                 sigma_prev, R_prev, Q, sigma_g, sigma_a, odom_cov, acc_M2, pk)
-    outs = pl.pallas_call(
-        functools.partial(_pe_kernel_body, cfg),
-        out_shape=out_shapes,
-        # explicit i32 index maps: see scalar_tail (vmap batching needs them)
-        in_specs=[_full_spec(op.shape) for op in operands],
-        out_specs=tuple(_full_spec(o.shape) for o in out_shapes),
-        interpret=interpret,
-    )(*operands)
+    outs = _pe_dispatch(cfg, bool(interpret), out_shapes)(*operands)
     (L_pred, h_pred, mu_pred, L_io, h_io, z_lin, small, dpsi_accel,
      certs, R_zlin) = outs
     return (L_pred, h_pred[0], mu_pred[0], L_io, h_io[0], z_lin[0],

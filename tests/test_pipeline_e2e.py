@@ -360,14 +360,20 @@ class TestScalarTailKernel:
         from fl_slam_tpu.ops import belief_kernels
 
         cfg = GCConfig.small(dtype="float32", k_hyp=1)
+        sim_kw = {}
         if variant == "relative_odom":
             # the relative/mixed odom factor has its own kernel branch
             # (dark at the neutral default) — hold it to the same
-            # XLA-equivalence gate
+            # XLA-equivalence gate. Drive LARGE yaw increments (~0.08
+            # rad/scan): the kernel must apply V(omega) to the se(3)-log
+            # translation when composing pose_prev ∘ Exp(d_od); at small
+            # increments the missing-V bias (first order in omega) hides
+            # under the fp tolerance (advisor round-3 #1).
             cfg = cfg.replace(odom_pose_relative=True, odom_pose_mix=0.5,
                               odom_pose_rot_scale=0.3)
+            sim_kw = dict(turn_rate=0.8, speed=1.5)
         ds = simulate(cfg, n_scans=12, seed=3, odom_drift_vel_scale=1.03,
-                      odom_drift_yaw_rate=0.01)
+                      odom_drift_yaw_rate=0.01, **sim_kw)
         scans = to_scan_inputs(ds, cfg)
         outs = {}
         try:

@@ -270,6 +270,103 @@ class TestBatchedKernels:
                 np.testing.assert_array_equal(np.asarray(k[i]),
                                               np.asarray(x))
 
+    def test_vmapped_scalar_tail_matches_loop(self):
+        """The custom_vmap instance rule (ONE kernel, instances vmapped
+        inside the body) must reproduce the per-instance kernel bit for bit
+        (round-3 verdict item 1: the native batching rule grid-serialized
+        B instances at 8x one instance's cost)."""
+        from fl_slam_tpu.config import GCConfig
+        from fl_slam_tpu.ops import belief_kernels as bk
+        from fl_slam_tpu.ops import noise as noise_ops
+
+        cfg = GCConfig.tpu()
+        dt = jnp.float32
+        rng = np.random.default_rng(11)
+
+        def spd(n, s=1.0):
+            A = rng.normal(size=(self.B, n, n)).astype(np.float32)
+            return jnp.asarray(np.einsum("bij,bkj->bik", A, A) * s
+                               + np.eye(n, dtype=np.float32))
+
+        pn = noise_ops.init_process_noise(cfg.replace(dtype="float32"))
+        mn = noise_ops.init_measurement_noise(cfg.replace(dtype="float32"))
+        d3 = spd(3, .01)
+        BN = lambda *sh, s=1.0: jnp.asarray(
+            rng.normal(size=(self.B,) + sh).astype(np.float32) * s)
+        anchor = jnp.broadcast_to(
+            jnp.asarray([1., 2., .3, 1., 0, 0, 0], dt), (self.B, 7))
+        args = (spd(22, 10.), BN(22), anchor, BN(22, s=0.01), spd(22, 2.),
+                BN(22), BN(22, s=0.01), spd(22), BN(22), BN(6, s=0.01),
+                jnp.broadcast_to(pn.nu.astype(dt), (self.B, 7)),
+                jnp.broadcast_to(pn.psi.astype(dt), (self.B, 7, 6, 6)),
+                jnp.broadcast_to(mn.nu.astype(dt), (self.B, 3)),
+                jnp.broadcast_to(mn.psi.astype(dt), (self.B, 3, 3, 3)),
+                d3, d3, d3,
+                jnp.full((self.B,), 100., dt), jnp.full((self.B,), 50., dt),
+                jnp.full((self.B,), 10., dt), jnp.full((self.B,), .001, dt),
+                jnp.full((self.B,), 5., dt))
+        f = lambda *a: bk.scalar_tail(cfg, *a)
+        out = jax.jit(jax.vmap(f))(*args)
+        for i in range(self.B):
+            ref = jax.jit(f)(*(a[i] for a in args))
+            for j, (o, r) in enumerate(zip(out, ref)):
+                np.testing.assert_array_equal(np.asarray(o[i]),
+                                              np.asarray(r), err_msg=str(j))
+
+    def test_vmapped_predict_evidence_matches_loop(self):
+        from fl_slam_tpu.config import GCConfig
+        from fl_slam_tpu.core import se3
+        from fl_slam_tpu.ops import belief_kernels as bk
+
+        cfg = GCConfig.tpu()
+        dt = jnp.float32
+        rng = np.random.default_rng(12)
+
+        def spd(n, s=1.0):
+            A = rng.normal(size=(self.B, n, n)).astype(np.float32)
+            return jnp.asarray(np.einsum("bij,bkj->bik", A, A) * s
+                               + np.eye(n, dtype=np.float32))
+
+        BN = lambda *sh, s=1.0: jnp.asarray(
+            rng.normal(size=(self.B,) + sh).astype(np.float32) * s)
+        pose_prev = BN(6, s=0.1)
+        kw = dict(dt_sec=jnp.full((self.B,), 0.1, dt),
+                  pre_ess=jnp.full((self.B,), 100., dt),
+                  dt_int=jnp.full((self.B,), 0.1, dt),
+                  dt_imu=jnp.full((self.B,), 0.005, dt),
+                  grav_rbar=jnp.full((self.B,), 0.95, dt),
+                  transport_sigma=jnp.full((self.B,), 0.05, dt),
+                  pose_prev=pose_prev, motion_rot=BN(3, s=0.01),
+                  motion_p=BN(3, s=0.01), motion_v=BN(3, s=0.01),
+                  omega_avg=BN(3, s=0.1),
+                  a_body_mean=BN(3, s=0.1) + jnp.asarray([0, 0, 9.8], dt),
+                  odom_vel=BN(3, s=0.5), odom_omega=BN(3, s=0.1),
+                  odom_pose=BN(6, s=0.1),
+                  grav_xbar=jnp.broadcast_to(
+                      jnp.asarray([0.05, 0.02, 0.99], dt) / 0.9925,
+                      (self.B, 3)),
+                  acc_m1=BN(3, s=0.1) + jnp.asarray([0, 0, 9.8], dt),
+                  acc_sw=jnp.full((self.B,), 0.999, dt))
+        L_prev = spd(22, 10.)
+        sig = jnp.linalg.inv(L_prev + 1e-9 * jnp.eye(22, dtype=dt)[None])
+        sig = 0.5 * (sig + jnp.swapaxes(sig, 1, 2))
+        R_prev = jax.vmap(lambda p: se3.so3_exp(p[3:6]))(pose_prev).astype(dt)
+        anchor = jnp.broadcast_to(
+            jnp.asarray([1., 2., .3, 1., 0, 0, 0], dt), (self.B, 7))
+        args = (L_prev, BN(22), anchor, BN(22, s=0.01), sig, R_prev,
+                spd(22, .01), spd(3, .001), spd(3, .01), spd(6, .01),
+                spd(3, .1))
+        names = sorted(kw)
+        f = lambda a_list, k_list: bk.predict_evidence(
+            cfg, *a_list, **{n: k_list[i] for i, n in enumerate(names)})
+        kl = [kw[n] for n in names]
+        out = jax.jit(jax.vmap(f))(args, kl)
+        for i in range(self.B):
+            ref = jax.jit(f)([a[i] for a in args], [k[i] for k in kl])
+            for j, (o, r) in enumerate(zip(out, ref)):
+                np.testing.assert_array_equal(np.asarray(o[i]),
+                                              np.asarray(r), err_msg=str(j))
+
     def test_vmapped_page_io_matches_loop(self):
         from fl_slam_tpu.structures.atlas_kernels import (
             page_gather_ff, page_writeback_ff)

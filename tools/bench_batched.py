@@ -33,6 +33,8 @@ def main():
                     help="force-disable the Pallas kernels (round-2 mode)")
     ap.add_argument("--single", action="store_true",
                     help="also measure the single-instance replay rate")
+    ap.add_argument("--trace", default=None,
+                    help="capture an xplane profile of one batched run here")
     args = ap.parse_args()
 
     from fl_slam_tpu.config import GCConfig
@@ -59,8 +61,14 @@ def main():
     run = batched_replay(cfg, mesh)
     scans = shard_scan_inputs(scans, mesh)
 
+    # Fail fast on HBM before allocating anything (certs.memory_envelope:
+    # the measured v5e density limit is 8 instances/chip at production).
+    from fl_slam_tpu.certs import pytree_bytes
+    staged = pytree_bytes(scans)
+    n_dev = len(mesh.devices.flat)
     t0_anchor = float(ds.gt_stamps[0]) - 0.1
-    states = init_states_batched(cfg, B, t0=t0_anchor)
+    states = init_states_batched(cfg, B, t0=t0_anchor, n_devices=n_dev,
+                                 staged_bytes=staged)
     t0 = time.perf_counter()
     states, outs = run(states, scans)
     jax.block_until_ready(outs.pose)
@@ -69,12 +77,24 @@ def main():
 
     best = float("inf")
     for _ in range(3):
-        states = init_states_batched(cfg, B, t0=t0_anchor)
+        states = init_states_batched(cfg, B, t0=t0_anchor, n_devices=n_dev,
+                                     staged_bytes=staged)
         jax.block_until_ready(states)
         t0 = time.perf_counter()
         states, outs = run(states, scans)
         jax.block_until_ready(outs.pose)
         best = min(best, time.perf_counter() - t0)
+
+    if args.trace:
+        import shutil
+        shutil.rmtree(args.trace, ignore_errors=True)
+        states = init_states_batched(cfg, B, t0=t0_anchor, n_devices=n_dev,
+                                     staged_bytes=staged)
+        jax.block_until_ready(states)
+        with jax.profiler.trace(args.trace):
+            states, outs = run(states, scans)
+            jax.block_until_ready(outs.pose)
+        print(f"# trace written to {args.trace}", file=sys.stderr)
 
     agg = B * T / best
     result = {
