@@ -71,12 +71,23 @@ VLP16_RING_ANGLE_DEG = np.array([
     -15.0, 1.0, -13.0, 3.0, -11.0, 5.0, -9.0, 7.0,
     -7.0, 9.0, -5.0, 11.0, -3.0, 13.0, -1.0, 15.0])
 
-# Section 6 + the velodyne ROS driver wire format: x,y,z,intensity f32,
-# ring u16, time f32; point_step 22 bytes.
+# Wire layout: x,y,z,intensity f32, ring, time f32. DOC DISCREPANCY
+# (advisor round-3 #4): the reference's KIMERA_DATASET_AND_PIPELINE.md §6
+# specifies ring uint8 (datatype 2, point_step 21) while the upstream
+# velodyne ROS driver emits ring uint16 (datatype 4, point_step 22). The
+# real bag has never been inspected in this environment, so BOTH layouts
+# are supported: the decoders (io/cdr.pointcloud2_fields, src/gcio.cpp)
+# read field datatypes dynamically, the encoder below takes ring_u8=True
+# to emit the doc layout, and tests/test_kimera_layout_parity.py gates
+# decode equality across the two.
 VLP16_FIELDS = (("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
                 ("intensity", 12, 7, 1), ("ring", 16, 4, 1),
                 ("time", 18, 7, 1))
 VLP16_POINT_STEP = 22
+VLP16_FIELDS_RING_U8 = (("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+                        ("intensity", 12, 7, 1), ("ring", 16, 2, 1),
+                        ("time", 17, 7, 1))
+VLP16_POINT_STEP_RING_U8 = 21
 
 LIDAR_HZ = 10.0
 IMU_HZ = 200.0
@@ -88,31 +99,41 @@ ODOM_HZ = 50.0
 # --------------------------------------------------------------------------
 
 def encode_vlp16_pointcloud2(stamp: float, xyz, intensity, ring,
-                             point_time) -> bytes:
+                             point_time, *, ring_u8: bool = False) -> bytes:
     """sensor_msgs/PointCloud2 in the VLP-16 driver layout (see
     VLP16_FIELDS): x,y,z,intensity float32 + ring uint16 + time float32,
-    point_step 22, frame acl_jackal2/velodyne_link."""
+    point_step 22, frame acl_jackal2/velodyne_link. With ``ring_u8`` the
+    reference doc's §6 layout (ring uint8, point_step 21) is emitted
+    instead — see the DOC DISCREPANCY note at VLP16_FIELDS."""
+    fields = VLP16_FIELDS_RING_U8 if ring_u8 else VLP16_FIELDS
+    step = VLP16_POINT_STEP_RING_U8 if ring_u8 else VLP16_POINT_STEP
     xyz = np.asarray(xyz, dtype="<f4")
     n = xyz.shape[0]
-    raw = np.zeros((n, VLP16_POINT_STEP), dtype=np.uint8)
+    raw = np.zeros((n, step), dtype=np.uint8)
     raw[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
     raw[:, 12:16] = np.asarray(intensity, "<f4").view(np.uint8).reshape(n, 4)
-    raw[:, 16:18] = np.asarray(ring, "<u2").view(np.uint8).reshape(n, 2)
-    raw[:, 18:22] = np.asarray(point_time, "<f4").view(np.uint8).reshape(n, 4)
+    if ring_u8:
+        raw[:, 16] = np.asarray(ring, "u1")
+        raw[:, 17:21] = np.asarray(point_time,
+                                   "<f4").view(np.uint8).reshape(n, 4)
+    else:
+        raw[:, 16:18] = np.asarray(ring, "<u2").view(np.uint8).reshape(n, 2)
+        raw[:, 18:22] = np.asarray(point_time,
+                                   "<f4").view(np.uint8).reshape(n, 4)
 
     w = cdr._Writer()
     w.header(stamp, frame=FRAME_LIDAR)
     w.u32(1)                      # height (unorganized cloud)
     w.u32(n)                      # width
-    w.u32(len(VLP16_FIELDS))
-    for name, off, dt, cnt in VLP16_FIELDS:
+    w.u32(len(fields))
+    for name, off, dt, cnt in fields:
         w.string(name)
         w.u32(off)
         w.u8(dt)
         w.u32(cnt)
     w.u8(0)                       # is_bigendian
-    w.u32(VLP16_POINT_STEP)
-    w.u32(VLP16_POINT_STEP * n)
+    w.u32(step)
+    w.u32(step * n)
     w.bytes_seq(raw.tobytes())
     w.u8(1)                       # is_dense
     return bytes(w.parts)
@@ -178,12 +199,67 @@ def vlp16_sweep(rng, n_az: int = 360, room: float = 8.0):
     return xyz, intens, ring, tr
 
 
+# Camera->base extrinsic for the fixture rig: optical frame (z forward,
+# x right, y down) mounted forward on the base (x forward, y left, z up).
+FIXTURE_T_BASE_CAM = np.array([
+    [0.0, 0.0, 1.0, 0.10],
+    [-1.0, 0.0, 0.0, 0.00],
+    [0.0, -1.0, 0.0, 0.30],
+    [0.0, 0.0, 0.0, 1.0]])
+FIXTURE_CAM_HZ = 15.0
+
+
+def render_fixture_rgbd(p_wb, yaw, intr, rng, room: float = 8.0):
+    """Ray-cast RGB-D for the fixture camera against the same infinite-wall
+    square room ``vlp16_sweep`` samples: depth = ray/wall intersection
+    (16-bit mm, 0 where no wall forward), RGB = world-space checkerboard on
+    the hit points (corner-rich for the FAST detector)."""
+    H, W = intr.height, intr.width
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    d_c = np.stack([(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy,
+                    np.ones_like(u, dtype=np.float64)], axis=-1)
+    c, s = np.cos(yaw), np.sin(yaw)
+    R_wb = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    R_wc = R_wb @ FIXTURE_T_BASE_CAM[:3, :3]
+    p_wc = R_wb @ FIXTURE_T_BASE_CAM[:3, 3] + np.asarray(p_wb)
+    d_w = d_c @ R_wc.T                                  # (H, W, 3)
+    t_best = np.full((H, W), np.inf)
+    for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        denom = d_w[..., axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (sign * room - p_wc[axis]) / denom
+        t = np.where((t > 0.05) & np.isfinite(t), t, np.inf)
+        t_best = np.minimum(t_best, t)
+    hit = p_wc[None, None, :] + t_best[..., None] * d_w
+    valid = np.isfinite(t_best) & (t_best < 12.0)
+    # depth along the optical axis = t (d_c has z = 1)
+    depth_m = np.where(valid, t_best, 0.0)
+    depth_m = np.where(valid,
+                       depth_m + rng.normal(0, 0.003, depth_m.shape), 0.0)
+    depth_mm = np.clip(depth_m * 1000.0, 0, 65535).astype(np.uint16)
+    cells = np.floor_divide(np.where(valid[..., None], hit, 0.0),
+                            0.4).astype(np.int64).sum(axis=-1)
+    shade = np.where(cells % 2 == 0, 200.0, 60.0)
+    shade = np.where(valid, shade, 20.0)
+    shade = shade + rng.normal(0, 4.0, shade.shape)
+    rgb = np.clip(np.stack([shade, shade * 0.95, shade * 0.9], axis=-1),
+                  0, 255).astype(np.uint8)
+    return rgb, depth_mm
+
+
 def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
-                            t0: float = 1634219540.0):
+                            t0: float = 1634219540.0, *,
+                            camera: bool = False, cam_wh=(424, 240)):
     """Synthesize a ROS 2 sqlite3 bag in the documented Kimera layout:
     /acl_jackal/* topics, VLP-16 field layout, documented covariances,
     10 Hz lidar / 200 Hz IMU / 50 Hz odom, plus the TUM ground-truth file.
-    Returns (bag_dir, gt_path)."""
+    With ``camera``, also the documented camera wire path (round-3 verdict
+    item 4): JPEG CompressedImage on
+    /acl_jackal/forward/color/image_raw/compressed + 16UC1-mm Image on
+    /acl_jackal/forward/depth/image_rect_raw at ~15 Hz (depth stamps offset
+    +8 ms to exercise the <=50 ms pairing, camera_rgbd_node.cpp:49-90), and
+    a calibration JSON (fixture_calibration.json) with the rig intrinsics +
+    T_base_cam. Returns (bag_dir, gt_path)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     db = os.path.join(out_dir, "kimera_fixture_0.db3")
@@ -198,6 +274,12 @@ def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
         (2, KIMERA_TOPICS.imu, "sensor_msgs/msg/Imu", "cdr", ""),
         (3, KIMERA_TOPICS.odom, "nav_msgs/msg/Odometry", "cdr", ""),
     ])
+    if camera:
+        con.executemany("INSERT INTO topics VALUES (?,?,?,?,?)", [
+            (4, KIMERA_CAM_TOPICS.rgb,
+             "sensor_msgs/msg/CompressedImage", "cdr", ""),
+            (5, KIMERA_CAM_TOPICS.depth, "sensor_msgs/msg/Image", "cdr", ""),
+        ])
 
     # ground-truth trajectory: slow forward arc (planar, Jackal-like)
     vel = 0.4            # m/s
@@ -244,12 +326,51 @@ def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
                          encode_kimera_odom(tod, p, q, [vel, 0, 0],
                                             [0, 0, yaw_rate])))
 
+        if camera:
+            import io as _io
+
+            from PIL import Image
+
+            from fl_slam_tpu.camera.features import PinholeIntrinsics
+            w, h = cam_wh
+            intr = PinholeIntrinsics(fx=0.9 * w, fy=0.9 * w, cx=w / 2.0,
+                                     cy=h / 2.0, width=w, height=h)
+            n_cam = max(1, int(round(FIXTURE_CAM_HZ / LIDAR_HZ)))
+            for j in range(n_cam):
+                tc = ts + j / FIXTURE_CAM_HZ
+                pc, yawc = pose_at(tc)
+                rgb, depth_mm = render_fixture_rgbd(pc, yawc, intr, rng)
+                buf = _io.BytesIO()
+                Image.fromarray(rgb).save(buf, format="JPEG", quality=90)
+                mid += 1
+                con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                            (mid, 4, int(tc * 1e9),
+                             cdr.encode_compressed_image(tc, buf.getvalue())))
+                # depth stamp offset +8 ms: inside the documented <=50 ms
+                # pairing window but NOT identical (exercises the pairing)
+                td = tc + 0.008
+                mid += 1
+                con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                            (mid, 5, int(td * 1e9),
+                             cdr.encode_image(td, depth_mm, "16UC1")))
+
         p, yaw = pose_at(ts)
         q = np.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)])
         gt_rows.append((ts, *p, *q))
 
     con.commit()
     con.close()
+
+    if camera:
+        import json
+        w, h = cam_wh
+        with open(os.path.join(out_dir, "fixture_calibration.json"),
+                  "w") as fh:
+            json.dump({
+                "T_base_cam": FIXTURE_T_BASE_CAM.tolist(),
+                "intrinsics": {"fx": 0.9 * w, "fy": 0.9 * w, "cx": w / 2.0,
+                               "cy": h / 2.0, "width": w, "height": h},
+            }, fh)
 
     gt_path = os.path.join(out_dir, "acl_jackal_gt.tum")
     with open(gt_path, "w") as fh:
