@@ -199,6 +199,16 @@ class GCConfig:
     # trans/rot trade curve (0.45/0.6/0.8 -> rot 1.08/1.24/1.50 deg while
     # trans 0.101/0.086/0.080 m) precisely because one knob scaled both.
     visual_rot_weight: float = 1.0
+    # Age gate of the rotation scatter (scans; 0 = off). The 1.1-deg yaw
+    # plateau is a map-drag equilibrium: the map is built at the lagged
+    # estimate poses and rotates WITH the drift, then the scatter aligns
+    # pose to the rotated map (round-3 nine-lever sweep: no weight fixes
+    # it). Gating each candidate by age/(age + tau), age = scan_seq -
+    # created_seq, makes mature, settled primitives (whose direction
+    # averages over many historical poses — drift-diluted) anchor yaw
+    # while freshly-inserted ones (built at the current drifted pose — the
+    # ratchet's pawls) carry no rotation vote.
+    visual_rot_age_tau: float = 0.0
 
     # Translation WLS pair weighting: (1-f) * point-to-plane + f * point-to-
     # point. Pure point-to-plane (f=0) kills the along-wall aperture bias but
@@ -397,6 +407,16 @@ class GCConfig:
     # point primitives at production budgets degraded accuracy
     # weight-independently.
     camera_insert: bool = True
+    # Novelty floor for VALID camera rows at insertion (0 = off). On a
+    # lidar-explained surface the unbalanced-OT novelty of a camera feature
+    # is ~0, so camera LANDMARKS (texture corners — the only along-track
+    # reference in degenerate corridors) never enter the map and the camera
+    # can never improve the estimate there. A small floor lets the top
+    # camera features compete for the insert budget; camera-born primitives
+    # keep the full (near-isotropic) camera Lambda, so later visual-WLS
+    # matches against them constrain the in-plane directions lidar surfels
+    # cannot (point-to-plane shape weighting zeroes those rows).
+    camera_insert_novelty_floor: float = 0.0
     # Scale on the GEOMETRY (Lambda, theta) contribution of camera-source
     # rows in the map fuse — mean-preserving (mu = Lambda^{-1} theta is
     # unchanged), mass-reducing. 1.0 = reference PoE fuse. The round-5

@@ -28,7 +28,17 @@ def kappa_from_resultant(R_bar, eps_r: float = 1e-6, r0: float = 0.8,
     R = jnp.clip(R_bar, 0.0, 1.0 - eps_r)
     clamp_delta = jnp.abs(R_bar - R)
     R2 = R * R
-    k_low = (R * (d - R2)) / (1.0 - R2 + eps_r)
+    # Evaluate the low-R rational estimator at min(R, r0 + 5 tau): its
+    # 1/(1-R^2) pole otherwise LEAKS through the (1-s) blend tail faster
+    # than the sigmoid closes — at R_bar = 0.9999 the blended "conservative"
+    # kappa reaches ~860 (0.0013 * 2/(1-R^2) >> the log barrier's 13.8 cap),
+    # observed on clean-IMU windows where it armed the gravity factor far
+    # beyond every other evidence term. The reference's operators/kappa.py
+    # carries the same leak; capping the low branch at the blend boundary
+    # changes nothing for R <= r0 + 5 tau and bounds the blend above it.
+    R_lo = jnp.minimum(R, r0 + 5.0 * tau)
+    R2_lo = R_lo * R_lo
+    k_low = (R_lo * (d - R2_lo)) / (1.0 - R2_lo + eps_r)
     k_high = -jnp.log(jnp.maximum(1.0 - R2, eps_r))
     s = jax.nn.sigmoid((R - r0) / jnp.maximum(tau, 1e-6))
     return (1.0 - s) * k_low + s * k_high, clamp_delta

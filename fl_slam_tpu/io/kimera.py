@@ -175,20 +175,41 @@ def encode_kimera_odom(stamp: float, position, quat_xyzw, vel_body,
 # Fixture bag
 # --------------------------------------------------------------------------
 
-def vlp16_sweep(rng, n_az: int = 360, room: float = 8.0):
+def vlp16_sweep(rng, n_az: int = 360, room: float = 8.0, *,
+                pos_xy=None, yaw=None, room_center=(0.0, 0.0)):
     """One synthetic VLP-16 rotation: n_az azimuth steps x 16 rings against
-    a square room of half-width ``room``; returns (xyz, intensity, ring,
-    time_rel) in sensor frame with the documented beam angles and a 0.1 s
-    sweep."""
+    a square room of half-width ``room`` centered at ``room_center``;
+    returns (xyz, intensity, ring, time_rel) in SENSOR frame with the
+    documented beam angles and a 0.1 s sweep.
+
+    ``pos_xy``/``yaw``: sensor world pose, either constants or per-azimuth
+    arrays (n_az,) — per-azimuth poses make the sweep MOTION-consistent
+    (each firing rendered from the pose at its own time_rel, so the
+    pipeline's deskew is exercised for real). Default: static at the room
+    center (the original wire-layout fixture behavior)."""
     az = np.linspace(0.0, 2 * np.pi, n_az, endpoint=False)
+    px = np.broadcast_to(np.asarray(
+        0.0 if pos_xy is None else np.asarray(pos_xy)[..., 0]), az.shape)
+    py = np.broadcast_to(np.asarray(
+        0.0 if pos_xy is None else np.asarray(pos_xy)[..., 1]), az.shape)
+    yw = np.broadcast_to(np.asarray(0.0 if yaw is None else yaw), az.shape)
+    cx, cy = room_center
+    a_w = yw + az                                         # world-frame ray
+    ca, sa = np.cos(a_w), np.sin(a_w)
+    # min positive distance to the four walls x = cx +- room, y = cy +- room
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx = np.where(ca > 1e-9, (cx + room - px) / ca,
+                      np.where(ca < -1e-9, (cx - room - px) / ca, np.inf))
+        ty = np.where(sa > 1e-9, (cy + room - py) / sa,
+                      np.where(sa < -1e-9, (cy - room - py) / sa, np.inf))
+    r_wall = np.maximum(np.minimum(tx, ty), 0.05)         # (n_az,)
     el = np.deg2rad(VLP16_RING_ANGLE_DEG)
-    azg, elg = np.meshgrid(az, el, indexing="ij")        # (n_az, 16)
-    # range to the wall of a square room in the horizontal plane
-    c, s = np.cos(azg), np.sin(azg)
-    r_wall = room / np.maximum(np.maximum(np.abs(c), np.abs(s)), 1e-6)
-    rho = r_wall / np.maximum(np.cos(elg), 0.2)
+    azg = np.broadcast_to(az[:, None], (n_az, 16))
+    rwg = np.broadcast_to(r_wall[:, None], (n_az, 16))
+    elg = np.broadcast_to(el[None, :], (n_az, 16))
+    rho = rwg / np.maximum(np.cos(elg), 0.2)
     rho = np.minimum(rho, 100.0) * (1.0 + rng.normal(0, 0.003, rho.shape))
-    x = rho * np.cos(elg) * np.cos(azg)
+    x = rho * np.cos(elg) * np.cos(azg)                   # sensor frame
     y = rho * np.cos(elg) * np.sin(azg)
     z = rho * np.sin(elg)
     xyz = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
@@ -209,11 +230,13 @@ FIXTURE_T_BASE_CAM = np.array([
 FIXTURE_CAM_HZ = 15.0
 
 
-def render_fixture_rgbd(p_wb, yaw, intr, rng, room: float = 8.0):
+def render_fixture_rgbd(p_wb, yaw, intr, rng, room: float = 14.0,
+                        room_center=(0.0, 8.0)):
     """Ray-cast RGB-D for the fixture camera against the same infinite-wall
-    square room ``vlp16_sweep`` samples: depth = ray/wall intersection
-    (16-bit mm, 0 where no wall forward), RGB = world-space checkerboard on
-    the hit points (corner-rich for the FAST detector)."""
+    square room ``vlp16_sweep`` samples (same center/half-width defaults as
+    the fixture trajectory's room): depth = ray/wall intersection (16-bit
+    mm, 0 where no wall forward), RGB = world-space checkerboard on the hit
+    points (corner-rich for the FAST detector)."""
     H, W = intr.height, intr.width
     u, v = np.meshgrid(np.arange(W), np.arange(H))
     d_c = np.stack([(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy,
@@ -227,11 +250,11 @@ def render_fixture_rgbd(p_wb, yaw, intr, rng, room: float = 8.0):
     for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1)):
         denom = d_w[..., axis]
         with np.errstate(divide="ignore", invalid="ignore"):
-            t = (sign * room - p_wc[axis]) / denom
+            t = (room_center[axis] + sign * room - p_wc[axis]) / denom
         t = np.where((t > 0.05) & np.isfinite(t), t, np.inf)
         t_best = np.minimum(t_best, t)
     hit = p_wc[None, None, :] + t_best[..., None] * d_w
-    valid = np.isfinite(t_best) & (t_best < 12.0)
+    valid = np.isfinite(t_best) & (t_best < 30.0)
     # depth along the optical axis = t (d_c has z = 1)
     depth_m = np.where(valid, t_best, 0.0)
     depth_m = np.where(valid,
@@ -249,7 +272,8 @@ def render_fixture_rgbd(p_wb, yaw, intr, rng, room: float = 8.0):
 
 def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
                             t0: float = 1634219540.0, *,
-                            camera: bool = False, cam_wh=(424, 240)):
+                            camera: bool = False, cam_wh=(424, 240),
+                            n_az: int = 360):
     """Synthesize a ROS 2 sqlite3 bag in the documented Kimera layout:
     /acl_jackal/* topics, VLP-16 field layout, documented covariances,
     10 Hz lidar / 200 Hz IMU / 50 Hz odom, plus the TUM ground-truth file.
@@ -259,7 +283,10 @@ def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
     /acl_jackal/forward/depth/image_rect_raw at ~15 Hz (depth stamps offset
     +8 ms to exercise the <=50 ms pairing, camera_rgbd_node.cpp:49-90), and
     a calibration JSON (fixture_calibration.json) with the rig intrinsics +
-    T_base_cam. Returns (bag_dir, gt_path)."""
+    T_base_cam. ``n_az``: azimuth steps per sweep (default 360 -> 5,760
+    pts/scan; the real VLP-16 at 10 Hz emits ~1,800 -> 28,800 — use 1800
+    for staging-realistic end-to-end benchmarks). Returns
+    (bag_dir, gt_path)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     db = os.path.join(out_dir, "kimera_fixture_0.db3")
@@ -281,25 +308,34 @@ def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
             (5, KIMERA_CAM_TOPICS.depth, "sensor_msgs/msg/Image", "cdr", ""),
         ])
 
-    # ground-truth trajectory: slow forward arc (planar, Jackal-like)
+    # ground-truth trajectory: slow forward arc (planar, Jackal-like) — a
+    # radius-8 circle centered on (0, 8); the room must CONTAIN it (walls
+    # at x = +-14, y = 8 +- 14), and every sweep is rendered from the pose
+    # at each firing's own time so lidar/odometry/GT are geometrically
+    # consistent at any bag length (scans rendered from a static pose
+    # diverged the 5,000-scan replay into NaN at scan ~440: the lidar kept
+    # swearing the robot never moved while odometry circled).
     vel = 0.4            # m/s
     yaw_rate = 0.05      # rad/s
+    room_center = (0.0, vel / yaw_rate)
+    room_half = 14.0
     mid = 0
     gt_rows = []
 
     def pose_at(t):
-        dt = t - t0
+        dt = np.asarray(t) - t0
         yaw = yaw_rate * dt
-        if abs(yaw_rate) > 1e-9:
-            x = vel / yaw_rate * np.sin(yaw)
-            y = vel / yaw_rate * (1 - np.cos(yaw))
-        else:
-            x, y = vel * dt, 0.0
-        return np.array([x, y, 0.0]), yaw
+        x = vel / yaw_rate * np.sin(yaw)
+        y = vel / yaw_rate * (1 - np.cos(yaw))
+        return np.stack([x, y, np.zeros_like(yaw)], axis=-1), yaw
 
     for i in range(n_scans):
         ts = t0 + i / LIDAR_HZ
-        xyz, intens, ring, tr = vlp16_sweep(rng)
+        t_az = ts + np.linspace(0.0, 0.1, n_az, endpoint=False)
+        p_az, yaw_az = pose_at(t_az)
+        xyz, intens, ring, tr = vlp16_sweep(
+            rng, n_az=n_az, room=room_half, pos_xy=p_az[:, :2], yaw=yaw_az,
+            room_center=room_center)
         blob = encode_vlp16_pointcloud2(ts, xyz, intens, ring, tr)
         mid += 1
         con.execute("INSERT INTO messages VALUES (?,?,?,?)",

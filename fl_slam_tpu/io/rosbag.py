@@ -160,8 +160,9 @@ def _range_weights(xyz: np.ndarray, cfg: GCConfig) -> np.ndarray:
 
 
 def _budget_resample(points, stamps, weights, n_cap):
-    """Deterministic stride subsample + mass-preserving rescale + pad
-    (parity: ops/point_budget.py, applied host-side at staging)."""
+    """Deterministic PHASED-stride subsample + mass-preserving rescale + pad
+    (parity: ops/point_budget.py, applied host-side at staging; the k mod s
+    phase keeps every VLP-16 ring represented — see the note there)."""
     n_in = points.shape[0]
     out_p = np.zeros((n_cap, 3), dtype=np.float64)
     out_t = np.zeros((n_cap,), dtype=np.float64)
@@ -169,7 +170,8 @@ def _budget_resample(points, stamps, weights, n_cap):
     if n_in == 0:
         return out_p, out_t, out_w
     stride = max(1, -(-n_in // n_cap))
-    idx = np.arange(0, n_in, stride)[:n_cap]
+    k = np.arange(-(-n_in // stride))[:n_cap]
+    idx = np.minimum(stride * k + (k % stride), n_in - 1)
     total = weights.sum()
     sel_w = weights[idx]
     scale = total / max(sel_w.sum(), 1e-12)
@@ -371,6 +373,30 @@ def load_scan_records(bag_dir: str, topics: BagTopics, cfg: GCConfig, *,
                            intrinsics, T_base_cam)
 
 
+def _rebase_times(out: dict, origin: float) -> dict:
+    """Shift all ABSOLUTE time fields by ``-origin`` (in place).
+
+    ROS bags stamp with epoch seconds (~1.6e9): under the pipeline's f32
+    the ulp there is 128 s, so every scan of a bag quantizes to the same
+    stamp (dt = 0) until the value crosses to the next representable float
+    — observed as a deterministic dt = 128 s OU-predict explosion at scan
+    440 of the 5,000-scan fixture replay, with the gravity factor dead the
+    whole run (quantized IMU stamps zero the soft windows). Staging
+    therefore rebases every time field to ``origin`` (first lidar stamp
+    minus a margin, so pre-scan IMU stays positive); zero entries are
+    PADDING sentinels and stay zero. The origin rides the audit
+    (``time_origin``) for GT alignment / TUM export."""
+    for k in ("scan_start", "scan_end"):
+        out[k] = out[k] - origin
+    for k in ("point_stamps", "imu_stamps"):
+        v = out[k]
+        out[k] = np.where(v != 0.0, v - origin, 0.0)
+    return out
+
+
+TIME_REBASE_MARGIN_S = 16.0
+
+
 def _python_stage_blobs(blobs, cfg, R_bl, t_bl, imu, odom, prev_t,
                         raw_point_cap, audit):
     """The authoritative per-scan staging loop over decoded lidar blobs
@@ -537,6 +563,12 @@ def _finish_records(out, reader, topics, cfg, audit, cam_topics, intrinsics,
                                     if isinstance(v, np.ndarray)))
     audit["dead_end_topics"] = sorted(
         set(audit["topics_in_bag"]) - set(audit["consumed"]))
+    # f32-safe relative time base (see _rebase_times); AFTER camera staging
+    # (the camera index pairs frames on absolute stamps).
+    origin = (float(out["scan_start"][0]) - TIME_REBASE_MARGIN_S
+              if T > 0 else 0.0)
+    _rebase_times(out, origin)
+    audit["time_origin"] = origin
     out["__audit__"] = audit
     return out
 
@@ -670,8 +702,9 @@ class StreamingStager:
                 self.reader, cam_topics, intrinsics,
                 np.eye(4) if T_base_cam is None else T_base_cam, self.audit)
         self.n_scans = 0
-        # cheap per-scan accumulations for post-replay eval (stamps for GT
-        # alignment, odom poses for the raw-odometry baseline metric)
+        self.time_origin = None
+        # cheap per-scan accumulations for post-replay eval (ABSOLUTE
+        # stamps for GT alignment, odom poses for the raw-odom baseline)
         self.scan_starts: list = []
         self.odom_poses: list = []
 
@@ -700,17 +733,40 @@ class StreamingStager:
             res.update(self.cam_index.stage(res["scan_start"],
                                             res["points"], self.cfg,
                                             self.audit))
-        else:
-            res.update(_zero_camera_slice(len(blobs), self.cfg))
+        # camera-off: the zero slice is built DEVICE-side in __iter__
+        # (jnp.zeros) — materializing + uploading ~95 MB of host zeros per
+        # 512-scan segment cost ~1 ms/scan of the streamed path
         self.scan_starts.append(np.asarray(res["scan_start"]).copy())
         self.odom_poses.append(np.asarray(res["odom_pose"]).copy())
+        # f32-safe relative time base, pinned by the first chunk (see
+        # _rebase_times; camera pairing above uses the absolute stamps;
+        # .scan_starts stays absolute for GT alignment)
+        if self.time_origin is None:
+            self.time_origin = (float(res["scan_start"][0])
+                                - TIME_REBASE_MARGIN_S)
+            self.audit["time_origin"] = self.time_origin
+        _rebase_times(res, self.time_origin)
         return res, new_prev
 
-    def __iter__(self):
+    def _to_inputs(self, seg):
+        import jax.numpy as jnp
+
+        from fl_slam_tpu.pipeline import ScanInput
         cfg = self.cfg
+        if self.cam_index is None:
+            zeros = {k: jnp.zeros(
+                (self.seg_len,) + v.shape[1:], dtype=cfg.jdtype)
+                for k, v in _zero_camera_slice(1, cfg).items()
+                if k != "cam_colors"}
+            zeros["cam_colors"] = jnp.full(
+                (self.seg_len, cfg.n_feat, 3), 0.5, dtype=cfg.jdtype)
+            return ScanInput(**{k: jnp.asarray(v, dtype=cfg.jdtype)
+                                for k, v in seg.items()}, **zeros)
+        return to_scan_inputs(seg, cfg)
+
+    def __iter__(self):
         blobs = []
         prev_t = None
-        last_seg = None
         n = 0
         for _, blob in self.reader.read_topic(self.topics.lidar):
             blobs.append(blob)
@@ -718,10 +774,9 @@ class StreamingStager:
             if len(blobs) == self.seg_len:
                 seg, prev_t = self._stage_blobs(blobs, prev_t)
                 blobs = []
-                last_seg = seg
                 self.audit["staged_bytes"] += int(sum(
                     v.nbytes for v in seg.values()))
-                yield to_scan_inputs(seg, cfg)
+                yield self._to_inputs(seg)
             if self.max_scans is not None and n >= self.max_scans:
                 break
         if blobs:
@@ -732,7 +787,7 @@ class StreamingStager:
                 for k, v in seg.items()}
             self.audit["staged_bytes"] += int(sum(
                 v.nbytes for v in seg.values()))
-            yield to_scan_inputs(seg, cfg)
+            yield self._to_inputs(seg)
         self.n_scans = n
         self.audit["n_scans"] = n
         self.audit["consumed"][self.topics.lidar] = n

@@ -1103,7 +1103,9 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
     H = kappa * (x_dot_mu * _eye(3, dt)
                  - 0.5 * (_outer(xbar, mu0) + _outer(mu0, xbar)))
     H_psd, grav_proj = _project_psd3_s(0.5 * (H + H.T), cfg.eps_psd)
-    Lg, hg = _emb_block(IDX_ROT.start, 3, H_psd, -g_rot, dt)
+    # h = +g_rot (the log-likelihood gradient; see ops/imu.py — the
+    # reference's -g_rot anti-aligns and destabilizes tilt)
+    Lg, hg = _emb_block(IDX_ROT.start, 3, H_psd, g_rot, dt)
     ts = g("transport_sigma")
     s_dep = 1.0 / (1.0 + jnp.maximum(ts, 0.0) ** 2 + cfg.eps_mass)
     L_io = L_io + s_dep * Lg
@@ -1267,7 +1269,10 @@ def _kappa_from_resultant_s(R_bar, eps_r, r0, tau, dt):
                  jnp.asarray(1.0 - eps_r, dt) * jnp.ones_like(R_bar))
     clamp_delta = jnp.abs(R_bar - R)
     R2 = R * R
-    k_low = (R * (3.0 - R2)) / (1.0 - R2 + eps_r)
+    # low-branch pole capped at the blend boundary (core/vmf note)
+    R_lo = jnp.minimum(R, jnp.asarray(float(r0) + 5.0 * float(tau), dt))
+    R2_lo = R_lo * R_lo
+    k_low = (R_lo * (3.0 - R2_lo)) / (1.0 - R2_lo + eps_r)
     k_high = -jnp.log(jnp.maximum(1.0 - R2, eps_r))
     s = jax.nn.sigmoid((R - r0) / max(float(tau), 1e-6))
     return (1.0 - s) * k_low + s * k_high, clamp_delta

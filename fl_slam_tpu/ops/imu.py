@@ -213,12 +213,40 @@ def transport_consistency(accel, gyro, dt, eps_mass: float):
     return jnp.linalg.norm(e, axis=-1)
 
 
-def reliability_weights(e_mag, eps_mass: float):
-    """MAD-self-adaptive Gaussian reliability: exp(-e^2 / 2 sigma^2)."""
-    med = jnp.median(e_mag)
-    mad = jnp.median(jnp.abs(e_mag - med))
-    sigma = mad / 0.6745 + eps_mass
-    return jnp.exp(-0.5 * (e_mag / sigma) ** 2), sigma
+def _masked_median(x, mask):
+    """Median over entries with mask > 0 (pads ride to +inf and a dynamic
+    gather picks the middle of the valid prefix). np.median semantics:
+    even counts average the two middle order statistics."""
+    s = jnp.sort(jnp.where(mask > 0, x, jnp.inf))
+    n = jnp.sum((mask > 0).astype(jnp.int32))
+    i_hi = jnp.maximum(n // 2, 0)
+    i_lo = jnp.maximum((n - 1) // 2, 0)
+    m = 0.5 * (s[i_lo] + s[i_hi])
+    return jnp.where(n > 0, m, jnp.zeros_like(m))
+
+
+def reliability_weights(e_mag, eps_mass: float, valid=None):
+    """MAD-self-adaptive Gaussian reliability: exp(-e^2 / 2 sigma^2).
+
+    ``valid``: mask of REAL samples. The window is zero-padded to a fixed
+    length; with pads in the majority (production: ~40 real of 512) an
+    unmasked median/MAD is exactly 0, sigma collapses to eps and every
+    real sample gets reliability 0 — the gravity factor was silently DEAD
+    at production budgets until this mask (found on the 5,000-scan Kimera
+    fixture replay: rbar = 0 every scan, roll/pitch unanchored, the run
+    eventually diverged). sigma is floored at 5% of the median so a
+    genuinely clean window (MAD ~ 0) keeps rel ~ 1 instead of 0."""
+    if valid is None:
+        med = jnp.median(e_mag)
+        mad = jnp.median(jnp.abs(e_mag - med))
+    else:
+        med = _masked_median(e_mag, valid)
+        mad = _masked_median(jnp.abs(e_mag - med), valid)
+    sigma = mad / 0.6745 + 0.05 * med + eps_mass
+    rel = jnp.exp(-0.5 * (e_mag / sigma) ** 2)
+    if valid is not None:
+        rel = rel * (valid > 0)
+    return rel, sigma
 
 
 def gravity_resultant(accel, gyro, weights, accel_bias, dt_imu,
@@ -231,7 +259,10 @@ def gravity_resultant(accel, gyro, weights, accel_bias, dt_imu,
     this with ``gravity_laplace_part`` bit-identically."""
     a_corr = accel - accel_bias
     e_mag = transport_consistency(a_corr, gyro, dt_imu, eps_mass)
-    rel, transport_sigma = reliability_weights(e_mag, eps_mass)
+    # real-sample mask: pads carry ~zero window weight (see
+    # reliability_weights on why the masked median is load-bearing)
+    valid = (weights > 1e-9).astype(weights.dtype)
+    rel, transport_sigma = reliability_weights(e_mag, eps_mass, valid=valid)
 
     w = weights * rel
     ess_w = jnp.sum(w)
@@ -288,7 +319,21 @@ def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
     H = 0.5 * (H + H.T)
     H_psd, proj = project_psd3(H, eps_psd)
 
-    L, h = evidence_from_block(IDX_ROT, H_psd, -g_rot, dtype)
+    # h = +g_rot: g_rot IS the right-perturbation gradient of the vMF
+    # LOG-LIKELIHOOD l(d) = kappa xbar . Exp(-d^) mu0 (dl/dd = -kappa
+    # (mu0 x xbar)), and the info-form contribution is h = H d* = dl/dd.
+    # The reference embeds -g_rot (imu_evidence.py:235) — the WRONG sign:
+    # its MAP increment d* = H^{-1}(-g) points AWAY from aligning mu with
+    # xbar, so the gravity factor destabilizes tilt instead of anchoring
+    # it. Verified constructively: with xbar = Exp(-e^) mu0 (true right
+    # tilt e), h = +g_rot gives d* ~ +e_perp (aligns), -g_rot gives -e
+    # (anti-aligns); observed on the clean-IMU Kimera fixture as
+    # exponential roll/pitch runaway (tilt doubling every ~10 scans, rot
+    # 2.6 rad by scan 99) that vanished with the factor disabled. On the
+    # reference's real noisy rig the factor is weak (low rbar -> low
+    # kappa) and other evidence overpowers the wrong sign — latent there,
+    # fatal here.
+    L, h = evidence_from_block(IDX_ROT, H_psd, g_rot, dtype)
     certs = {
         "imu_grav.kappa": kappa,
         "imu_grav.rbar": rbar,

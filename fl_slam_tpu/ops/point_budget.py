@@ -16,7 +16,19 @@ def point_budget_resample(points, timestamps, weights, n_cap: int,
     zero-pad to exactly n_cap. Returns (points, timestamps, weights, certs)."""
     n_in = points.shape[0]
     stride = max(1, -(-n_in // n_cap))  # ceil
-    idx = jnp.arange(0, n_in, stride)
+    # PHASED stride: idx = s*k + (k mod s), not s*k. The plain stride
+    # aliases with the VLP-16 wire interleave (az-major, 16 lasers per
+    # azimuth block): 28.8k -> 8192 is stride 4, which keeps rings
+    # {0,4,8,12} = the four DOWNWARD beams (-15..-3 deg) and discards the
+    # entire upper half of the scan — vertical constraints degenerate
+    # (measured 0.70 m ATE on the dense Kimera fixture). The k mod s phase
+    # walks all residues, so consecutive selections cycle every ring while
+    # staying deterministic, in-order, fixed-shape and mass-preserving
+    # (idx = s*k + (k mod s) <= s*(k+1) - 1 < n_in). s=1 is unchanged.
+    # (idx <= s*(k+1)-1 < n_in when s divides n_in; ragged tails clip to
+    # the last point — a duplicate selection the mass rescale absorbs)
+    k = jnp.arange(-(-n_in // stride))[:n_cap]
+    idx = jnp.minimum(stride * k + (k % stride), n_in - 1)
     n_sel = idx.shape[0]
 
     total_in = jnp.sum(weights)

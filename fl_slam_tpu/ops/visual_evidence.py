@@ -33,8 +33,11 @@ from fl_slam_tpu.structures.atlas import MapView
 
 def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
                          meas_valid, assoc: AssociationResult, view: MapView,
-                         z_lin_pose, cfg):
-    """Returns (L (22,22), h (22,), certs). All inputs world-frame at z_lin."""
+                         z_lin_pose, cfg, scan_seq=None):
+    """Returns (L (22,22), h (22,), certs). All inputs world-frame at z_lin.
+
+    ``scan_seq``: current scan index (traced scalar) — needed only by the
+    rotation age gate (cfg.visual_rot_age_tau > 0)."""
     dt = meas_pos_w.dtype
     pi = assoc.responsibilities * meas_valid[:, None].astype(dt)
     cp = assoc.cand_packed                                      # (N, K, 17)
@@ -97,6 +100,16 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     # — +60% — so the scatter keeps plain transported-mass weighting.)
     kw = jnp.sqrt(meas_kappa[:, None] * map_kap + 1e-12)
     w_all = pi * kw
+    if cfg.visual_rot_age_tau > 0.0 and scan_seq is not None:
+        # Age gate (see GCConfig.visual_rot_age_tau): mature primitives
+        # anchor yaw; fresh inserts — built at the current drifted pose,
+        # the map-drag ratchet's pawls — carry no rotation vote. Smooth in
+        # age (no hard gate); invalid/unborn candidates (created_seq <= 0
+        # sentinel) keep weight via the max(age, 0) clamp only when valid.
+        age = jnp.maximum(
+            jnp.asarray(scan_seq, dt) - cp[..., 18], 0.0)       # (N, K)
+        w_all = w_all * age / (age + jnp.asarray(
+            cfg.visual_rot_age_tau, dt))
     S = jnp.einsum("nk,nki,nj->ij", w_all, map_dir, meas_dir_w)
     dots = jnp.einsum("ni,nki->nk", meas_dir_w, map_dir)
     rot_cost = jnp.sum(w_all * (1.0 - dots))

@@ -726,7 +726,7 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
     # ---- step 8 (shared residuals): visual pose evidence at z_lin[0] ----------
     L_vis, h_vis_rel, c = visual_pose_evidence(
         mu_w, batch_w.Lambdas, dir_w, kap, batch_w.valid, assoc, view,
-        z_lin_pose, cfg)
+        z_lin_pose, cfg, scan_seq=seq)
     certs.update(c)
     if not belief_kernels.use_scalar_tail_kernel(cfg):
         # Diagnostics: correction the visual evidence alone would apply at
@@ -981,6 +981,16 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         # their novelty never proposes map primitives (see
         # GCConfig.camera_insert for the production-scale rationale).
         nov = nov * (batch_w.sources == mb.SOURCE_LIDAR).astype(nov.dtype)
+    elif cfg.camera_insert_novelty_floor > 0.0:
+        # Camera-landmark floor (GCConfig.camera_insert_novelty_floor):
+        # geometry-explained != appearance-explained — let valid camera
+        # rows keep at least a floor novelty so texture landmarks can
+        # enter the map on lidar-covered surfaces.
+        is_cam = (batch_w.sources == mb.SOURCE_CAMERA) & batch_w.valid
+        nov = jnp.where(
+            is_cam,
+            jnp.maximum(nov, jnp.asarray(cfg.camera_insert_novelty_floor,
+                                         nov.dtype)), nov)
     mu_t = mb.mean_positions(batch_t, cfg.eps_lift)
     meas_keys = tile_keys_from_xyz(mu_t, cfg.h_tile)
     if cfg.view_page:

@@ -183,7 +183,7 @@ class MapView(NamedTuple):
     last_supported: jnp.ndarray  # (V,) int32
     prim_ids: jnp.ndarray        # (V,) int32
     slab_idx: jnp.ndarray        # (V,) int32 flat index s*M + m into slabs
-    packed: jnp.ndarray          # (V, 18) fused candidate matrix (see
+    packed: jnp.ndarray          # (V, 19) fused candidate matrix (see
                                  #   slab_extract_view for the column map)
     raw: jnp.ndarray             # (V, CF) gathered field rows (write-back src)
     put_idx: jnp.ndarray         # (V,) int32 write-back column; SM = dropped
@@ -658,11 +658,14 @@ def view_from_rows(g: jnp.ndarray, slab_cols: jnp.ndarray,
     #       14 valid | 15 last_supported | 16 slab_idx (exact < 2^24)
     #       17 scalar precision tr(Lambda)/3 (pair-precision cap in the
     #          visual-evidence WLS)
+    #       18 created_seq (age gate of the rotation scatter — mature
+    #          primitives anchor yaw; see visual_evidence)
     packed = jnp.concatenate([
         pos, dirs, kap[:, None], shape6, wv[:, None],
         val.astype(dt)[:, None], g[:, o + _ROW_LS][:, None],
         slab_cols.astype(dt)[:, None], (tr / 3.0)[:, None],
-    ], axis=1)                                               # (V', 18)
+        g[:, o + _ROW_CS][:, None],
+    ], axis=1)                                               # (V', 19)
     return MapView(
         positions=pos, Lambdas=Lam, directions=dirs, kappas=kap, weights=wv,
         valid=val,

@@ -460,13 +460,19 @@ int64_t gcio_stage_lidar_batch(
     double sweep_end = (n > 0) ? t_max : stamp;
     scan_end[s] = (sweep_end > stamp + 1e-3) ? sweep_end : stamp + 1e-3;
 
-    // budget resample: stride subsample + mass-preserving rescale
+    // budget resample: PHASED stride (idx = s*k + k%s, clipped) + mass-
+    // preserving rescale — the phase walks every VLP-16 ring; a plain
+    // stride aliases with the 16-laser wire interleave and keeps only the
+    // downward beams (see ops/point_budget.py)
     if (n > 0) {
       int64_t stride = (n + n_cap - 1) / n_cap;
       if (stride < 1) stride = 1;
-      int64_t m = 0;
+      int64_t n_sel = (n + stride - 1) / stride;
+      if (n_sel > n_cap) n_sel = n_cap;
       double selw = 0.0, sc = 0.0;
-      for (int64_t i = 0; i < n && m < n_cap; i += stride, ++m) {
+      for (int64_t k = 0; k < n_sel; ++k) {
+        int64_t i = stride * k + (k % stride);
+        if (i > n - 1) i = n - 1;
         double y = wbuf[i] - sc, t = selw + y;
         sc = (t - selw) - y;
         selw = t;
@@ -475,13 +481,14 @@ int64_t gcio_stage_lidar_batch(
       double* op = points + s * n_cap * 3;
       double* ot = point_stamps + s * n_cap;
       double* ow = point_weights + s * n_cap;
-      m = 0;
-      for (int64_t i = 0; i < n && m < n_cap; i += stride, ++m) {
-        op[3 * m + 0] = pb[3 * i + 0];
-        op[3 * m + 1] = pb[3 * i + 1];
-        op[3 * m + 2] = pb[3 * i + 2];
-        ot[m] = tabs[i];
-        ow[m] = wbuf[i] * scale;
+      for (int64_t k = 0; k < n_sel; ++k) {
+        int64_t i = stride * k + (k % stride);
+        if (i > n - 1) i = n - 1;
+        op[3 * k + 0] = pb[3 * i + 0];
+        op[3 * k + 1] = pb[3 * i + 1];
+        op[3 * k + 2] = pb[3 * i + 2];
+        ot[k] = tabs[i];
+        ow[k] = wbuf[i] * scale;
       }
     }
 

@@ -126,6 +126,41 @@ class TestCameraE2E:
         assert float(jnp.sum(state.atlas.cam_mass)) > 0.0
 
 
+@pytest.mark.slow
+class TestCameraWinsCorridor:
+    """The camera-advantaged scenario (round-3 verdict item 5): a
+    degenerate-geometry corridor (io/synthetic world='corridor') where
+    lidar surfels only see two smooth parallel walls + ground — along-track
+    translation is unobservable from geometry and lidar-only SLAM inherits
+    the odometry's along-track drift. The camera's texture landmarks on
+    those walls DO constrain along-track; camera-on must beat camera-off
+    by >20% translation ATE."""
+
+    def test_camera_beats_lidar_only(self):
+        import jax
+
+        from fl_slam_tpu.eval.metrics import ate
+        from fl_slam_tpu.io.synthetic import to_scan_inputs
+        from fl_slam_tpu.pipeline import init_state, replay
+        res = {}
+        for cam in (False, True):
+            ds = simulate(CFG, n_scans=50, seed=3, world="corridor",
+                          odom_drift_vel_scale=1.06, with_camera=cam)
+            scans = to_scan_inputs(ds, CFG)
+            st = init_state(CFG,
+                            anchor0=jnp.asarray(ds.gt_poses[0], CFG.jdtype),
+                            t0=float(ds.gt_stamps[0]) - 0.1)
+            _, outs = replay(st, scans, CFG)
+            m = ate(np.asarray(outs.pose), ds.gt_poses, align="initial")
+            res[cam] = m
+        off = res[False]["trans"]["rmse"]
+        on = res[True]["trans"]["rmse"]
+        # lidar-only must actually be along-track-blind here (x dominates)
+        ax = res[False]["trans_axis_rmse"]
+        assert ax["x"] > 5.0 * max(ax["y"], 1e-6), ax
+        assert on < 0.8 * off, (on, off)
+
+
 class TestNativeExtractor:
     def test_native_matches_orb_contract(self, rgbd):
         """The C++ FAST-9 path fills the same contract as the ORB path:

@@ -205,9 +205,12 @@ class TestStagingParity:
         recs = load_scan_records(bag[0], KIMERA_TOPICS, CFG)
         gt = np.loadtxt(bag[1])
         assert gt.shape[1] == 8  # TUM: t x y z qx qy qz qw
-        offset = align_gt_timebase(gt[:, 0], recs["scan_start"])
+        # staged stamps are REBASED to an f32-safe relative time base; the
+        # audit carries the origin for absolute-clock consumers (GT)
+        stamps_abs = recs["scan_start"] + recs["__audit__"]["time_origin"]
+        offset = align_gt_timebase(gt[:, 0], stamps_abs)
         assert abs(offset) < 0.2
-        ov = overlap_fraction(gt[:, 0], recs["scan_start"], offset=offset)
+        ov = overlap_fraction(gt[:, 0], stamps_abs, offset=offset)
         assert ov >= 0.5
 
     def test_first_messages_summary_tool(self, bag):
@@ -261,7 +264,7 @@ class TestCameraWirePath:
         dm = depth_image_to_m(d0)
         assert dm.shape == (240, 424)
         valid = dm[dm > 0]
-        assert valid.size > 1000 and 0.3 < valid.min() and valid.max() < 13.0
+        assert valid.size > 1000 and 0.3 < valid.min() and valid.max() < 31.0
         for (tr, r), (td, d) in zip(rgb, dep):
             assert 0.0 < d.stamp - r.stamp <= 0.05
 

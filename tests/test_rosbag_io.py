@@ -252,13 +252,16 @@ class TestBagReader:
                                        rtol=1e-12, atol=1e-12, err_msg=k)
 
         # prev_t threads across chunk boundaries: chunk=2 == one-shot
-        from fl_slam_tpu.io.rosbag import RosbagReader, _native_stage_loop
+        # (_native_stage_loop output is pre-rebase; apply the same origin)
+        from fl_slam_tpu.io.rosbag import (RosbagReader, _native_stage_loop,
+                                           _rebase_times)
         reader = RosbagReader(bag)
         audit = {"nonfinite_points_total": 0, "imu_windows_saturated": 0,
                  "missing_odom_scans": 0}
         r2 = _native_stage_loop(reader, topics, CFG, np.eye(3), np.zeros(3),
                                 np.zeros((0, 7)), np.zeros((0, 86)), None,
                                 60000, dict(audit), chunk=2)
+        _rebase_times(r2, an["time_origin"])
         for k in sorted(r2):
             np.testing.assert_allclose(r2[k], np.asarray(rn[k]),
                                        rtol=0, atol=0, err_msg=k)

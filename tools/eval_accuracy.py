@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--camera", action="store_true",
                     help="simulate the RGB-D camera slice (the round-3/5 "
                     "camera accuracy issue's benchmark)")
+    ap.add_argument("--world", default="default",
+                    choices=["default", "corridor"],
+                    help="corridor = degenerate-geometry scenario: "
+                    "along-track translation unobservable from lidar "
+                    "(the camera-advantaged benchmark)")
+    ap.add_argument("--drift-vel", type=float, default=1.03)
+    ap.add_argument("--drift-yaw", type=float, default=0.01)
     ap.add_argument("--json", default=None, help="write results JSON here")
     ap.add_argument("overrides", nargs="*",
                     help="GCConfig overrides as key=value")
@@ -68,12 +75,13 @@ def main():
     overrides = dict(parse_override(s) for s in args.overrides)
     cfg = GCConfig.tpu(**overrides)
     run = replay_jit(cfg)
-    drift = dict(odom_drift_vel_scale=1.03, odom_drift_yaw_rate=0.01)
+    drift = dict(odom_drift_vel_scale=args.drift_vel,
+                 odom_drift_yaw_rate=args.drift_yaw)
 
     rows = []
     for seed in range(args.seeds):
         ds = simulate(cfg, n_scans=args.scans, seed=seed,
-                      with_camera=args.camera, **drift)
+                      with_camera=args.camera, world=args.world, **drift)
         scans = to_scan_inputs(ds, cfg)
         state = init_state(cfg, t0=float(ds.gt_stamps[0]) - 0.1)
         t0 = time.perf_counter()

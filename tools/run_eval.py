@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--scans", type=int, default=100)
+    ap.add_argument("--scans", type=int, default=100,
+                    help="scan cap (0 = the whole bag; bag runs only)")
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--drift", action="store_true",
                     help="drifting wheel odometry (the SLAM stress case)")
@@ -84,6 +85,11 @@ def main():
                                            save_splat_export)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.scans == 0:
+        if not args.bag:
+            print("[FAIL] --scans 0 (whole bag) needs --bag")
+            sys.exit(2)
+        args.scans = None
     on_cpu = jax.default_backend() == "cpu"
     cfg = GCConfig.small() if (args.small or on_cpu) else GCConfig.tpu()
     print(f"[stage] backend={jax.default_backend()} "
@@ -120,7 +126,8 @@ def main():
                 T_base_cam=calib.get("T_base_cam"), max_scans=args.scans)
             host_recs = None
             scans = None
-            stamps = recs["scan_start"]      # head; replaced post-replay
+            stamps = recs["scan_start"]      # head (relative); replaced
+            t_origin = recs["__audit__"].get("time_origin", 0.0)
         else:
             recs = load_scan_records(
                 args.bag, BagTopics(args.lidar, args.imu, args.odom),
@@ -133,7 +140,8 @@ def main():
             # at a time (io/rosbag.scan_input_segments).
             host_recs = recs if args.seg_len else None
             scans = None if args.seg_len else bag_to_inputs(recs, cfg)
-            stamps = recs["scan_start"]
+            stamps = recs["scan_start"]      # RELATIVE time base (f32-safe)
+            t_origin = recs["__audit__"].get("time_origin", 0.0)
             if "__audit__" in recs:
                 with open(os.path.join(args.out, "wiring_audit.json"),
                           "w") as fh:
@@ -164,6 +172,7 @@ def main():
         host_recs = ({k: np.asarray(getattr(scans, k))
                       for k in scans._fields} if args.seg_len else None)
         stamps = ds.gt_stamps
+        t_origin = 0.0
         gt_poses, gt_stamps = ds.gt_poses, ds.gt_stamps
         anchor0 = jnp.asarray(ds.gt_poses[0], dtype=cfg.jdtype)
         t0 = float(ds.gt_stamps[0]) - 0.1
@@ -215,7 +224,8 @@ def main():
 
         def _progress(i, n_disp, wall_s, n_done):
             print(f"[replay] segment {i + 1}: {n_disp} scans dispatched, "
-                  f"{n_done} done, {n_disp / max(wall_s, 1e-9):.1f} scans/s "
+                  f"{n_done} done, t={wall_s:.2f}s, "
+                  f"{n_disp / max(wall_s, 1e-9):.1f} scans/s "
                   f"(incl. compile)", flush=True)
 
         if args.bag and args.stream:
@@ -228,7 +238,8 @@ def main():
                 final_state, outs = replay_segments(
                     state, iter(stager), cfg, progress=_progress)
             T_total = int(stager.n_scans)
-            stamps = np.concatenate(stager.scan_starts)
+            t_origin = stager.time_origin or 0.0
+            stamps = np.concatenate(stager.scan_starts) - t_origin
             with open(os.path.join(args.out, "wiring_audit.json"),
                       "w") as fh:
                 json.dump(stager.audit, fh, indent=2)
@@ -319,7 +330,7 @@ def main():
         from fl_slam_tpu.io.rosbag import quat_xyzw_to_rotvec
         from fl_slam_tpu.io.time_alignment import (align_gt_timebase,
                                                    overlap_fraction)
-        est_stamps = np.asarray(stamps, dtype=np.float64)
+        est_stamps = np.asarray(stamps, dtype=np.float64) + t_origin
         offset = align_gt_timebase(gt[:, 0], est_stamps)
         overlap = overlap_fraction(gt[:, 0], est_stamps, offset=offset)
         metrics["gt_time_offset_s"] = float(offset)
@@ -350,13 +361,13 @@ def main():
               f"{metrics['ate_raw_odom']['trans']['rmse']:.4f} m")
 
     # ---- artifacts ----------------------------------------------------------------
-    save_tum(os.path.join(args.out, "trajectory.tum"), np.asarray(stamps),
-             poses)
+    save_tum(os.path.join(args.out, "trajectory.tum"),
+             np.asarray(stamps, dtype=np.float64) + t_origin, poses)
     with open(os.path.join(args.out, "metrics.json"), "w") as fh:
         json.dump(metrics, fh, indent=2)
     save_diagnostics(os.path.join(args.out, "diagnostics.npz"),
                      {k: np.asarray(v) for k, v in outs.certs.items()},
-                     stamps=np.asarray(stamps))
+                     stamps=np.asarray(stamps, dtype=np.float64) + t_origin)
     save_splat_export(os.path.join(args.out, "splat_export.npz"),
                       final_state.atlas, cfg, poses=poses,
                       stamps=np.asarray(stamps))
