@@ -128,31 +128,9 @@ def have_native_staging() -> bool:
     return lib is not None and hasattr(lib, "gcio_stage_lidar_batch")
 
 
-def stage_lidar_batch(blobs, *, R_bl, t_bl, min_r, max_r, sigma, sentinel,
-                      n_cap, raw_cap, imu, imu_len, accel_scale, odom,
-                      prev_t=None) -> dict:
-    """One native call staging a batch of lidar scans (decode + sentinel +
-    range weights + extrinsic + budget resample + IMU windows + closest odom)
-    — the single-pass C++ twin of ``io/rosbag.load_scan_records``'s per-scan
-    loop, tested for parity against it (tests/test_rosbag_io.py).
-
-    ``imu`` (M, 7) and ``odom`` (N, 86) must be stamp-sorted (the caller
-    sorts; bag order is already sorted in practice). ``prev_t``: scan_start
-    preceding this batch (None for bag start). Returns the recs dict slices
-    plus ``__audit_counts__`` = (nonfinite_total, saturated, missing_odom).
-    """
-    lib = _lib()
-    S = len(blobs)
-    # Zero-copy blob access: an array of borrowed pointers into each bytes
-    # object (c_char_p(b) aliases b's buffer; `blobs` stays alive across the
-    # call). The previous b"".join pack copied the whole segment (~0.4
-    # ms/scan at VLP-16 density).
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    bufs = (u8p * S)(*(ctypes.cast(ctypes.c_char_p(b), u8p) for b in blobs))
-    sizes = np.asarray([len(b) for b in blobs], dtype=np.int64)
-    imu = np.ascontiguousarray(imu, dtype=np.float64)
-    odom = np.ascontiguousarray(odom, dtype=np.float64)
-    out = {
+def alloc_stage_out(S, n_cap, imu_len) -> dict:
+    """Zero-filled output arrays for ``stage_lidar_batch`` (calloc-lazy)."""
+    return {
         "points": np.zeros((S, n_cap, 3)),
         "point_stamps": np.zeros((S, n_cap)),
         "point_weights": np.zeros((S, n_cap)),
@@ -166,6 +144,43 @@ def stage_lidar_batch(blobs, *, R_bl, t_bl, min_r, max_r, sigma, sentinel,
         "odom_vel_body": np.zeros((S, 3)),
         "odom_omega_body": np.zeros((S, 3)),
     }
+
+
+def stage_lidar_batch(blobs, *, R_bl, t_bl, min_r, max_r, sigma, sentinel,
+                      n_cap, raw_cap, imu, imu_len, accel_scale, odom,
+                      prev_t=None, out=None, offset=0) -> dict:
+    """One native call staging a batch of lidar scans (decode + sentinel +
+    range weights + extrinsic + budget resample + IMU windows + closest odom)
+    — the single-pass C++ twin of ``io/rosbag.load_scan_records``'s per-scan
+    loop, tested for parity against it (tests/test_rosbag_io.py).
+
+    ``imu`` (M, 7) and ``odom`` (N, 86) must be stamp-sorted (the caller
+    sorts; bag order is already sorted in practice). ``prev_t``: scan_start
+    preceding this batch (None for bag start). Returns the recs dict slices
+    plus ``__audit_counts__`` = (nonfinite_total, saturated, missing_odom).
+
+    ``out``/``offset``: optional preallocated output dict (alloc_stage_out,
+    sized for the WHOLE bag) written at rows [offset, offset+S) — lets the
+    chunked staging loop write each chunk in place instead of concatenating
+    (~110 MB of copies per 300 VLP-16 scans).
+    """
+    lib = _lib()
+    S = len(blobs)
+    # Zero-copy blob access: an array of borrowed pointers into each bytes
+    # object (c_char_p(b) aliases b's buffer; `blobs` stays alive across the
+    # call). The previous b"".join pack copied the whole segment (~0.4
+    # ms/scan at VLP-16 density).
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bufs = (u8p * S)(*(ctypes.cast(ctypes.c_char_p(b), u8p) for b in blobs))
+    sizes = np.asarray([len(b) for b in blobs], dtype=np.int64)
+    imu = np.ascontiguousarray(imu, dtype=np.float64)
+    odom = np.ascontiguousarray(odom, dtype=np.float64)
+    whole = out
+    if whole is None:
+        out = alloc_stage_out(S, n_cap, imu_len)
+    else:
+        out = {k: v[offset:offset + S] for k, v in whole.items()
+               if not k.startswith("__")}
     audit = np.zeros(3, dtype=np.int64)
     f64p = ctypes.POINTER(ctypes.c_double)
 

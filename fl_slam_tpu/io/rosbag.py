@@ -119,6 +119,20 @@ class RosbagReader:
             con.close()
         return out
 
+    def count_topic(self, topic: str) -> int:
+        """Message count for a topic (cheap; lets staging preallocate)."""
+        n = 0
+        for db in self.db_files:
+            con = sqlite3.connect(db)
+            row = con.execute("SELECT id FROM topics WHERE name=?",
+                              (topic,)).fetchone()
+            if row is not None:
+                n += con.execute(
+                    "SELECT COUNT(*) FROM messages WHERE topic_id=?",
+                    (row[0],)).fetchone()[0]
+            con.close()
+        return n
+
     def read_topic(self, topic: str):
         """Yields (bag_timestamp_ns, blob) for every message on the topic,
         in timestamp order.
@@ -131,6 +145,10 @@ class RosbagReader:
         fast path is the production path."""
         for db in self.db_files:
             con = sqlite3.connect(db)
+            # mmap the db: VLP-16 blobs (~576 KB) span ~140 overflow pages
+            # each; pread-per-page runs ~1.25 GB/s, mmap ~5 GB/s (measured)
+            # — at 28.8k pts/scan this is 0.3 ms/scan of staging budget.
+            con.execute("PRAGMA mmap_size=1073741824")
             row = con.execute("SELECT id FROM topics WHERE name=?",
                               (topic,)).fetchone()
             if row is None:
@@ -142,20 +160,30 @@ class RosbagReader:
                 "ORDER BY id", (tid,))]
             monotone = all(a <= b for a, b in zip(stamps, stamps[1:]))
             order = "id" if monotone else "timestamp"
-            for ts, data in con.execute(
-                    "SELECT timestamp, data FROM messages WHERE topic_id=? "
-                    f"ORDER BY {order}", (tid,)):
-                yield ts, data
+            cur = con.execute(
+                "SELECT timestamp, data FROM messages WHERE topic_id=? "
+                f"ORDER BY {order}", (tid,))
+            while True:
+                rows = cur.fetchmany(32)
+                if not rows:
+                    break
+                yield from rows
             con.close()
 
 
 def _range_weights(xyz: np.ndarray, cfg: GCConfig) -> np.ndarray:
     """Range-sigmoid weights (parity: parse_pointcloud2_vlp16 weighting)."""
     r = np.linalg.norm(xyz, axis=1)
-    lo = 1.0 / (1.0 + np.exp(-(r - cfg.range_weight_min_r)
-                             / max(cfg.range_weight_sigma, 1e-6)))
-    hi = 1.0 / (1.0 + np.exp((r - cfg.range_weight_max_r)
-                             / max(10.0 * cfg.range_weight_sigma, 1e-6)))
+    # Clamp the exp arguments: sentinel-substituted points (|r| ~ 1e6) would
+    # overflow exp and emit RuntimeWarnings in the production staging path;
+    # the sigmoid is saturated (0 or 1 to f64 precision) beyond +-60 either
+    # way, so the clamp is value-exact.
+    a_lo = np.clip(-(r - cfg.range_weight_min_r)
+                   / max(cfg.range_weight_sigma, 1e-6), -60.0, 60.0)
+    a_hi = np.clip((r - cfg.range_weight_max_r)
+                   / max(10.0 * cfg.range_weight_sigma, 1e-6), -60.0, 60.0)
+    lo = 1.0 / (1.0 + np.exp(a_lo))
+    hi = 1.0 / (1.0 + np.exp(a_hi))
     return (lo * hi).astype(np.float64)
 
 
@@ -389,8 +417,11 @@ def _rebase_times(out: dict, origin: float) -> dict:
     for k in ("scan_start", "scan_end"):
         out[k] = out[k] - origin
     for k in ("point_stamps", "imu_stamps"):
-        v = out[k]
-        out[k] = np.where(v != 0.0, v - origin, 0.0)
+        # in place, one pass (np.where allocated 3 temporaries — measured
+        # 0.5 ms/scan of staging at VLP-16 density)
+        v = np.ascontiguousarray(out[k])
+        np.subtract(v, origin, out=v, where=(v != 0.0))
+        out[k] = v
     return out
 
 
@@ -491,14 +522,22 @@ def _native_stage_loop(reader, topics, cfg, R_bl, t_bl, imu, odom, max_scans,
     # stamp-sorted in practice; argmin/window semantics are order-free).
     imu = imu[np.argsort(imu[:, 0], kind="stable")] if len(imu) else imu
     odom = odom[np.argsort(odom[:, 0], kind="stable")] if len(odom) else odom
-    parts = []
+    # Preallocate the whole bag's outputs (calloc-lazy) and let each chunk's
+    # native call write its rows in place — the previous per-chunk arrays +
+    # np.concatenate copied every staged byte once more (~0.4 ms/scan).
+    n_bag = reader.count_topic(topics.lidar)
+    T = n_bag if max_scans is None else min(n_bag, max_scans)
+    out = native.alloc_stage_out(T, cfg.n_points, cfg.imu_len)
+    if T == 0:
+        return {k: np.zeros((0,)) for k in out}
     blobs = []
     prev_t = None
     n_total = 0
+    offset = 0
     counts = np.zeros(3, dtype=np.int64)
 
     def flush():
-        nonlocal prev_t
+        nonlocal prev_t, offset
         if not blobs:
             return
         res = native.stage_lidar_batch(
@@ -507,10 +546,10 @@ def _native_stage_loop(reader, topics, cfg, R_bl, t_bl, imu, odom, max_scans,
             sigma=cfg.range_weight_sigma, sentinel=cfg.nonfinite_sentinel,
             n_cap=cfg.n_points, raw_cap=raw_point_cap, imu=imu,
             imu_len=cfg.imu_len, accel_scale=cfg.imu_accel_scale,
-            odom=odom, prev_t=prev_t)
+            odom=odom, prev_t=prev_t, out=out, offset=offset)
         counts[:] += np.asarray(res.pop("__audit_counts__"))
         prev_t = float(res["scan_start"][-1])
-        parts.append(res)
+        offset += len(blobs)
         blobs.clear()
 
     for _, blob in reader.read_topic(topics.lidar):
@@ -521,14 +560,7 @@ def _native_stage_loop(reader, topics, cfg, R_bl, t_bl, imu, odom, max_scans,
         if max_scans is not None and n_total >= max_scans:
             break
     flush()
-    if not parts:
-        keys = ("points", "point_stamps", "point_weights", "scan_start",
-                "scan_end", "imu_stamps", "imu_gyro", "imu_accel",
-                "odom_pose", "odom_cov", "odom_vel_body", "odom_omega_body")
-        out = {k: np.zeros((0,)) for k in keys}
-    else:
-        out = {k: (np.concatenate([p[k] for p in parts], axis=0)
-                   if len(parts) > 1 else parts[0][k]) for k in parts[0]}
+    out = {k: v[:offset] for k, v in out.items()}
     audit["nonfinite_points_total"] += int(counts[0])
     audit["imu_windows_saturated"] += int(counts[1])
     audit["missing_odom_scans"] += int(counts[2])

@@ -121,6 +121,8 @@ int64_t gcio_decode_odom_batch(const uint8_t* blob, const int64_t* offsets,
 
 // Parse one PointCloud2 and extract x/y/z (f32), per-point time (f32, field
 // "time" or "t"; 0 if absent) and ring (u16 -> int32, -1 if absent).
+// time_out / ring_out may be NULL to skip those channels (the staging path
+// never consumes ring; skipping saves a 115 KB/scan write at VLP-16 density).
 // Returns the number of points written (<= cap), or -1 on malformed input.
 int64_t gcio_decode_pointcloud2(const uint8_t* buf, int64_t size,
                                 double* stamp_out, float* xyz_out,
@@ -170,12 +172,13 @@ int64_t gcio_decode_pointcloud2(const uint8_t* buf, int64_t size,
   // Fast path for the (near-universal) contiguous x,y,z float32 layout:
   // one 12-byte copy per point instead of three 4-byte field copies.
   const bool xyz_contig = (off_y == off_x + 4) && (off_z == off_y + 4);
-  if (xyz_contig && off_t < 0 && off_ring < 0) {
-    for (int64_t i = 0; i < n; ++i) {
+  if (xyz_contig && (off_t < 0 || !time_out) && (off_ring < 0 || !ring_out)) {
+    for (int64_t i = 0; i < n; ++i)
       std::memcpy(xyz_out + 3 * i, data + i * point_step + off_x, 12);
-      time_out[i] = 0.0f;
-      ring_out[i] = -1;
-    }
+    if (time_out && n > 0)
+      std::memset(time_out, 0, static_cast<size_t>(n) * 4);
+    if (ring_out)
+      for (int64_t i = 0; i < n; ++i) ring_out[i] = -1;
     return n;
   }
   for (int64_t i = 0; i < n; ++i) {
@@ -187,32 +190,36 @@ int64_t gcio_decode_pointcloud2(const uint8_t* buf, int64_t size,
       std::memcpy(xyz_out + 3 * i + 1, p + off_y, 4);
       std::memcpy(xyz_out + 3 * i + 2, p + off_z, 4);
     }
-    float t = 0.0f;
-    if (off_t >= 0) {
-      if (dt_t == 7) {                       // FLOAT32
-        std::memcpy(&t, p + off_t, 4);
-      } else if (dt_t == 8) {                // FLOAT64
-        double td;
-        std::memcpy(&td, p + off_t, 8);
-        t = static_cast<float>(td);
-      } else if (dt_t == 6) {                // UINT32 (nanosec offsets)
-        uint32_t tn;
-        std::memcpy(&tn, p + off_t, 4);
-        t = static_cast<float>(tn) * 1e-9f;
+    if (time_out) {
+      float t = 0.0f;
+      if (off_t >= 0) {
+        if (dt_t == 7) {                     // FLOAT32
+          std::memcpy(&t, p + off_t, 4);
+        } else if (dt_t == 8) {              // FLOAT64
+          double td;
+          std::memcpy(&td, p + off_t, 8);
+          t = static_cast<float>(td);
+        } else if (dt_t == 6) {              // UINT32 (nanosec offsets)
+          uint32_t tn;
+          std::memcpy(&tn, p + off_t, 4);
+          t = static_cast<float>(tn) * 1e-9f;
+        }
       }
+      time_out[i] = t;
     }
-    time_out[i] = t;
-    int32_t r = -1;
-    if (off_ring >= 0) {
-      if (dt_ring == 4) {                    // UINT16
-        uint16_t rv;
-        std::memcpy(&rv, p + off_ring, 2);
-        r = rv;
-      } else if (dt_ring == 2) {             // UINT8
-        r = p[off_ring];
+    if (ring_out) {
+      int32_t r = -1;
+      if (off_ring >= 0) {
+        if (dt_ring == 4) {                  // UINT16
+          uint16_t rv;
+          std::memcpy(&rv, p + off_ring, 2);
+          r = rv;
+        } else if (dt_ring == 2) {           // UINT8
+          r = p[off_ring];
+        }
       }
+      ring_out[i] = r;
     }
-    ring_out[i] = r;
   }
   return n;
 }
@@ -299,65 +306,56 @@ inline double fexp_bf(double x) {
   return p * two_k;
 }
 
-// Range-sigmoid weight pass (the exp-heavy inner loop; ~60% of staging
-// kernel time when scalar). target_clones: the ifunc resolver picks the
-// widest ISA at process start — safe on this host, whose visible CPU
-// features drift run to run (runtime.py's cache-fingerprint story).
-__attribute__((target_clones("default", "avx2", "arch=x86-64-v4")))
-void weight_pass(int64_t n, const double* cx, const double* cy,
-                 const double* cz, const double* okm, double min_r,
-                 double max_r, double sig, double sig_hi, double* w) {
-  for (int64_t i = 0; i < n; ++i) {
-    double r = std::sqrt(cx[i] * cx[i] + cy[i] * cy[i] + cz[i] * cz[i]);
-    double lo = 1.0 / (1.0 + fexp_bf(-(r - min_r) / sig));
-    double hi = 1.0 / (1.0 + fexp_bf((r - max_r) / sig_hi));
-    w[i] = lo * hi * okm[i];
-  }
-}
 
-// Sentinel pass: f32 wire xyz -> cleaned f64 SoA + ok mask. Scalar with a
-// rarely-taken bad branch: a fully branchless/blended version was measured
-// 3.3x SLOWER (0.82 vs 0.25 ms/scan at 28.8k pts — 15 strided
-// compare/blends per point vs a never-taken branch).
-int64_t sentinel_pass(int64_t n, const float* xyz, double sentinel,
-                      double* cx, double* cy, double* cz, double* okm) {
+// FUSED sentinel+weight pass straight off the f32 wire values: one read of
+// the packed xyz, one write of w — replaces the sentinel_pass (4 f64 arrays
+// written + re-read) + weight_pass chain for the all-points sweep. Sentinel
+// substitution itself moves to the selected-points pass (sel_output_pass):
+// for weight purposes a non-finite point scores w = 0 either way (the hi
+// sigmoid saturates at |sentinel| and okm zeroed it), so only the selected
+// 8192 need cleaned coordinates. Value-exact vs the two-pass chain for
+// finite points (identical f32->f64 conversion + f64 math) and for bad
+// points (0 by select, not by saturation). Returns the non-finite count.
+__attribute__((target_clones("default", "avx2", "arch=x86-64-v4")))
+int64_t fused_weight_pass(int64_t n, const float* xyz, double min_r,
+                          double max_r, double sig, double sig_hi,
+                          double* w) {
   int64_t nbad = 0;
   for (int64_t i = 0; i < n; ++i) {
     double c0 = xyz[3 * i], c1 = xyz[3 * i + 1], c2 = xyz[3 * i + 2];
-    // isfinite as |c| <= DBL_MAX (true iff finite; NaN compares false)
     bool ok = (std::fabs(c0) <= 1.797693134862315708e308)
               & (std::fabs(c1) <= 1.797693134862315708e308)
               & (std::fabs(c2) <= 1.797693134862315708e308);
-    okm[i] = ok ? 1.0 : 0.0;
-    if (__builtin_expect(!ok, 0)) {
-      ++nbad;
-      double c[3] = {c0, c1, c2};
-      for (int j = 0; j < 3; ++j) {
-        double v = c[j];
-        // python: sign(c)*sentinel, sign(nan)->nan, then nan_to_num->+s
-        if (v > 0.0) c[j] = sentinel;
-        else if (v < 0.0) c[j] = -sentinel;
-        else if (v == 0.0) c[j] = 0.0;
-        else c[j] = sentinel;                            // NaN
-      }
-      c0 = c[0]; c1 = c[1]; c2 = c[2];
-    }
-    cx[i] = c0; cy[i] = c1; cz[i] = c2;
+    double r = std::sqrt(c0 * c0 + c1 * c1 + c2 * c2);
+    double lo = 1.0 / (1.0 + fexp_bf(-(r - min_r) / sig));
+    double hi = 1.0 / (1.0 + fexp_bf((r - max_r) / sig_hi));
+    w[i] = ok ? lo * hi : 0.0;   // NaN r -> NaN lanes land in the 0 branch
+    nbad += ok ? 0 : 1;
   }
   return nbad;
 }
 
-// Extrinsic transform pass (SoA in, interleaved base-frame out).
+// Per-point time sweep stats in ONE cheap f32 pass: max(trel) (NaN-skipping,
+// mirroring the f64 compare chain) and any-nonzero (bit test: value != +-0,
+// catches NaN like the scalar `trel != 0` did). stamp + max(trel) equals
+// max(stamp + trel) exactly: rounded f64 addition of a constant is monotone.
 __attribute__((target_clones("default", "avx2", "arch=x86-64-v4")))
-void transform_pass(int64_t n, const double* cx, const double* cy,
-                    const double* cz, const double* R, const double* t,
-                    double* pb) {
+void trel_stats_pass(int64_t n, const float* trel, float* tmax_out,
+                     int* any_out) {
+  float tmax = 0.0f;
+  uint32_t bits = 0;
   for (int64_t i = 0; i < n; ++i) {
-    pb[3 * i + 0] = R[0] * cx[i] + R[1] * cy[i] + R[2] * cz[i] + t[0];
-    pb[3 * i + 1] = R[3] * cx[i] + R[4] * cy[i] + R[5] * cz[i] + t[1];
-    pb[3 * i + 2] = R[6] * cx[i] + R[7] * cy[i] + R[8] * cz[i] + t[2];
+    float v = trel[i];
+    uint32_t b;
+    std::memcpy(&b, &v, 4);
+    bits |= (b << 1);
+    tmax = (v > tmax) ? v : tmax;
   }
+  *tmax_out = tmax;
+  *any_out = bits != 0;
 }
+
+
 
 // quat xyzw -> rotvec (mirror of io/rosbag.quat_xyzw_to_rotvec).
 inline void quat_to_rotvec(const double* q, double* out) {
@@ -404,9 +402,7 @@ int64_t gcio_stage_lidar_batch(
     double* odom_pose, double* odom_cov, double* odom_vel,
     double* odom_omega, int64_t* audit) {
   std::vector<float> xyz(raw_cap * 3), trel(raw_cap);
-  std::vector<int32_t> ring(raw_cap);
-  std::vector<double> pb(raw_cap * 3), wbuf(raw_cap), tabs(raw_cap);
-  std::vector<double> cx(raw_cap), cy(raw_cap), cz(raw_cap), okm(raw_cap);
+  std::vector<double> wbuf(raw_cap);
   std::vector<double> imu_t(n_imu), odom_t(n_odom);
   for (int64_t i = 0; i < n_imu; ++i) imu_t[i] = imu[i * 7];
   for (int64_t i = 0; i < n_odom; ++i) odom_t[i] = odom[i * 86];
@@ -418,18 +414,15 @@ int64_t gcio_stage_lidar_batch(
   for (int64_t s = 0; s < n_msgs; ++s) {
     double stamp;
     int64_t n = gcio_decode_pointcloud2(bufs[s], sizes[s], &stamp,
-                                        xyz.data(), trel.data(), ring.data(),
+                                        xyz.data(), trel.data(), nullptr,
                                         raw_cap);
     if (n < 0) return -(s + 1);
     scan_start[s] = stamp;
 
-    // pass A (SIMD-cloned): sentinel substitution into SoA doubles
-    bool any_trel = false;
-    audit[0] += sentinel_pass(n, xyz.data(), sentinel, cx.data(), cy.data(),
-                              cz.data(), okm.data());
-    // pass B (SIMD-cloned): range-sigmoid weights
-    weight_pass(n, cx.data(), cy.data(), cz.data(), okm.data(), min_r,
-                max_r, sig, sig_hi, wbuf.data());
+    // pass A (SIMD-cloned, FUSED): weights + non-finite count straight off
+    // the f32 wire values — the only all-points f64 array materialized is w
+    audit[0] += fused_weight_pass(n, xyz.data(), min_r, max_r, sig, sig_hi,
+                                  wbuf.data());
     // Kahan-compensated (python sums pairwise; plain sequential drifts to
     // ~1e-12 rel at 60k points, the parity gate's edge)
     double wsum = 0.0, wc = 0.0;
@@ -438,24 +431,20 @@ int64_t gcio_stage_lidar_batch(
       wc = (t - wsum) - y;
       wsum = t;
     }
-    // pass C (SIMD-cloned): extrinsic transform
-    transform_pass(n, cx.data(), cy.data(), cz.data(), R_bl, t_bl,
-                   pb.data());
-    for (int64_t i = 0; i < n; ++i)
-      if (trel[i] != 0.0f) { any_trel = true; break; }
+    // pass B (SIMD-cloned): per-point time sweep stats off the f32 array
+    float trel_max = 0.0f;
+    int any_trel = 0;
+    trel_stats_pass(n, trel.data(), &trel_max, &any_trel);
     double t_max = stamp;
+    double lin_step = 0.0;
     if (any_trel) {
-      for (int64_t i = 0; i < n; ++i) {
-        tabs[i] = stamp + static_cast<double>(trel[i]);
-        if (tabs[i] > t_max) t_max = tabs[i];
-      }
+      double cand = stamp + static_cast<double>(trel_max);
+      if (cand > t_max) t_max = cand;
     } else {
       // np.linspace(0, 0.1, max(n, 1)): endpoint inclusive
       int64_t m = n > 1 ? n : 1;
-      double step = (m > 1) ? 0.1 / static_cast<double>(m - 1) : 0.0;
-      for (int64_t i = 0; i < n; ++i) tabs[i] = stamp + step * i;
-      t_max = (n > 0) ? stamp + step * (n - 1) : stamp;
-      if (n == 1) t_max = stamp;  // linspace(0,0.1,1) = [0.0]
+      lin_step = (m > 1) ? 0.1 / static_cast<double>(m - 1) : 0.0;
+      t_max = (n > 1) ? stamp + lin_step * (n - 1) : stamp;
     }
     double sweep_end = (n > 0) ? t_max : stamp;
     scan_end[s] = (sweep_end > stamp + 1e-3) ? sweep_end : stamp + 1e-3;
@@ -463,7 +452,9 @@ int64_t gcio_stage_lidar_batch(
     // budget resample: PHASED stride (idx = s*k + k%s, clipped) + mass-
     // preserving rescale — the phase walks every VLP-16 ring; a plain
     // stride aliases with the 16-laser wire interleave and keeps only the
-    // downward beams (see ops/point_budget.py)
+    // downward beams (see ops/point_budget.py). Sentinel substitution +
+    // extrinsic transform + timestamp assembly run over the SELECTED points
+    // only (the selection index depends only on n, never on weights).
     if (n > 0) {
       int64_t stride = (n + n_cap - 1) / n_cap;
       if (stride < 1) stride = 1;
@@ -484,10 +475,30 @@ int64_t gcio_stage_lidar_batch(
       for (int64_t k = 0; k < n_sel; ++k) {
         int64_t i = stride * k + (k % stride);
         if (i > n - 1) i = n - 1;
-        op[3 * k + 0] = pb[3 * i + 0];
-        op[3 * k + 1] = pb[3 * i + 1];
-        op[3 * k + 2] = pb[3 * i + 2];
-        ot[k] = tabs[i];
+        double c[3] = {static_cast<double>(xyz[3 * i]),
+                       static_cast<double>(xyz[3 * i + 1]),
+                       static_cast<double>(xyz[3 * i + 2])};
+        bool ok = (std::fabs(c[0]) <= 1.797693134862315708e308)
+                  & (std::fabs(c[1]) <= 1.797693134862315708e308)
+                  & (std::fabs(c[2]) <= 1.797693134862315708e308);
+        if (__builtin_expect(!ok, 0)) {
+          for (int j = 0; j < 3; ++j) {
+            double v = c[j];
+            // python: sign(c)*sentinel, sign(nan)->nan, then nan_to_num->+s
+            if (v > 0.0) c[j] = sentinel;
+            else if (v < 0.0) c[j] = -sentinel;
+            else if (v == 0.0) c[j] = 0.0;
+            else c[j] = sentinel;                        // NaN
+          }
+        }
+        op[3 * k + 0] = R_bl[0] * c[0] + R_bl[1] * c[1] + R_bl[2] * c[2]
+                        + t_bl[0];
+        op[3 * k + 1] = R_bl[3] * c[0] + R_bl[4] * c[1] + R_bl[5] * c[2]
+                        + t_bl[1];
+        op[3 * k + 2] = R_bl[6] * c[0] + R_bl[7] * c[1] + R_bl[8] * c[2]
+                        + t_bl[2];
+        ot[k] = any_trel ? stamp + static_cast<double>(trel[i])
+                         : stamp + lin_step * static_cast<double>(i);
         ow[k] = wbuf[i] * scale;
       }
     }

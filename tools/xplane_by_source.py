@@ -138,6 +138,33 @@ def busy_summary(trace_dir, top=3, by_op=False):
     }
 
 
+def busy_totals(trace_dir, n_scans, top=3, by_op=False):
+    """Whole-trace leaf-busy attribution normalized by the KNOWN scan count.
+
+    The bench traces exactly ONE replay of ``n_scans`` scans, so dividing
+    trace totals by ``n_scans`` is arithmetically exact — unlike
+    ``busy_summary``'s anchor-window heuristic, which can lock onto an op
+    that fires once per k scans and inflate every per-scan number by k
+    (the round-4 BENCH carried 6,170 us busy/scan beside a measured 893
+    us/scan headline for exactly this reason)."""
+    evs = leaf_events(load_events(trace_dir))
+    agg = collections.Counter()
+    busy = 0.0
+    for t0, dur, name, src in evs:
+        key = name.split(".")[0] if by_op else (src or "<no-source>")
+        agg[key] += dur
+        busy += dur
+    wall = (evs[-1][0] + evs[-1][1]) - evs[0][0]
+    return {
+        "n_scans": n_scans,
+        "busy_us_per_scan": busy / n_scans,
+        "wall_us_per_scan": wall / n_scans,
+        "busy_frac": busy / wall if wall > 0 else 0.0,
+        "top": [(k, round(v / n_scans, 1), 0.0)
+                for k, v in agg.most_common(top)],
+    }
+
+
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gc_trace"
     top = 40
