@@ -24,12 +24,23 @@ from fl_slam_tpu.camera.features import (FeatureArrays, PinholeIntrinsics,
 def lidar_depth_evidence(feat_uv: np.ndarray, feat_valid: np.ndarray,
                          points_cam: np.ndarray, intr: PinholeIntrinsics, *,
                          radius_px: float = 6.0, min_support: int = 3,
-                         sigma_lidar: float = 0.02):
+                         sigma_lidar: float = 0.02, native: bool = True):
     """Per-feature lidar depth naturals (Lambda_ell, theta_ell) via Route A+B.
 
     points_cam: (M, 3) lidar points in the CAMERA frame.
     Returns (lambda_ell (N,), theta_ell (N,), support (N,)).
+
+    ``native``: route through the C++ kernel (grid-binned candidates +
+    closed-form 3x3 eigensolve, ~0.3 ms vs ~4 ms for this Python loop at
+    production budgets) when built; this Python implementation remains the
+    authoritative one it is parity-tested against (tests/test_camera.py).
     """
+    if native:
+        res = _lidar_depth_evidence_native(
+            feat_uv, feat_valid, points_cam, intr, radius_px=radius_px,
+            min_support=min_support, sigma_lidar=sigma_lidar)
+        if res is not None:
+            return res
     N = feat_uv.shape[0]
     lam = np.zeros(N)
     the = np.zeros(N)
@@ -85,6 +96,50 @@ def lidar_depth_evidence(feat_uv: np.ndarray, feat_valid: np.ndarray,
         lam[i] = lam_a + lam_b
         the[i] = lam_a * z_a + lam_b * z_b
     return lam, the, sup
+
+
+def _lidar_depth_evidence_native(feat_uv, feat_valid, points_cam, intr, *,
+                                 radius_px, min_support, sigma_lidar):
+    """ctypes dispatch to ``gcv_lidar_depth_evidence`` (src/gcvision.cpp);
+    None when the library is not built."""
+    import ctypes
+
+    from fl_slam_tpu.camera.features import _gcvision
+    lib = _gcvision()
+    if lib is None:
+        return None
+    if not hasattr(lib, "gcv_lidar_depth_evidence"):
+        return None
+    if getattr(lib.gcv_lidar_depth_evidence, "argtypes", None) is None:
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        lib.gcv_lidar_depth_evidence.restype = i64
+        lib.gcv_lidar_depth_evidence.argtypes = [
+            f64p, u8p, i64, f64p, i64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, i64, i64,
+            ctypes.c_double, i64, ctypes.c_double,
+            f64p, f64p, i64p]
+    N = feat_uv.shape[0]
+    uv = np.ascontiguousarray(feat_uv, dtype=np.float64)
+    valid = np.ascontiguousarray(feat_valid, dtype=np.uint8)
+    pts = np.ascontiguousarray(points_cam, dtype=np.float64)
+    lam = np.zeros(N)
+    the = np.zeros(N)
+    sup = np.zeros(N, dtype=np.int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gcv_lidar_depth_evidence(
+        uv.ctypes.data_as(f64p),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), N,
+        pts.ctypes.data_as(f64p), pts.shape[0],
+        float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy),
+        int(intr.width), int(intr.height),
+        float(radius_px), int(min_support), float(sigma_lidar),
+        lam.ctypes.data_as(f64p), the.ctypes.data_as(f64p),
+        sup.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return lam, the, sup.astype(int)
 
 
 def splat_prep_fused(feats: FeatureArrays, intr: PinholeIntrinsics,

@@ -272,7 +272,8 @@ def _gcvision():
                 u8p, f32p, u8p, i64, i64,
                 ctypes.c_double, ctypes.c_double, ctypes.c_double,
                 ctypes.c_double, i64, ctypes.c_int, ctypes.c_double,
-                f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, u8p]
+                f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, u8p,
+                f64p]
             _GCV = lib
     return _GCV
 
@@ -310,6 +311,7 @@ def _extract_native(rgb, depth, intr: PinholeIntrinsics, n_feat: int,
         color=np.full((N, 3), 0.5), weight=np.zeros(N),
         valid=np.zeros(N, dtype=bool))
     validu8 = np.zeros(N, dtype=np.uint8)
+    grad = np.zeros((N, 2))
     p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
     lib.gcv_extract_features(
         p(gray, ctypes.c_uint8), p(depth32, ctypes.c_float),
@@ -320,12 +322,39 @@ def _extract_native(rgb, depth, intr: PinholeIntrinsics, n_feat: int,
         p(out.depth_theta, ctypes.c_double), p(out.xyz_cam, ctypes.c_double),
         p(out.cov_cam, ctypes.c_double), p(out.kappa_app, ctypes.c_double),
         p(out.color, ctypes.c_double), p(out.weight, ctypes.c_double),
-        p(validu8, ctypes.c_uint8))
+        p(validu8, ctypes.c_uint8), p(grad, ctypes.c_double))
     out.valid[:] = validu8 > 0
-    # surface normals: the C ABI returns no depth gradient; re-fit the local
-    # quadratic patch host-side (N <= n_feat tiny lstsq's at staging time)
-    fill_normals_from_depth(out, depth32, intr)
+    # Surface normals, closed-form from the C fit's robust depth gradient
+    # (the same Student-t quadratic patch that produced z0/curv). Replaces
+    # the image-wide median+gradient pass (~20 ms/frame at 640x480) with
+    # ~0.1 ms over the <=n_feat features.
+    fill_normals_from_grad(out, grad, intr)
     return out
+
+
+def fill_normals_from_grad(out: "FeatureArrays", grad: np.ndarray,
+                           intr: PinholeIntrinsics) -> None:
+    """Vectorized ``surface_normal_from_grad`` over the valid features:
+    normal = (dP/du x dP/dv) of the backprojection, sensor-facing; zero when
+    the patch fit was degenerate (zero gradient rows stay zero-normal ONLY
+    if the tangent cross-product degenerates — a flat fronto-parallel patch
+    has grad 0 but a well-defined normal [0,0,-1])."""
+    j = np.flatnonzero(out.valid)
+    if j.size == 0:
+        return
+    u, v = out.uv[j, 0], out.uv[j, 1]
+    z = out.z[j]
+    g_u, g_v = grad[j, 0], grad[j, 1]
+    tu = np.stack([(z + (u - intr.cx) * g_u) / intr.fx,
+                   (v - intr.cy) * g_u / intr.fy, g_u], axis=1)
+    tv = np.stack([(u - intr.cx) * g_v / intr.fx,
+                   (z + (v - intr.cy) * g_v) / intr.fy, g_v], axis=1)
+    n = np.cross(tu, tv)
+    nn = np.linalg.norm(n, axis=1)
+    ok = (nn > 1e-12) & (z > 1e-3)
+    n = np.where(ok[:, None], n / np.maximum(nn, 1e-12)[:, None], 0.0)
+    flip = np.einsum("ij,ij->i", n, out.xyz_cam[j]) > 0.0
+    out.normal_cam[j] = np.where(flip[:, None], -n, n)
 
 
 def extract_features(rgb: np.ndarray, depth: np.ndarray,

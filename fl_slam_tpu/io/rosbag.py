@@ -228,7 +228,8 @@ class _CameraIndex:
     segment-wise staging reuses one index across segments."""
 
     def __init__(self, reader: "RosbagReader", cam: CameraTopics, intrinsics,
-                 T_base_cam, audit: dict, pair_window_s: float = 0.05):
+                 T_base_cam, audit: dict, pair_window_s: float = 0.05,
+                 feature_cache: Optional[str] = "auto"):
         from fl_slam_tpu.io.cdr import decode_compressed_image, decode_image
         self.cam = cam
         self.intrinsics = intrinsics
@@ -252,16 +253,54 @@ class _CameraIndex:
             np.abs(depth_stamps[None, :] - self.rgb_stamps[:, None]), axis=1)
         self.pair_ok = np.abs(depth_stamps[self.d_idx]
                               - self.rgb_stamps) <= pair_window_s
+        self.pair_cand = np.where(self.pair_ok)[0]
         audit["camera_pairs"] += int(self.pair_ok.sum())
         self.feat_cache: dict = {}
+        # Per-bag precomputed feature sidecar (one-time host pass, see
+        # camera/feature_cache.py and SURVEY section 7.3): when present and
+        # matching, per-frame decode + extraction are skipped entirely.
+        self.sidecar = None
+        if feature_cache is not None:
+            from fl_slam_tpu.camera.feature_cache import load_sidecar
+            path = (None if feature_cache == "auto" else feature_cache)
+            self.sidecar = load_sidecar(
+                getattr(reader, "db_files", [""])[0], cam.rgb,
+                self.rgb_stamps, path=path)
+            if self.sidecar is not None:
+                audit["camera_feature_cache"] = self.sidecar["__path__"]
+
+    def _features_for(self, j: int, NF: int):
+        """FeatureArrays for rgb frame j: sidecar row, else decode+extract
+        with a small LRU (scans walk frames forward; 4 frames cover the
+        pairing jitter)."""
+        from fl_slam_tpu.camera.feature_cache import row_to_features
+        from fl_slam_tpu.camera.features import extract_features
+        from fl_slam_tpu.io.cdr import depth_image_to_m
+        if self.sidecar is not None:
+            if int(self.sidecar["n_feat"]) != NF:
+                self.sidecar = None          # stale budget: fall through
+            else:
+                return row_to_features(self.sidecar, j)
+        if j not in self.feat_cache:
+            intrinsics = self.intrinsics
+            rgb = _decode_rgb(self.rgb_msgs[j].data)
+            depth = depth_image_to_m(self.depth_msgs[self.d_idx[j]])
+            if (rgb.shape[0] != intrinsics.height
+                    or rgb.shape[1] != intrinsics.width):
+                raise ValueError(
+                    f"intrinsics {intrinsics.width}x{intrinsics.height} "
+                    f"do not match bag image "
+                    f"{rgb.shape[1]}x{rgb.shape[0]}")
+            if len(self.feat_cache) >= 4:
+                self.feat_cache.pop(next(iter(self.feat_cache)))
+            self.feat_cache[j] = extract_features(rgb, depth, intrinsics, NF)
+        return self.feat_cache[j]
 
     def stage(self, scan_starts, scan_points, cfg, audit: dict,
               scan_window_s: float = 0.15) -> dict:
         """Camera slice fields for one batch/segment of scans."""
         from fl_slam_tpu.camera.depth_fusion import (camera_slice_fields,
                                                      splat_prep_fused)
-        from fl_slam_tpu.camera.features import extract_features
-        from fl_slam_tpu.io.cdr import depth_image_to_m
 
         T = len(scan_starts)
         B = cfg.vmf_n_lobes
@@ -273,25 +312,14 @@ class _CameraIndex:
         R_bc = self.T_base_cam[:3, :3]
         t_bc = self.T_base_cam[:3, 3]
         n_cam_scans = 0
+        cand = self.pair_cand
         for i, t_scan in enumerate(np.asarray(scan_starts)):
-            cand = np.where(self.pair_ok)[0]
             if cand.size == 0:
                 break
             j = cand[np.argmin(np.abs(self.rgb_stamps[cand] - t_scan))]
             if abs(self.rgb_stamps[j] - t_scan) > scan_window_s:
                 continue
-            if j not in self.feat_cache:
-                rgb = _decode_rgb(self.rgb_msgs[j].data)
-                depth = depth_image_to_m(self.depth_msgs[self.d_idx[j]])
-                if (rgb.shape[0] != intrinsics.height
-                        or rgb.shape[1] != intrinsics.width):
-                    raise ValueError(
-                        f"intrinsics {intrinsics.width}x{intrinsics.height} "
-                        f"do not match bag image "
-                        f"{rgb.shape[1]}x{rgb.shape[0]}")
-                self.feat_cache = {
-                    j: extract_features(rgb, depth, intrinsics, NF)}
-            feats = self.feat_cache[j]
+            feats = self._features_for(int(j), NF)
             # This scan's lidar points (base frame) -> camera frame for the
             # Route A/B lidar-depth evidence.
             pts_cam = (scan_points[i] - t_bc) @ R_bc

@@ -124,7 +124,8 @@ double median_of(std::vector<double>& v) {
 // Robust quadratic depth fit around (u, v): z(x, y) ~ c0 + c1 x + c2 y +
 // 0.5 c3 x^2 + c4 x y + 0.5 c5 y^2, one MAD reweight pass.
 bool quad_fit(const float* depth, int64_t h, int64_t w, int64_t u, int64_t v,
-              int rad, double* z0, double* curv, double* res_var) {
+              int rad, double* z0, double* curv, double* res_var,
+              double* gx = nullptr, double* gy = nullptr) {
   int64_t u0 = std::max<int64_t>(u - rad, 0), u1 = std::min<int64_t>(u + rad + 1, w);
   int64_t v0 = std::max<int64_t>(v - rad, 0), v1 = std::min<int64_t>(v + rad + 1, h);
   std::vector<double> xs, ys, zs;
@@ -187,6 +188,8 @@ bool quad_fit(const float* depth, int64_t h, int64_t w, int64_t u, int64_t v,
   *curv = std::sqrt(coef[3] * coef[3] + 2.0 * coef[4] * coef[4]
                     + coef[5] * coef[5]);
   *res_var = std::max(swr2 / std::max(sw, 1e-9), 1e-8);
+  if (gx) *gx = coef[1];   // robust local depth gradient (m/px) at center
+  if (gy) *gy = coef[2];
   return true;
 }
 
@@ -205,7 +208,12 @@ int64_t gcv_extract_features(
     int64_t w, double fx, double fy, double cx, double cy, int64_t n_feat,
     int fast_thr, double sigma_px, double* uv, double* z_out,
     double* depth_lambda, double* depth_theta, double* xyz, double* cov,
-    double* kappa, double* color, double* weight, uint8_t* valid) {
+    double* kappa, double* color, double* weight, uint8_t* valid,
+    double* grad) {
+  // grad (N, 2): robust local depth gradient (m/px) from the SAME
+  // Student-t quadratic fit that produces z0/curv — feeds the closed-form
+  // surface normal host-side (features.surface_normal_from_grad), replacing
+  // the image-wide median+central-difference pass (~20 ms/frame).
   // --- FAST-9 detection + 3x3 non-max suppression ------------------------
   std::vector<float> resp_img(size_t(h) * size_t(w), 0.0f);
   for (int64_t y = 3; y < h - 3; ++y)
@@ -278,7 +286,9 @@ int64_t gcv_extract_features(
     if (z_med <= 1e-3) continue;
 
     double z0 = 0.0, curv = 0.0, res_var = 1.0;
-    bool okq = quad_fit(depth, h, w, ui, vi, 3, &z0, &curv, &res_var);
+    double gx_f = 0.0, gy_f = 0.0;
+    bool okq = quad_fit(depth, h, w, ui, vi, 3, &z0, &curv, &res_var,
+                        &gx_f, &gy_f);
     double z_use = (okq && z0 > 1e-3) ? 0.5 * (z_med + z0) : z_med;
     double lam_d = 1.0 / (res_var + (0.002 * z_use) * (0.002 * z_use));
     double sig_z = 1.0 / std::sqrt(lam_d);
@@ -311,10 +321,225 @@ int64_t gcv_extract_features(
     color[j * 3 + 1] = rgb[ci * 3 + 1] / 255.0;
     color[j * 3 + 2] = rgb[ci * 3 + 2] / 255.0;
     weight[j] = corners[i].resp / resp_max;
+    grad[j * 2 + 0] = okq ? gx_f : 0.0;
+    grad[j * 2 + 1] = okq ? gy_f : 0.0;
     valid[j] = 1;
     ++j;
   }
   return j;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-scan lidar->camera depth evidence (Routes A/B) — the native twin of
+// camera/depth_fusion.lidar_depth_evidence (the authoritative Python
+// implementation, parity-tested against this). Per scan the Python loop ran
+// ~4 ms at production budgets (512 features x 8k points, numpy per-feature
+// masks); grid-binned candidate lookup + closed-form 3x3 eigensolve runs it
+// in ~0.3 ms. Reference chain: frontend/sensors/lidar_camera_depth_fusion.py
+// Routes A and B (:389-442).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Smallest eigenpair of a symmetric 3x3 (trigonometric closed form +
+// cross-product eigenvector; ~1e-12 relative vs LAPACK on plane-fit
+// scatters, which is tolerance-level for the continuous lam_b/z_b outputs).
+void eig3_smallest(const double A[3][3], double* eval_out, double evec[3]) {
+  double a00 = A[0][0], a11 = A[1][1], a22 = A[2][2];
+  double a01 = A[0][1], a02 = A[0][2], a12 = A[1][2];
+  double p1 = a01 * a01 + a02 * a02 + a12 * a12;
+  double lmin;
+  if (p1 < 1e-300) {
+    lmin = std::min(a00, std::min(a11, a22));
+    evec[0] = (a00 == lmin) ? 1.0 : 0.0;
+    evec[1] = (a00 != lmin && a11 == lmin) ? 1.0 : 0.0;
+    evec[2] = (a00 != lmin && a11 != lmin) ? 1.0 : 0.0;
+    *eval_out = lmin;
+    return;
+  }
+  double q = (a00 + a11 + a22) / 3.0;
+  double p2 = (a00 - q) * (a00 - q) + (a11 - q) * (a11 - q)
+              + (a22 - q) * (a22 - q) + 2.0 * p1;
+  double p = std::sqrt(p2 / 6.0);
+  double b00 = (a00 - q) / p, b11 = (a11 - q) / p, b22 = (a22 - q) / p;
+  double b01 = a01 / p, b02 = a02 / p, b12 = a12 / p;
+  double detB = b00 * (b11 * b22 - b12 * b12) - b01 * (b01 * b22 - b12 * b02)
+                + b02 * (b01 * b12 - b11 * b02);
+  double r = detB / 2.0;
+  r = r < -1.0 ? -1.0 : (r > 1.0 ? 1.0 : r);
+  double phi = std::acos(r) / 3.0;
+  lmin = q + 2.0 * p * std::cos(phi + 2.0 * M_PI / 3.0);
+  *eval_out = lmin;
+  // eigenvector: largest cross product of rows of (A - lmin I)
+  double R0[3] = {a00 - lmin, a01, a02};
+  double R1[3] = {a01, a11 - lmin, a12};
+  double R2[3] = {a02, a12, a22 - lmin};
+  double c[3][3] = {
+      {R0[1] * R1[2] - R0[2] * R1[1], R0[2] * R1[0] - R0[0] * R1[2],
+       R0[0] * R1[1] - R0[1] * R1[0]},
+      {R0[1] * R2[2] - R0[2] * R2[1], R0[2] * R2[0] - R0[0] * R2[2],
+       R0[0] * R2[1] - R0[1] * R2[0]},
+      {R1[1] * R2[2] - R1[2] * R2[1], R1[2] * R2[0] - R1[0] * R2[2],
+       R1[0] * R2[1] - R1[1] * R2[0]}};
+  int best = 0;
+  double bn = -1.0;
+  for (int i = 0; i < 3; ++i) {
+    double n2 = c[i][0] * c[i][0] + c[i][1] * c[i][1] + c[i][2] * c[i][2];
+    if (n2 > bn) { bn = n2; best = i; }
+  }
+  double nn = std::sqrt(bn);
+  if (nn < 1e-300) { evec[0] = 1.0; evec[1] = 0.0; evec[2] = 0.0; return; }
+  evec[0] = c[best][0] / nn;
+  evec[1] = c[best][1] / nn;
+  evec[2] = c[best][2] / nn;
+}
+
+// np.median on a scratch copy: sort ascending, middle (odd) or mean of the
+// two middles (even).
+double np_median(std::vector<double>& v) {
+  size_t k = v.size();
+  std::sort(v.begin(), v.end());
+  if (k % 2) return v[k / 2];
+  return 0.5 * (v[k / 2 - 1] + v[k / 2]);
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t gcv_lidar_depth_evidence(
+    const double* feat_uv, const uint8_t* feat_valid, int64_t n_feat,
+    const double* points_cam, int64_t n_pts, double fx, double fy, double cx,
+    double cy, int64_t width, int64_t height, double radius_px,
+    int64_t min_support, double sigma_lidar, double* lam_out,
+    double* the_out, int64_t* sup_out) {
+  for (int64_t i = 0; i < n_feat; ++i) {
+    lam_out[i] = 0.0;
+    the_out[i] = 0.0;
+    sup_out[i] = 0;
+  }
+  // project lidar points; keep front-of-camera, in-image
+  std::vector<double> pu, pv, px, py, pz;
+  pu.reserve(n_pts);
+  for (int64_t m = 0; m < n_pts; ++m) {
+    double x = points_cam[3 * m], y = points_cam[3 * m + 1],
+           z = points_cam[3 * m + 2];
+    if (!(z > 0.05)) continue;
+    double u = fx * x / z + cx;
+    double v = fy * y / z + cy;
+    if (!(u >= 0.0 && u < double(width) && v >= 0.0 && v < double(height)))
+      continue;
+    pu.push_back(u); pv.push_back(v);
+    px.push_back(x); py.push_back(y); pz.push_back(z);
+  }
+  int64_t M = int64_t(pu.size());
+  if (M == 0) return 0;
+
+  // grid binning (cell 16 px) for candidate lookup; the predicate below is
+  // the exact du^2+dv^2 < r^2 of the Python loop, so the candidate SET is
+  // identical to the brute-force mask (bins are a superset filter).
+  const int64_t CS = 16;
+  int64_t ncx = (width + CS - 1) / CS, ncy = (height + CS - 1) / CS;
+  std::vector<int32_t> cnt(ncx * ncy + 1, 0);
+  for (int64_t m = 0; m < M; ++m)
+    cnt[int64_t(pv[m] / CS) * ncx + int64_t(pu[m] / CS) + 1]++;
+  for (size_t c = 1; c < cnt.size(); ++c) cnt[c] += cnt[c - 1];
+  std::vector<int32_t> order(M);
+  {
+    std::vector<int32_t> cur(cnt.begin(), cnt.end() - 1);
+    for (int64_t m = 0; m < M; ++m) {
+      int64_t c = int64_t(pv[m] / CS) * ncx + int64_t(pu[m] / CS);
+      order[cur[c]++] = int32_t(m);
+    }
+  }
+
+  const double r2 = radius_px * radius_px;
+  const double inv_2s2 = 0.5 / (0.5 * radius_px * 0.5 * radius_px);
+  std::vector<int32_t> cand;
+  std::vector<double> zv, d2v, wv;
+  int64_t n_supported = 0;
+  for (int64_t i = 0; i < n_feat; ++i) {
+    if (!feat_valid[i]) continue;
+    double fu = feat_uv[2 * i], fv = feat_uv[2 * i + 1];
+    cand.clear(); zv.clear(); d2v.clear(); wv.clear();
+    int64_t cx0 = std::max<int64_t>(0, int64_t((fu - radius_px) / CS));
+    int64_t cx1 = std::min<int64_t>(ncx - 1, int64_t((fu + radius_px) / CS));
+    int64_t cy0 = std::max<int64_t>(0, int64_t((fv - radius_px) / CS));
+    int64_t cy1 = std::min<int64_t>(ncy - 1, int64_t((fv + radius_px) / CS));
+    for (int64_t gy = cy0; gy <= cy1; ++gy)
+      for (int64_t gx = cx0; gx <= cx1; ++gx) {
+        int64_t c = gy * ncx + gx;
+        for (int32_t t = cnt[c]; t < cnt[c + 1]; ++t) {
+          int32_t m = order[t];
+          double du = pu[m] - fu, dv = pv[m] - fv;
+          double d2 = du * du + dv * dv;
+          if (d2 < r2) {
+            cand.push_back(m);
+            d2v.push_back(d2);
+            zv.push_back(pz[m]);
+          }
+        }
+      }
+    int64_t k = int64_t(cand.size());
+    sup_out[i] = k;
+    if (k < min_support) continue;
+    ++n_supported;
+
+    // Route A: median depth + MAD precision
+    std::vector<double> zs(zv);
+    double z_a = np_median(zs);
+    std::vector<double> ad(zv);
+    for (auto& q : ad) q = std::fabs(q - z_a);
+    double mad = np_median(ad) / 0.6745 + sigma_lidar;
+    double lam_a = 1.0 / (mad * mad);
+
+    // Route B: weighted plane fit + ray-plane intersection
+    double lam_b = 0.0, z_b = 0.0;
+    if (k >= 4) {
+      wv.resize(k);
+      double sw = 0.0;
+      for (int64_t t = 0; t < k; ++t) {
+        wv[t] = std::exp(-d2v[t] * inv_2s2);
+        sw += wv[t];
+      }
+      double c0 = 0.0, c1 = 0.0, c2 = 0.0;
+      for (int64_t t = 0; t < k; ++t) {
+        int32_t m = cand[t];
+        c0 += wv[t] * px[m]; c1 += wv[t] * py[m]; c2 += wv[t] * pz[m];
+      }
+      c0 /= sw; c1 /= sw; c2 /= sw;          // np.average (weights sum > 0)
+      double C[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+      for (int64_t t = 0; t < k; ++t) {
+        int32_t m = cand[t];
+        double qx = px[m] - c0, qy = py[m] - c1, qz = pz[m] - c2;
+        double w = wv[t];
+        C[0][0] += w * qx * qx; C[0][1] += w * qx * qy;
+        C[0][2] += w * qx * qz; C[1][1] += w * qy * qy;
+        C[1][2] += w * qy * qz; C[2][2] += w * qz * qz;
+      }
+      double denom_w = sw > 1e-9 ? sw : 1e-9;
+      C[0][0] /= denom_w; C[0][1] /= denom_w; C[0][2] /= denom_w;
+      C[1][1] /= denom_w; C[1][2] /= denom_w; C[2][2] /= denom_w;
+      C[1][0] = C[0][1]; C[2][0] = C[0][2]; C[2][1] = C[1][2];
+      double ev, n[3];
+      eig3_smallest(C, &ev, n);
+      double ray0 = (fu - cx) / fx, ray1 = (fv - cy) / fy;
+      double den = ray0 * n[0] + ray1 * n[1] + n[2];
+      if (std::fabs(den) > 1e-3) {
+        double t = (c0 * n[0] + c1 * n[1] + c2 * n[2]) / den;
+        if (t > 0.05) {
+          z_b = t;
+          double perp = std::max(ev, sigma_lidar * sigma_lidar);
+          lam_b = den * den / perp;
+        }
+      }
+    }
+    lam_out[i] = lam_a + lam_b;
+    the_out[i] = lam_a * z_a + lam_b * z_b;
+  }
+  return n_supported;
 }
 
 }  // extern "C"

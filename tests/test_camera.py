@@ -196,3 +196,100 @@ class TestNativeExtractor:
             good = patch[np.isfinite(patch) & (patch > 1e-3)]
             assert abs(feats.z[j] - np.median(good)) < 0.6
 
+
+
+class TestNativeDepthEvidence:
+    """Native (C++) lidar_depth_evidence vs the authoritative Python loop
+    (camera/depth_fusion.py): identical candidate sets (the grid bins are a
+    superset filter over the exact du^2+dv^2 < r^2 predicate), tolerance-
+    level agreement on the continuous Route A/B outputs (the closed-form
+    3x3 eigensolve differs from LAPACK in the last digits)."""
+
+    def test_parity_production_budgets(self):
+        from fl_slam_tpu.camera.features import _gcvision
+        if _gcvision() is None or not hasattr(_gcvision(),
+                                              "gcv_lidar_depth_evidence"):
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(1)
+        w, h = 640, 480
+        intr = PinholeIntrinsics(fx=300., fy=300., cx=w / 2, cy=h / 2,
+                                 width=w, height=h)
+        N, M = 512, 8192
+        uv = np.column_stack([rng.uniform(0, w, N), rng.uniform(0, h, N)])
+        valid = rng.random(N) > 0.1
+        z = rng.uniform(0.5, 6.0, M)
+        u = rng.uniform(-20, w + 20, M)
+        v = rng.uniform(-20, h + 20, M)
+        pts = np.column_stack([(u - intr.cx) * z / intr.fx,
+                               (v - intr.cy) * z / intr.fy, z])
+        pts[rng.random(M) < 0.05, 2] = -1.0     # behind-camera points
+        lam_n, the_n, sup_n = lidar_depth_evidence(uv, valid, pts, intr,
+                                                   native=True)
+        lam_p, the_p, sup_p = lidar_depth_evidence(uv, valid, pts, intr,
+                                                   native=False)
+        np.testing.assert_array_equal(sup_n, sup_p)
+        np.testing.assert_allclose(lam_n, lam_p, rtol=1e-4, atol=1e-9)
+        np.testing.assert_allclose(the_n, the_p, rtol=1e-4, atol=1e-9)
+
+    def test_empty_and_no_support(self):
+        intr = PinholeIntrinsics(fx=300., fy=300., cx=320., cy=240.,
+                                 width=640, height=480)
+        uv = np.array([[320.0, 240.0]])
+        valid = np.array([True])
+        lam, the, sup = lidar_depth_evidence(uv, valid, np.zeros((0, 3)),
+                                             intr, native=True)
+        assert lam[0] == 0.0 and sup[0] == 0
+        # all points behind the camera
+        pts = np.array([[0.0, 0.0, -2.0]] * 10)
+        lam, the, sup = lidar_depth_evidence(uv, valid, pts, intr,
+                                             native=True)
+        assert lam[0] == 0.0 and sup[0] == 0
+
+
+class TestFeatureSidecar:
+    """Per-bag feature cache (camera/feature_cache.py): one-time host pass,
+    then staged camera fields match the live path (within the sidecar's f32
+    storage of the appearance fields); stale stamps are rejected."""
+
+    def test_roundtrip_and_staleness(self, tmp_path):
+        import sys
+        sys.path.insert(0, str(
+            __import__("pathlib").Path(__file__).resolve().parents[1]))
+        from tools.bench_staging import make_bag
+        from fl_slam_tpu.camera.feature_cache import (build_sidecar,
+                                                      load_sidecar,
+                                                      sidecar_path)
+        from fl_slam_tpu.io.rosbag import (BagTopics, CameraTopics,
+                                           load_scan_records)
+        cfg = GCConfig.small()
+        rng = np.random.default_rng(0)
+        td = str(tmp_path)
+        w, h = 160, 120
+        make_bag(td, 8, w, h, rng, 2048)
+        topics = BagTopics("/lidar", "/imu", "/odom")
+        cam = CameraTopics("/cam/rgb", "/cam/depth")
+        intr = PinholeIntrinsics(fx=120., fy=120., cx=w / 2, cy=h / 2,
+                                 width=w, height=h)
+        live = load_scan_records(td, topics, cfg, cam_topics=cam,
+                                 intrinsics=intr)
+        assert "camera_feature_cache" not in live["__audit__"]
+        p = build_sidecar(td, cam, intr, cfg.n_feat)
+        cached = load_scan_records(td, topics, cfg, cam_topics=cam,
+                                   intrinsics=intr)
+        assert cached["__audit__"]["camera_feature_cache"] == p
+        for k in ("cam_Lambdas", "cam_thetas", "cam_etas", "cam_weights",
+                  "cam_valid"):
+            a, b = live[k], cached[k]
+            scale = max(np.abs(a).max(), 1e-9)
+            assert np.abs(a - b).max() / scale < 2e-4, k
+        # stale sidecar (wrong stamps) must be ignored
+        import numpy as _np
+        db = sorted(__import__("glob").glob(td + "/*.db3"))[0]
+        sp = sidecar_path(db, cam.rgb)
+        with _np.load(sp) as z:
+            data = {k: z[k] for k in z.files}
+        data["rgb_stamps"] = data["rgb_stamps"] + 1.0
+        _np.savez_compressed(sp, **data)
+        stale = load_scan_records(td, topics, cfg, cam_topics=cam,
+                                  intrinsics=intr)
+        assert "camera_feature_cache" not in stale["__audit__"]

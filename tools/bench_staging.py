@@ -40,16 +40,29 @@ def make_bag(out_dir, n_scans, w, h, rng, n_points=2048):
         (4, "/cam/rgb", "sensor_msgs/msg/CompressedImage", "cdr", ""),
         (5, "/cam/depth", "sensor_msgs/msg/Image", "cdr", ""),
     ])
-    # one textured frame re-encoded per scan (stamps differ, content same —
-    # the cache is keyed by frame index so each scan decodes once)
+    # One structured frame re-encoded per scan (stamps differ, content same —
+    # the cache is keyed by frame index so each scan decodes once).
+    # STRUCTURED, not uniform noise: on noise every pixel passes the FAST
+    # compass pretest and detection floods (~4x a real frame's cost);
+    # gradient + textured blocks + mild noise is the representative corner
+    # density of an indoor scene.
     import io as _io
 
     from PIL import Image
-    base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (0.3 * xx / w + 0.2 * yy / h) * 255.0
+    for _ in range(40):
+        x0 = int(rng.integers(0, max(w - 60, 1)))
+        y0 = int(rng.integers(0, max(h - 60, 1)))
+        img[y0:y0 + 50, x0:x0 + 50] += float(rng.uniform(-60, 60))
+    img = np.clip(img + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)
+    base = np.stack([img] * 3, axis=2)
     buf = _io.BytesIO()
     Image.fromarray(base).save(buf, format="JPEG", quality=80)
     jpeg = buf.getvalue()
-    depth_mm = (rng.uniform(500, 5000, (h, w))).astype("<u2")
+    depth_mm = np.clip(2000.0 + 1.2 * xx + 0.6 * yy
+                       + rng.normal(0, 10, (h, w)), 500,
+                       5000).astype("<u2")
 
     mid = 0
     for i in range(n_scans):
