@@ -174,21 +174,75 @@ def main():
             busy = {"error": str(e)[:200]}
 
     scans_per_sec = n_scans / elapsed
-    xrt = scans_per_sec / SCAN_HZ
+    xrt_replay = scans_per_sec / SCAN_HZ
+
+    # ---- staging-INCLUSIVE end-to-end (the headline; round-4 verdict
+    # item 1): bag bytes -> native staging -> upload -> compiled replay,
+    # streamed with host/device overlap. The segment length equals the
+    # replay above's scan count, so the SAME compiled program serves both
+    # (no extra compile); the Kimera-layout fixture bag is built at real
+    # VLP-16 density (28,800 raw pts/scan). Like the reference's one timed
+    # path (run_and_evaluate_gc.sh), this number includes everything after
+    # the bag file exists.
+    e2e = None
+    if on_accel:
+        try:
+            import shutil
+            import tempfile
+            from fl_slam_tpu.io.kimera import (KIMERA_TOPICS,
+                                               make_kimera_fixture_bag)
+            from fl_slam_tpu.io.rosbag import StreamingStager
+            n_e2e = 1000
+            tmpd = tempfile.mkdtemp(prefix="gc_bench_bag_")
+            t0 = time.perf_counter()
+            make_kimera_fixture_bag(tmpd, n_scans=n_e2e, seed=0, n_az=1800)
+            bag_build_s = time.perf_counter() - t0
+            stager = StreamingStager(tmpd, KIMERA_TOPICS, cfg,
+                                     seg_len=n_scans, max_scans=n_e2e)
+            from fl_slam_tpu.io.rosbag import TIME_REBASE_MARGIN_S
+            from fl_slam_tpu.pipeline import init_state as _init
+            # staged times are rebased so the first scan lands at the margin
+            st_e = _init(cfg, t0=TIME_REBASE_MARGIN_S - 0.1)
+            outs_last = None
+            t0 = time.perf_counter()
+            for seg in stager:
+                st_e, outs_last = run(st_e, seg)
+            jax.block_until_ready(outs_last.pose)
+            e2e_wall = time.perf_counter() - t0
+            shutil.rmtree(tmpd, ignore_errors=True)
+            e2e = {
+                "scans": int(stager.n_scans),
+                "raw_points_per_scan": 28800,
+                "wall_s": round(e2e_wall, 2),
+                "scans_per_sec": round(stager.n_scans / e2e_wall, 1),
+                "x_realtime": round(stager.n_scans / e2e_wall / SCAN_HZ, 1),
+                "bag_build_s": round(bag_build_s, 1),
+                "staging_backend": stager.audit.get("staging_backend"),
+            }
+        except Exception as exc:  # keep the bench record alive
+            e2e = {"error": str(exc)[:300]}
+
+    headline_is_e2e = bool(e2e) and "error" not in e2e
+    xrt = e2e["x_realtime"] if headline_is_e2e else xrt_replay
     print(json.dumps({
-        "metric": "scan_pipeline_throughput",
+        "metric": ("end_to_end_throughput" if headline_is_e2e
+                   else "scan_pipeline_throughput"),
         "value": round(xrt, 3),
-        "unit": "x_realtime_10hz",
+        "unit": ("x_realtime_10hz_staging_included" if headline_is_e2e
+                 else "x_realtime_10hz"),
         "vs_baseline": round(xrt / BASELINE_XRT, 3),
         "extra": {
-            "scans_per_sec": round(scans_per_sec, 3),
+            "device_replay_x_realtime": round(xrt_replay, 3),
+            "device_replay_scans_per_sec": round(scans_per_sec, 3),
             "backend": jax.default_backend(),
             "config": "tpu" if on_accel else "small_cpu",
             "compile_s": round(compile_s, 2),
             **({"compile_warm_s": round(compile_warm_s, 2)}
                if compile_warm_s is not None else {}),
             "per_scan_ms": round(1000.0 * elapsed / n_scans, 3),
-            "mode": "single_compiled_replay",
+            "mode": ("streamed_e2e+single_compiled_replay"
+                     if headline_is_e2e else "single_compiled_replay"),
+            **({"end_to_end": e2e} if e2e is not None else {}),
             "runtime_counters": counters,
             **({"utilization": busy} if busy is not None else {}),
             **({"note": os.environ["GC_BENCH_FALLBACK"]}

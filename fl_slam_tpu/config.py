@@ -107,6 +107,13 @@ class GCConfig:
     lidar_sigma_meas: float = 0.01            # m^2 (discrete)
     imu_accel_scale: float = 1.0              # input already m/s^2 for Kimera/synth
     accel_bias_sigma: float = 0.2             # m/s^2; gravity-magnitude ba factor
+    # Precision scale on the ba factor's gravity-PERPENDICULAR components.
+    # r_ba's perpendicular part is tilt-ambiguous; feeding it to the
+    # body-frame ba state at full precision closes an unstable
+    # tilt-precession loop under yaw (spin-in-place fixture: 0.1 -> 18.6
+    # deg in 1,024 scans; the straight-line variant holds 0.1 deg). See
+    # ops/imu.accel_bias_evidence.
+    ba_perp_scale: float = 0.05
 
     # ---- process diffusion priors (constants.py:232-249) --------------------
     q_trans: float = 1e-4
@@ -208,7 +215,7 @@ class GCConfig:
     # averages over many historical poses — drift-diluted) anchor yaw
     # while freshly-inserted ones (built at the current drifted pose — the
     # ratchet's pawls) carry no rotation vote.
-    visual_rot_age_tau: float = 0.0
+    visual_rot_age_tau: float = 60.0
 
     # Translation WLS pair weighting: (1-f) * point-to-plane + f * point-to-
     # point. Pure point-to-plane (f=0) kills the along-wall aperture bias but
@@ -276,6 +283,11 @@ class GCConfig:
     deskew_rotation_only: bool = False
 
     # ---- surfel extraction (MA-Hex-3D) ---------------------------------------
+    # Adaptive per-scan cell-size scaling (ops/surfels.py): the fixed-count
+    # grid covers only ~8.8 m axial radius at the configured size; scaling
+    # by the scan's p95 xy radius keeps long-range geometry represented
+    # (89% of point mass was out-of-grid on the Kimera-layout fixture).
+    surfel_adaptive_cells: bool = True
     surfel_cell_size: float = 0.5
     surfel_cells_1: int = 32
     surfel_cells_2: int = 32

@@ -175,6 +175,9 @@ def encode_kimera_odom(stamp: float, position, quat_xyzw, vel_body,
 # Fixture bag
 # --------------------------------------------------------------------------
 
+SENSOR_HEIGHT_M = 0.4   # VLP-16 above ground (Jackal mast)
+
+
 def vlp16_sweep(rng, n_az: int = 360, room: float = 8.0, *,
                 pos_xy=None, yaw=None, room_center=(0.0, 0.0)):
     """One synthetic VLP-16 rotation: n_az azimuth steps x 16 rings against
@@ -208,6 +211,20 @@ def vlp16_sweep(rng, n_az: int = 360, room: float = 8.0, *,
     rwg = np.broadcast_to(r_wall[:, None], (n_az, 16))
     elg = np.broadcast_to(el[None, :], (n_az, 16))
     rho = rwg / np.maximum(np.cos(elg), 0.2)
+    # GROUND PLANE at sensor height below the rig (Jackal mast ~0.4 m):
+    # downward beams terminate on the floor before the walls. Without it the
+    # walls extend infinitely downward and NOTHING in the geometry anchors
+    # roll/pitch absolutely (the map tilts with the estimate, gravity alone
+    # is kappa-capped ~13): the 5,000-scan replay tilt-wandered to 45 deg
+    # and back. The real rig sees ground in every sweep — the fixture must
+    # too to be a real-bag-readiness gate.
+    sin_el = np.sin(elg)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho_floor = np.where(sin_el < -1e-6,
+                             -SENSOR_HEIGHT_M / np.where(sin_el < -1e-6,
+                                                         sin_el, -1.0),
+                             np.inf)
+    rho = np.minimum(rho, rho_floor)
     rho = np.minimum(rho, 100.0) * (1.0 + rng.normal(0, 0.003, rho.shape))
     x = rho * np.cos(elg) * np.cos(azg)                   # sensor frame
     y = rho * np.cos(elg) * np.sin(azg)
@@ -273,7 +290,8 @@ def render_fixture_rgbd(p_wb, yaw, intr, rng, room: float = 14.0,
 def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
                             t0: float = 1634219540.0, *,
                             camera: bool = False, cam_wh=(424, 240),
-                            n_az: int = 360):
+                            n_az: int = 360, vel: float = 0.4,
+                            yaw_rate: float = 0.05):
     """Synthesize a ROS 2 sqlite3 bag in the documented Kimera layout:
     /acl_jackal/* topics, VLP-16 field layout, documented covariances,
     10 Hz lidar / 200 Hz IMU / 50 Hz odom, plus the TUM ground-truth file.
@@ -315,9 +333,10 @@ def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
     # consistent at any bag length (scans rendered from a static pose
     # diverged the 5,000-scan replay into NaN at scan ~440: the lidar kept
     # swearing the robot never moved while odometry circled).
-    vel = 0.4            # m/s
-    yaw_rate = 0.05      # rad/s
-    room_center = (0.0, vel / yaw_rate)
+    # vel / yaw_rate are parameters (defaults: the canonical slow circle);
+    # yaw_rate ~ 0 gives a straight-line diagnostic variant.
+    room_center = ((0.0, vel / yaw_rate) if abs(yaw_rate) > 1e-6
+                   else (0.0, 0.0))
     room_half = 14.0
     mid = 0
     gt_rows = []
@@ -325,8 +344,12 @@ def make_kimera_fixture_bag(out_dir: str, n_scans: int = 5, seed: int = 0,
     def pose_at(t):
         dt = np.asarray(t) - t0
         yaw = yaw_rate * dt
-        x = vel / yaw_rate * np.sin(yaw)
-        y = vel / yaw_rate * (1 - np.cos(yaw))
+        if abs(yaw_rate) > 1e-6:
+            x = vel / yaw_rate * np.sin(yaw)
+            y = vel / yaw_rate * (1 - np.cos(yaw))
+        else:
+            x = vel * dt
+            y = np.zeros_like(x)
         return np.stack([x, y, np.zeros_like(yaw)], axis=-1), yaw
 
     for i in range(n_scans):

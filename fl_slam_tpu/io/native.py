@@ -56,6 +56,22 @@ def _lib():
                     f64p, f64p, f64p,                          # imu out
                     f64p, f64p, f64p, f64p,                    # odom out
                     i64p]                                      # audit
+            if hasattr(lib, "gcio_stage_lidar_batch_f32"):
+                lib.gcio_stage_lidar_batch_f32.restype = ctypes.c_int64
+                lib.gcio_stage_lidar_batch_f32.argtypes = [
+                    ctypes.POINTER(u8p), i64p, ctypes.c_int64,  # blob ptrs
+                    f64p, f64p,                                # R_bl, t_bl
+                    ctypes.c_double, ctypes.c_double,          # min_r, max_r
+                    ctypes.c_double, ctypes.c_double,          # sigma, sentinel
+                    ctypes.c_int64, ctypes.c_int64,            # n_cap, raw_cap
+                    f64p, ctypes.c_int64, ctypes.c_int64,      # imu, n, len
+                    ctypes.c_double,                           # accel_scale
+                    f64p, ctypes.c_int64, ctypes.c_double,     # odom, n, prev_t
+                    ctypes.c_double, ctypes.c_double, f64p,    # origin/margin
+                    f32p, f32p, f32p, f64p, f64p,              # pts/st/w/ss/se
+                    f32p, f32p, f32p,                          # imu out
+                    f32p, f32p, f32p, f32p,                    # odom out
+                    i64p]                                      # audit
             _LIB = lib
     return _LIB
 
@@ -128,21 +144,23 @@ def have_native_staging() -> bool:
     return lib is not None and hasattr(lib, "gcio_stage_lidar_batch")
 
 
-def alloc_stage_out(S, n_cap, imu_len) -> dict:
-    """Zero-filled output arrays for ``stage_lidar_batch`` (calloc-lazy)."""
+def alloc_stage_out(S, n_cap, imu_len, dtype=np.float64) -> dict:
+    """Zero-filled output arrays for ``stage_lidar_batch`` (calloc-lazy).
+    ``scan_start``/``scan_end`` stay f64 regardless (epoch-second stamps;
+    the f32 fast path rebases them inline but keeps full precision)."""
     return {
-        "points": np.zeros((S, n_cap, 3)),
-        "point_stamps": np.zeros((S, n_cap)),
-        "point_weights": np.zeros((S, n_cap)),
+        "points": np.zeros((S, n_cap, 3), dtype),
+        "point_stamps": np.zeros((S, n_cap), dtype),
+        "point_weights": np.zeros((S, n_cap), dtype),
         "scan_start": np.zeros(S),
         "scan_end": np.zeros(S),
-        "imu_stamps": np.zeros((S, imu_len)),
-        "imu_gyro": np.zeros((S, imu_len, 3)),
-        "imu_accel": np.zeros((S, imu_len, 3)),
-        "odom_pose": np.zeros((S, 6)),
-        "odom_cov": np.zeros((S, 6, 6)),
-        "odom_vel_body": np.zeros((S, 3)),
-        "odom_omega_body": np.zeros((S, 3)),
+        "imu_stamps": np.zeros((S, imu_len), dtype),
+        "imu_gyro": np.zeros((S, imu_len, 3), dtype),
+        "imu_accel": np.zeros((S, imu_len, 3), dtype),
+        "odom_pose": np.zeros((S, 6), dtype),
+        "odom_cov": np.zeros((S, 6, 6), dtype),
+        "odom_vel_body": np.zeros((S, 3), dtype),
+        "odom_omega_body": np.zeros((S, 3), dtype),
     }
 
 
@@ -207,6 +225,70 @@ def stage_lidar_batch(blobs, *, R_bl, t_bl, min_r, max_r, sigma, sentinel,
         raise ValueError(f"native lidar staging failed at message {-rc - 1}")
     out["__audit_counts__"] = tuple(int(x) for x in audit)
     return out
+
+
+def have_native_staging_f32() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "gcio_stage_lidar_batch_f32")
+
+
+def stage_lidar_batch_f32(blobs, *, R_bl, t_bl, min_r, max_r, sigma,
+                          sentinel, n_cap, raw_cap, imu, imu_len,
+                          accel_scale, odom, prev_t=None, origin=None,
+                          margin=16.0) -> tuple:
+    """f32-output staging with INLINE time rebase (the streaming upload
+    path: the pipeline consumes float32, so the kernel writes f32 directly
+    — staging math stays f64 and rounds once on store, value-identical to
+    staging f64 + rebasing + converting host-side; parity-tested in
+    tests/test_rosbag_io.py).
+
+    ``origin``: None derives it from this batch's first scan (stamp -
+    margin). Returns (recs dict [f32 arrays, f64 rebased scan_start/end],
+    origin). ``__audit_counts__`` as in ``stage_lidar_batch``.
+    """
+    lib = _lib()
+    S = len(blobs)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bufs = (u8p * S)(*(ctypes.cast(ctypes.c_char_p(b), u8p) for b in blobs))
+    sizes = np.asarray([len(b) for b in blobs], dtype=np.int64)
+    imu = np.ascontiguousarray(imu, dtype=np.float64)
+    odom = np.ascontiguousarray(odom, dtype=np.float64)
+    out = alloc_stage_out(S, n_cap, imu_len, dtype=np.float32)
+    audit = np.zeros(3, dtype=np.int64)
+    origin_out = np.zeros(1)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def P(a):
+        return a.ctypes.data_as(f64p)
+
+    def P32(a):
+        return a.ctypes.data_as(f32p)
+
+    R_bl = np.ascontiguousarray(R_bl, dtype=np.float64)
+    t_bl = np.ascontiguousarray(t_bl, dtype=np.float64)
+    rc = lib.gcio_stage_lidar_batch_f32(
+        bufs,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S,
+        P(R_bl), P(t_bl), float(min_r), float(max_r), float(sigma),
+        float(sentinel), int(n_cap), int(raw_cap),
+        P(imu), imu.shape[0], int(imu_len), float(accel_scale),
+        P(odom), odom.shape[0],
+        float("nan") if prev_t is None else float(prev_t),
+        float("nan") if origin is None else float(origin), float(margin),
+        P(origin_out),
+        P32(out["points"]), P32(out["point_stamps"]),
+        P32(out["point_weights"]),
+        P(out["scan_start"]), P(out["scan_end"]),
+        P32(out["imu_stamps"]), P32(out["imu_gyro"]),
+        P32(out["imu_accel"]), P32(out["odom_pose"]), P32(out["odom_cov"]),
+        P32(out["odom_vel_body"]), P32(out["odom_omega_body"]),
+        audit.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != S:
+        raise ValueError(f"native f32 lidar staging failed at message "
+                         f"{-rc - 1}")
+    out["__audit_counts__"] = tuple(int(x) for x in audit)
+    return out, float(origin_out[0])
 
 
 def decode_pointcloud2(buf: bytes, cap: int):

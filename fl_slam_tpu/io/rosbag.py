@@ -769,6 +769,40 @@ class StreamingStager:
         self.odom_poses: list = []
 
     def _stage_blobs(self, blobs, prev_t):
+        # f32 fast path: the kernel writes float32 + rebases times INLINE
+        # (the pipeline consumes float32; staging f64 then converting before
+        # device_put cost ~0.5 ms/scan of the streamed loop). The f64 kernel
+        # and the Python loop remain the authoritative parity pair.
+        use_f32 = (self.native and self.cfg.jdtype == np.float32
+                   and native.have_native_staging_f32())
+        if use_f32:
+            res, origin = native.stage_lidar_batch_f32(
+                blobs, R_bl=self.R_bl, t_bl=self.t_bl,
+                min_r=self.cfg.range_weight_min_r,
+                max_r=self.cfg.range_weight_max_r,
+                sigma=self.cfg.range_weight_sigma,
+                sentinel=self.cfg.nonfinite_sentinel,
+                n_cap=self.cfg.n_points, raw_cap=self.raw_point_cap,
+                imu=self.imu, imu_len=self.cfg.imu_len,
+                accel_scale=self.cfg.imu_accel_scale, odom=self.odom,
+                prev_t=prev_t, origin=self.time_origin,
+                margin=TIME_REBASE_MARGIN_S)
+            if self.time_origin is None:
+                self.time_origin = origin
+                self.audit["time_origin"] = origin
+            c = res.pop("__audit_counts__")
+            self.audit["nonfinite_points_total"] += int(c[0])
+            self.audit["imu_windows_saturated"] += int(c[1])
+            self.audit["missing_odom_scans"] += int(c[2])
+            start_abs = res["scan_start"] + self.time_origin
+            new_prev = float(start_abs[-1])
+            if self.cam_index is not None:
+                res.update(self.cam_index.stage(start_abs, res["points"],
+                                                self.cfg, self.audit))
+            self.scan_starts.append(start_abs.copy())
+            self.odom_poses.append(np.asarray(res["odom_pose"],
+                                              dtype=np.float64))
+            return res, new_prev
         if self.native:
             res = native.stage_lidar_batch(
                 blobs, R_bl=self.R_bl, t_bl=self.t_bl,

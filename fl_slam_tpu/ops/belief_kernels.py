@@ -408,10 +408,14 @@ def _tail_math(cfg: GCConfig, L_pred, h_pred, anchor, mu_pred, L_io, h_io,
     eff_real = jnp.sqrt(jnp.sum(rho_rel * rho_rel) + jnp.sum(w_rel * w_rel))
 
     # Diagnostics: the pose correction the visual evidence ALONE would
-    # apply at z_lin (pipeline parity; 6x6 lifted solve, lift 1e-9).
+    # apply at z_lin (pipeline parity; 6x6 lifted solve). The lift is
+    # SCALE-AWARE: a fixed 1e-9 on a degenerate block underflows the f32
+    # Cholesky (d = sqrt(1e-30) -> 1/d overflows -> NaN certs at the one
+    # scan of the 5,000-scan fixture where the scatter went rank-0).
     Lp6 = L_vis[0:6, 0:6]
     rhs6 = h_vis_rel[0:6] + _mv(Lp6, z_lin[0:6])
-    A6 = _sym_lift(Lp6, 1e-9)
+    lift6 = 1e-9 + 1e-6 * _tr(Lp6) / 6.0
+    A6 = _sym_lift(Lp6, lift6)
     dz_vis = _chol_solve(_chol(A6), rhs6[:, None]).T[0, :] - z_lin[0:6]
     vis_dt_norm = jnp.sqrt(jnp.sum(dz_vis[0:3] * dz_vis[0:3]))
     vis_dz = dz_vis[2]
@@ -1152,14 +1156,23 @@ def _pe_math(cfg: GCConfig, L_prev, h_prev, anchor, mu_prev, sigma_prev,
 
 
     # ---- accel bias evidence (ops/imu.py:276) ------------------------------
+    # Anisotropic precision: full along the gravity direction mu0 (the
+    # tilt-invariant |a|-g observation), cfg.ba_perp_scale perpendicular
+    # (tilt-ambiguous; full precision closes the yaw-spin tilt-precession
+    # loop — see ops/imu.accel_bias_evidence).
     a_body_exp = _cross3(g("odom_omega"), g("odom_vel"))
     r_ba = g("a_body_mean") - (-(_mv(R0p.T, gravity_w))) - a_body_exp
     prec_ba = 1.0 / (cfg.accel_bias_sigma * cfg.accel_bias_sigma)
-    Lb, hb = _emb_block(IDX_BA.start, 3, prec_ba * _eye(3, dt),
-                        prec_ba * r_ba, dt)
+    gnorm_ba = _norm(gravity_w) + 1e-12
+    mu0_ba = -(_mv(R0p.T, gravity_w)) / gnorm_ba
+    P_par_ba = _outer(mu0_ba, mu0_ba)
+    L3_ba = prec_ba * (P_par_ba
+                       + cfg.ba_perp_scale * (_eye(3, dt) - P_par_ba))
+    L3_ba = 0.5 * (L3_ba + L3_ba.T)
+    Lb, hb = _emb_block(IDX_BA.start, 3, L3_ba, _mv(L3_ba, r_ba), dt)
     L_io = L_io + Lb
     h_io = h_io + hb
-    c_ba = (_norm(r_ba), 0.5 * prec_ba * _vdot(r_ba, r_ba))
+    c_ba = (_norm(r_ba), 0.5 * _vdot(r_ba, _mv(L3_ba, r_ba)))
 
     # ---- planar priors (ops/priors.py) -------------------------------------
     prec_z = 1.0 / (cfg.planar_z_sigma * cfg.planar_z_sigma)

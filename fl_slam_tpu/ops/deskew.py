@@ -41,7 +41,15 @@ def deskew_constant_twist(points_p, timestamps, weights, t0, t1, xi_body, *,
     """points_p (3, N) planes -> (points_out (3, N), weights_out (N,), certs)."""
     dt = points_p.dtype
     denom = jnp.maximum(t1 - t0, 1e-12)
-    alpha = ((timestamps - t0) / denom).astype(dt)           # (N,)
+    # Clamp: real per-point stamps lie in [t0, t1] by construction; PADDING
+    # entries carry stamp 0 (a sentinel), giving alpha ~ -t0/(t1-t0) (~-2e3
+    # two hundred seconds into a bag) — Exp(alpha xi) then flings the
+    # zero-weight pad points hundreds of meters, which is mass-invisible
+    # but poisons any weight-blind geometry statistic downstream (the
+    # adaptive surfel grid's p95 radius, scene-extent certs). The clamp is
+    # value-exact for every real point; the soft membership kernel handles
+    # edge points either way.
+    alpha = jnp.clip((timestamps - t0) / denom, -0.5, 1.5).astype(dt)  # (N,)
 
     rho = xi_body[0:3].astype(dt)
     omega = xi_body[3:6].astype(dt)

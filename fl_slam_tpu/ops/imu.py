@@ -44,6 +44,40 @@ def imu_dt_intervals(stamps):
     return jnp.maximum(dt, 0.0)
 
 
+def window_interval_weights(stamps, t_start, t_end, sigma,
+                            weight_floor: float = 1e-12,
+                            dt_cap: float = 0.1):
+    """Soft-window INTEGRATION weights: the membership sigmoids evaluated at
+    the MIDPOINT of each forward interval [t_k, t_{k+1}], with the last
+    valid sample's interval CLOSED at t_end.
+
+    ``smooth_window_weights`` at the sample stamps is a left-endpoint
+    Riemann sum whose last interval is zeroed: each window lost ~half a
+    sample period at both boundaries plus the whole tail interval —
+    measured dt_int 0.095 s of a 0.1 s scan-to-scan span at 200 Hz. The
+    5% under-integrated gyro delta is not benign noise: the gyro RELATIVE
+    factor enforces it at full stiffness against the absolute factors,
+    locking in a persistent yaw lag of rate x lag-equilibrium (~6.5 deg at
+    0.05 rad/s on the Kimera fixture, phase-locked to the trajectory).
+    Midpoint weights + the closed tail make sum(w dt) = (t_end - t_start)
+    + O(sigma^2). ``dt_cap`` bounds the closed tail against sparse stamps.
+
+    Returns (w_mid (M,), dt (M,)); use for integration measures only —
+    per-sample statistics (resultants, IW suffstats) keep the sample-point
+    weights.
+    """
+    valid = stamps > 0.0
+    nxt_valid = jnp.concatenate([valid[1:], jnp.zeros_like(valid[:1])])
+    fwd = jnp.concatenate([stamps[1:] - stamps[:-1],
+                           jnp.zeros_like(stamps[:1])])
+    tail = jnp.clip(t_end - stamps, 0.0, dt_cap)
+    is_last = valid & ~nxt_valid
+    dt = jnp.where(is_last, tail, jnp.maximum(fwd, 0.0)) * valid
+    t_mid = stamps + 0.5 * dt
+    w = smooth_window_weights(t_mid, t_start, t_end, sigma, weight_floor)
+    return w * valid, dt
+
+
 def integration_time(stamps, t_start, t_end):
     """dt_int = sum of IMU sample intervals within (t_start, t_end), on device.
 
@@ -135,7 +169,7 @@ def prefix_products(dR):
 
 
 def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
-                 accel_bias, gravity_w, R_start=None):
+                 accel_bias, gravity_w, R_start=None, dt_intervals=None):
     """Fixed-length weighted IMU preintegration, parallelized.
 
     Math identical to the reference's sequential ``lax.scan``
@@ -150,7 +184,7 @@ def preintegrate(stamps, gyro, accel, weights, rotvec_start, gyro_bias,
       delta_pose (6,), delta_R (3,3), delta_p (3,), delta_v (3,),
       ess, a_body_mean, a_world_nog_mean, a_world_mean, dt_eff_sum.
     """
-    dt = imu_dt_intervals(stamps)
+    dt = imu_dt_intervals(stamps) if dt_intervals is None else dt_intervals
     if R_start is None:
         R_start = se3.so3_exp(rotvec_start)
     dt_eff = weights * dt                                    # (M,)
@@ -349,7 +383,7 @@ def gravity_vmf_evidence(rotvec_wb, accel, gyro, weights, accel_bias, gravity_w,
 
 
 def accel_bias_evidence(a_body_mean, rotvec_wb, gravity_w, sigma_ba, dtype,
-                        a_body_expected=None):
+                        a_body_expected=None, perp_scale: float = 0.05):
     """Accel-bias factor from the gravity reaction (NOT in the reference).
 
     Over a quasi-static window the mean debiased specific force should equal
@@ -358,9 +392,26 @@ def accel_bias_evidence(a_body_mean, rotvec_wb, gravity_w, sigma_ba, dtype,
     through mechanization, velocity and z) drifts unboundedly — the
     reference's factor set never observes ba at all. sigma_ba is generous to
     absorb true robot acceleration contaminating the window mean.
+
+    ANISOTROPIC precision (the yaw-spin stability fix): the residual's
+    component PERPENDICULAR to the gravity direction mu0 = -R^T g_hat is
+    exactly the tilt-ambiguous part — a tilt error d produces r_perp ~
+    g x d with NO true bias. Feeding it to ba at full precision closes an
+    unstable loop under yaw: ba is a BODY-frame state, so a world-fixed
+    tilt error makes its fake-ba explanation ROTATE in body frame; ba
+    chases with phase lag and the lag torque PRECESSES tilt instead of
+    damping it (observed: spin-in-place fixture diverges 0.1 -> 18.6 deg
+    in 1,024 scans while the straight-line variant holds 0.1 deg; the
+    gravity factor itself is kappa-capped ~13 and cannot arrest it). The
+    gravity-PARALLEL component (|a| - g along mu0) is tilt-invariant and
+    keeps full precision; perpendicular precision is scaled by
+    ``perp_scale`` so ba_xy stays weakly observable on rigs with real
+    pitch/roll excitation without closing the loop.
     """
     from fl_slam_tpu.config import IDX_BA
     R0 = se3.so3_exp(rotvec_wb)
+    g_hat = gravity_w / (jnp.linalg.norm(gravity_w) + 1e-12)
+    mu0 = -(R0.T @ g_hat)
     r_ba = a_body_mean - (-(R0.T @ gravity_w))
     if a_body_expected is not None:
         # Remove the kinematically expected body acceleration (e.g. the
@@ -368,10 +419,13 @@ def accel_bias_evidence(a_body_mean, rotvec_wb, gravity_w, sigma_ba, dtype,
         # as accel bias.
         r_ba = r_ba - a_body_expected
     precision = 1.0 / (sigma_ba * sigma_ba)
-    L3 = precision * jnp.eye(3, dtype=dtype)
+    P_par = jnp.outer(mu0, mu0)
+    eye = jnp.eye(3, dtype=dtype)
+    L3 = precision * (P_par + perp_scale * (eye - P_par))
+    L3 = 0.5 * (L3 + L3.T)
     L, h = evidence_from_block(IDX_BA, L3, L3 @ r_ba, dtype)
     certs = {"imu_ba.residual_norm": jnp.linalg.norm(r_ba),
-             "imu_ba.nll_proxy": 0.5 * precision * (r_ba @ r_ba)}
+             "imu_ba.nll_proxy": 0.5 * (r_ba @ (L3 @ r_ba))}
     return L, h, certs
 
 

@@ -85,6 +85,32 @@ def extract_surfels(points_p, weights, cfg: GCConfig, *,
     py = points_p[1] - center[1]
     pz = points_p[2] - center[2]
 
+    # ADAPTIVE coverage (traced scalar; shapes stay static): the fixed-count
+    # grid at the configured cell size covers only +-0.91 * (c1/2) * size
+    # ~ 8.8 m of axial radius at the 0.5 m default — on the Kimera-layout
+    # fixture (walls 8-28 m out) 89% of the point MASS fell out of grid and
+    # the rotation evidence saw floor-only geometry. Scale the cell size per
+    # scan so the p95 xy radius fits the axial bound (the clipped-local
+    # design keeps exact cells; only the >p95 tail can clip). The configured
+    # size is the FLOOR, so small scenes keep their resolution and existing
+    # small-config behavior is unchanged.
+    if getattr(cfg, "surfel_adaptive_cells", True):
+        # weight-aware: zero-weight pad points carry no geometry (and the
+        # deskew maps their sentinel stamps far away — see ops/deskew.py)
+        carry = finite & (weights > 1e-9)
+        r_xy = jnp.where(carry, jnp.maximum(jnp.abs(px), jnp.abs(py)), 0.0)
+        r95 = jnp.percentile(r_xy.astype(jnp.float32), 95.0).astype(dt)
+        cover = 0.45 * min(cfg.surfel_cells_1, cfg.surfel_cells_2)
+        # Cap at the lidar's range envelope: a diverging twist estimate can
+        # fling DESKEWED points arbitrarily far; without the cap the cell
+        # size follows (observed 42 m cells -> 1-surfel scans -> map death
+        # spiral). Points beyond the sensor's own max range are never
+        # legitimate geometry, so the cap loses nothing real.
+        voxel_size = jnp.clip(r95 / cover, voxel_size,
+                              1.2 * cfg.range_weight_max_r / cover)
+    else:
+        r95 = jnp.zeros((), dt)
+
     cell, in_grid = bin_cell_ids_local(
         px, py, pz, voxel_size, cfg.surfel_cells_1, cfg.surfel_cells_2,
         cfg.surfel_cells_z)
@@ -200,6 +226,8 @@ def extract_surfels(points_p, weights, cfg: GCConfig, *,
         "surfel.mass_total": jnp.sum(w_sel),
         "surfel.point_mass_in": w_tot,
         "surfel.mass_out_of_grid": w_tot_fin - w_tot,
+        "surfel.cell_size_eff": jnp.asarray(voxel_size, dt),
+        "surfel.r95_xy": jnp.asarray(r95, dt),
         "surfel.budget_overflow": jnp.maximum(
             jnp.sum(valid_cell.astype(dt)) - float(S), 0.0),
         # ExpectedEffect: predicted = point mass entering the grid (what a

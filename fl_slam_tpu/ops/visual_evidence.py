@@ -114,24 +114,37 @@ def visual_pose_evidence(meas_pos_w, meas_prec_w, meas_dir_w, meas_kappa,
     dots = jnp.einsum("ni,nki->nk", meas_dir_w, map_dir)
     rot_cost = jnp.sum(w_all * (1.0 - dots))
 
-    # Matrix-Fisher evidence. J(R) = tr(R^T S); mode R_hat is the proper polar
-    # factor of S (closed-form Kabsch — jnp.linalg.svd does not lower on this
-    # TPU backend); at the mode A = R_hat^T S is symmetric and the RIGHT-
-    # tangent Hessian is H = tr(A) I - A (information about rotation around
-    # axis v_i is s_j + s_k: axes that move no directions carry no information
-    # — the reference's diag(s) in world coords is the wrong basis and lets
-    # the decomposition's arbitrary weak-axis choice inject spurious rotation
-    # evidence).
-    from fl_slam_tpu.core.linalg import kabsch3x3
-    R_hat, A = kabsch3x3(S)
-    L_r = (jnp.trace(A) * jnp.eye(3, dtype=dt) - A
-           + cfg.eps_lift * jnp.eye(3, dtype=dt))
+    # Matrix-Fisher evidence LINEARIZED AT R_lin. J(R) = tr(R^T S); with
+    # M = R_lin^T S the right-tangent gradient at R_lin is g = vee(M - M^T)
+    # and the (negated) Hessian is H = tr(sym M) I - sym M: info-form h = g,
+    # L = PSD(H). The previous mode-based form (Kabsch polar factor R_hat,
+    # h = L log(R_lin^T R_hat)) is equal to first order near the mode but
+    # catastrophically wrong under a DEGENERATE scatter: the polar factor's
+    # weak axes are arbitrary, log(R_lin^T R_hat) is then a LARGE rotation,
+    # and Log of (junk о real) mixes the junk angle into the informative
+    # components (BCH) — observed as visual.rot_residual_norm ~ 1.5 rad on
+    # healthy scans of the floor-dominant Kimera fixture and, under yaw, a
+    # heading-dependent tilt torque (the circle-trajectory tilt pump). The
+    # gradient form degrades continuously: weak axes contribute zero
+    # gradient and zero information, no completion is ever taken. (The
+    # reference's diag(s)-in-world-coords form shares the mode-based
+    # defect, visual_pose_evidence.py:165-253.)
     # z_lin_pose is the 7-vector [t, quat] anchor-chart pose (6-vector
     # [t, rotvec] accepted for standalone/test callers).
     R_lin = (se3.quat_to_R(z_lin_pose[3:7]) if z_lin_pose.shape[-1] == 7
              else se3.so3_exp(z_lin_pose[3:6]))
+    M = R_lin.T @ S
+    Msym = 0.5 * (M + M.T)
+    from fl_slam_tpu.core.linalg import project_psd3
+    H_raw = jnp.trace(Msym) * jnp.eye(3, dtype=dt) - Msym
+    H_psd, _rot_proj = project_psd3(H_raw, 0.0)
+    L_r = H_psd + cfg.eps_lift * jnp.eye(3, dtype=dt)
+    h_r = se3.vee(M - M.T)
+    # mode-vs-linearization residual, cert-only (kabsch stays out of the
+    # evidence path)
+    from fl_slam_tpu.core.linalg import kabsch3x3
+    R_hat, A = kabsch3x3(S)
     rotvec_delta = se3.so3_log(R_lin.T @ R_hat)                 # right tangent
-    h_r = L_r @ rotvec_delta
     # decoupled rotation gain (see GCConfig.visual_rot_weight): applied here
     # so both the XLA tail and the belief kernel (which receive the embedded
     # L_vis) see the same scaled block

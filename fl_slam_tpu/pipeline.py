@@ -431,13 +431,25 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         scan.imu_stamps, scan.scan_start, scan.scan_end, sigma_warp) * imu_valid
     w_int = imu_ops.smooth_window_weights(
         scan.imu_stamps, state.prev_scan_t, scan.scan_start, sigma_warp) * imu_valid
+    # INTEGRATION measures use midpoint-evaluated interval weights with a
+    # closed tail (ops/imu.window_interval_weights): the left-endpoint sum
+    # under-integrated every window ~5% and the gyro relative factor then
+    # enforced 5% under-rotation per scan against the absolute factors —
+    # a persistent, trajectory-phase-locked yaw lag. Sample-point weights
+    # (w_scan / w_int) still drive the per-sample statistics below.
+    wm_scan, dtv_scan = imu_ops.window_interval_weights(
+        scan.imu_stamps, scan.scan_start, scan.scan_end, sigma_warp)
+    wm_int, dtv_int = imu_ops.window_interval_weights(
+        scan.imu_stamps, state.prev_scan_t, scan.scan_start, sigma_warp)
 
     # Both windows preintegrate in ONE vmapped call (batch axis 2): the op
     # count halves and every 3x3 level of the blocked prefix product stays
     # a single batched einsum.
-    pre2 = jax.vmap(lambda w: imu_ops.preintegrate(
+    pre2 = jax.vmap(lambda w, dtv: imu_ops.preintegrate(
         scan.imu_stamps, scan.imu_gyro, scan.imu_accel, w, None,
-        gyro_bias, accel_bias, gravity_w, R_start=state.R_prev))(jnp.stack([w_scan, w_int]))
+        gyro_bias, accel_bias, gravity_w, R_start=state.R_prev,
+        dt_intervals=dtv))(jnp.stack([wm_scan, wm_int]),
+                           jnp.stack([dtv_scan, dtv_int]))
     pre_scan = jax.tree.map(lambda a: a[0], pre2)
     pre_int = jax.tree.map(lambda a: a[1], pre2)
 
@@ -562,7 +574,8 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         a_body_exp = jnp.cross(scan.odom_omega_body, scan.odom_vel_body)
         Lb, hb, c = imu_ops.accel_bias_evidence(
             pre_int["a_body_mean"], pose_pred[3:6], gravity_w,
-            cfg.accel_bias_sigma, dt, a_body_expected=a_body_exp)
+            cfg.accel_bias_sigma, dt, a_body_expected=a_body_exp,
+            perp_scale=cfg.ba_perp_scale)
         L_io, h_io = L_io + Lb, h_io + hb
         k_certs.update(c)
 
@@ -732,10 +745,11 @@ def _scan_core(state: PipelineState, ctx: ViewCtx, scan: ScanInput,
         # Diagnostics: correction the visual evidence alone would apply at
         # z_lin (the kernel path emits these from inside scalar_tail — every
         # outside scalar-op chain costs ~2-10 us of per-op issue overhead).
-        dz_vis, _ = spd_solve_lifted(L_vis[IDX_POSE, IDX_POSE],
+        Lp6_d = L_vis[IDX_POSE, IDX_POSE]
+        lift6 = 1e-9 + 1e-6 * jnp.trace(Lp6_d) / 6.0
+        dz_vis, _ = spd_solve_lifted(Lp6_d,
                                      h_vis_rel[IDX_POSE]
-                                     + L_vis[IDX_POSE, IDX_POSE]
-                                     @ z_lin0[IDX_POSE], 1e-9)
+                                     + Lp6_d @ z_lin0[IDX_POSE], lift6)
         dz_vis_rel = dz_vis - z_lin0[IDX_POSE]
         certs["visual.implied_dtrans_norm"] = jnp.linalg.norm(dz_vis_rel[:3])
         certs["visual.implied_dz"] = dz_vis_rel[2]

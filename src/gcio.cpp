@@ -381,26 +381,25 @@ inline int64_t upper_bound_d(const double* stamps, int64_t n, double t) {
   return lo;
 }
 
-}  // namespace
+// ---- templated staging core (OutT = double for the parity path, float for
+// the upload fast path: the pipeline consumes float32, so the streaming
+// stager lets the kernel write f32 directly — staging math stays f64 and
+// rounds ONCE on store, identical to staging f64 then converting host-side.
+// ``origin`` rebases every time field inline (0.0 = absolute times).
 
-extern "C" {
-
-// Stage a batch of lidar scans. Arrays are preallocated and zero-filled by
-// the caller. imu: (n_imu, 7) stamp-sorted; odom: (n_odom, 86) stamp-sorted.
-// prev_t_in: scan_start of the scan BEFORE this batch (NAN for none).
-// Returns #scans staged, or -(i+1) if message i failed to decode.
-int64_t gcio_stage_lidar_batch(
+template <typename OutT>
+int64_t stage_impl(
     const uint8_t* const* bufs, const int64_t* sizes,
     int64_t n_msgs, const double* R_bl, const double* t_bl,
     double min_r, double max_r, double sigma, double sentinel,
     int64_t n_cap, int64_t raw_cap,
     const double* imu, int64_t n_imu, int64_t imu_len, double accel_scale,
-    const double* odom, int64_t n_odom, double prev_t_in,
-    double* points, double* point_stamps, double* point_weights,
+    const double* odom, int64_t n_odom, double prev_t_in, double origin,
+    OutT* points, OutT* point_stamps, OutT* point_weights,
     double* scan_start, double* scan_end,
-    double* imu_stamps, double* imu_gyro, double* imu_accel,
-    double* odom_pose, double* odom_cov, double* odom_vel,
-    double* odom_omega, int64_t* audit) {
+    OutT* imu_stamps, OutT* imu_gyro, OutT* imu_accel,
+    OutT* odom_pose, OutT* odom_cov, OutT* odom_vel,
+    OutT* odom_omega, int64_t* audit) {
   std::vector<float> xyz(raw_cap * 3), trel(raw_cap);
   std::vector<double> wbuf(raw_cap);
   std::vector<double> imu_t(n_imu), odom_t(n_odom);
@@ -417,7 +416,7 @@ int64_t gcio_stage_lidar_batch(
                                         xyz.data(), trel.data(), nullptr,
                                         raw_cap);
     if (n < 0) return -(s + 1);
-    scan_start[s] = stamp;
+    scan_start[s] = stamp - origin;
 
     // pass A (SIMD-cloned, FUSED): weights + non-finite count straight off
     // the f32 wire values — the only all-points f64 array materialized is w
@@ -447,7 +446,8 @@ int64_t gcio_stage_lidar_batch(
       t_max = (n > 1) ? stamp + lin_step * (n - 1) : stamp;
     }
     double sweep_end = (n > 0) ? t_max : stamp;
-    scan_end[s] = (sweep_end > stamp + 1e-3) ? sweep_end : stamp + 1e-3;
+    scan_end[s] = ((sweep_end > stamp + 1e-3) ? sweep_end : stamp + 1e-3)
+                  - origin;
 
     // budget resample: PHASED stride (idx = s*k + k%s, clipped) + mass-
     // preserving rescale — the phase walks every VLP-16 ring; a plain
@@ -469,9 +469,9 @@ int64_t gcio_stage_lidar_batch(
         selw = t;
       }
       double scale = wsum / ((selw > 1e-12) ? selw : 1e-12);
-      double* op = points + s * n_cap * 3;
-      double* ot = point_stamps + s * n_cap;
-      double* ow = point_weights + s * n_cap;
+      OutT* op = points + s * n_cap * 3;
+      OutT* ot = point_stamps + s * n_cap;
+      OutT* ow = point_weights + s * n_cap;
       for (int64_t k = 0; k < n_sel; ++k) {
         int64_t i = stride * k + (k % stride);
         if (i > n - 1) i = n - 1;
@@ -491,15 +491,17 @@ int64_t gcio_stage_lidar_batch(
             else c[j] = sentinel;                        // NaN
           }
         }
-        op[3 * k + 0] = R_bl[0] * c[0] + R_bl[1] * c[1] + R_bl[2] * c[2]
-                        + t_bl[0];
-        op[3 * k + 1] = R_bl[3] * c[0] + R_bl[4] * c[1] + R_bl[5] * c[2]
-                        + t_bl[1];
-        op[3 * k + 2] = R_bl[6] * c[0] + R_bl[7] * c[1] + R_bl[8] * c[2]
-                        + t_bl[2];
-        ot[k] = any_trel ? stamp + static_cast<double>(trel[i])
-                         : stamp + lin_step * static_cast<double>(i);
-        ow[k] = wbuf[i] * scale;
+        op[3 * k + 0] = static_cast<OutT>(
+            R_bl[0] * c[0] + R_bl[1] * c[1] + R_bl[2] * c[2] + t_bl[0]);
+        op[3 * k + 1] = static_cast<OutT>(
+            R_bl[3] * c[0] + R_bl[4] * c[1] + R_bl[5] * c[2] + t_bl[1]);
+        op[3 * k + 2] = static_cast<OutT>(
+            R_bl[6] * c[0] + R_bl[7] * c[1] + R_bl[8] * c[2] + t_bl[2]);
+        double tabs = any_trel
+            ? stamp + static_cast<double>(trel[i])
+            : stamp + lin_step * static_cast<double>(i);
+        ot[k] = static_cast<OutT>(tabs - origin);
+        ow[k] = static_cast<OutT>(wbuf[i] * scale);
       }
     }
 
@@ -509,24 +511,25 @@ int64_t gcio_stage_lidar_batch(
     int64_t hi = upper_bound_d(imu_t.data(), n_imu, sweep_end);
     int64_t cnt = hi - lo;
     if (cnt > imu_len) { ++audit[1]; lo = hi - imu_len; cnt = imu_len; }
-    double* ist = imu_stamps + s * imu_len;
-    double* igy = imu_gyro + s * imu_len * 3;
-    double* iac = imu_accel + s * imu_len * 3;
+    OutT* ist = imu_stamps + s * imu_len;
+    OutT* igy = imu_gyro + s * imu_len * 3;
+    OutT* iac = imu_accel + s * imu_len * 3;
     for (int64_t i = 0; i < cnt; ++i) {
       const double* row = imu + (lo + i) * 7;
-      ist[i] = row[0];
-      igy[3 * i + 0] = row[1]; igy[3 * i + 1] = row[2];
-      igy[3 * i + 2] = row[3];
-      iac[3 * i + 0] = row[4] * accel_scale;
-      iac[3 * i + 1] = row[5] * accel_scale;
-      iac[3 * i + 2] = row[6] * accel_scale;
+      ist[i] = static_cast<OutT>(row[0] - origin);
+      igy[3 * i + 0] = static_cast<OutT>(row[1]);
+      igy[3 * i + 1] = static_cast<OutT>(row[2]);
+      igy[3 * i + 2] = static_cast<OutT>(row[3]);
+      iac[3 * i + 0] = static_cast<OutT>(row[4] * accel_scale);
+      iac[3 * i + 1] = static_cast<OutT>(row[5] * accel_scale);
+      iac[3 * i + 2] = static_cast<OutT>(row[6] * accel_scale);
     }
 
     // closest odom (first index on ties, matching np.argmin)
-    double* opn = odom_pose + s * 6;
-    double* ocv = odom_cov + s * 36;
-    double* ovl = odom_vel + s * 3;
-    double* oom = odom_omega + s * 3;
+    OutT* opn = odom_pose + s * 6;
+    OutT* ocv = odom_cov + s * 36;
+    OutT* ovl = odom_vel + s * 3;
+    OutT* oom = odom_omega + s * 3;
     if (n_odom > 0) {
       int64_t j = upper_bound_d(odom_t.data(), n_odom, stamp);
       int64_t k = (j == 0) ? 0 : j - 1;
@@ -534,19 +537,96 @@ int64_t gcio_stage_lidar_batch(
           && std::fabs(odom_t[j] - stamp) < std::fabs(odom_t[k] - stamp))
         k = j;
       const double* row = odom + k * 86;
-      opn[0] = row[1]; opn[1] = row[2]; opn[2] = row[3];
-      quat_to_rotvec(row + 4, opn + 3);
-      std::memcpy(ocv, row + 8, 36 * 8);
-      std::memcpy(ovl, row + 44, 3 * 8);
-      std::memcpy(oom, row + 47, 3 * 8);
+      opn[0] = static_cast<OutT>(row[1]);
+      opn[1] = static_cast<OutT>(row[2]);
+      opn[2] = static_cast<OutT>(row[3]);
+      double rv[3];
+      quat_to_rotvec(row + 4, rv);
+      opn[3] = static_cast<OutT>(rv[0]);
+      opn[4] = static_cast<OutT>(rv[1]);
+      opn[5] = static_cast<OutT>(rv[2]);
+      for (int i = 0; i < 36; ++i) ocv[i] = static_cast<OutT>(row[8 + i]);
+      for (int i = 0; i < 3; ++i) {
+        ovl[i] = static_cast<OutT>(row[44 + i]);
+        oom[i] = static_cast<OutT>(row[47 + i]);
+      }
     } else {
       ++audit[2];
-      for (int i = 0; i < 6; ++i) ocv[i * 6 + i] = 1e12;
+      for (int i = 0; i < 6; ++i)
+        ocv[i * 6 + i] = static_cast<OutT>(1e12);
     }
 
     prev_t = stamp;
   }
   return n_msgs;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stage a batch of lidar scans (f64 outputs, ABSOLUTE times — the parity
+// path tested against io/rosbag._python_stage_blobs). Arrays preallocated
+// and zero-filled by the caller. imu: (n_imu, 7) stamp-sorted; odom:
+// (n_odom, 86) stamp-sorted. prev_t_in: scan_start of the scan BEFORE this
+// batch (NAN for none). Returns #scans staged, or -(i+1) if message i
+// failed to decode.
+int64_t gcio_stage_lidar_batch(
+    const uint8_t* const* bufs, const int64_t* sizes,
+    int64_t n_msgs, const double* R_bl, const double* t_bl,
+    double min_r, double max_r, double sigma, double sentinel,
+    int64_t n_cap, int64_t raw_cap,
+    const double* imu, int64_t n_imu, int64_t imu_len, double accel_scale,
+    const double* odom, int64_t n_odom, double prev_t_in,
+    double* points, double* point_stamps, double* point_weights,
+    double* scan_start, double* scan_end,
+    double* imu_stamps, double* imu_gyro, double* imu_accel,
+    double* odom_pose, double* odom_cov, double* odom_vel,
+    double* odom_omega, int64_t* audit) {
+  return stage_impl<double>(
+      bufs, sizes, n_msgs, R_bl, t_bl, min_r, max_r, sigma, sentinel,
+      n_cap, raw_cap, imu, n_imu, imu_len, accel_scale, odom, n_odom,
+      prev_t_in, 0.0, points, point_stamps, point_weights, scan_start,
+      scan_end, imu_stamps, imu_gyro, imu_accel, odom_pose, odom_cov,
+      odom_vel, odom_omega, audit);
+}
+
+// f32-output staging with INLINE time rebase (the streaming upload path:
+// the pipeline consumes float32; writing f32 here removes the host-side
+// f64->f32 conversion pass before device_put). ``origin_in`` = NaN derives
+// the origin from this batch's first scan (stamp - margin) and writes it to
+// ``origin_out``; pass the returned origin to subsequent batches.
+int64_t gcio_stage_lidar_batch_f32(
+    const uint8_t* const* bufs, const int64_t* sizes,
+    int64_t n_msgs, const double* R_bl, const double* t_bl,
+    double min_r, double max_r, double sigma, double sentinel,
+    int64_t n_cap, int64_t raw_cap,
+    const double* imu, int64_t n_imu, int64_t imu_len, double accel_scale,
+    const double* odom, int64_t n_odom, double prev_t_in,
+    double origin_in, double margin, double* origin_out,
+    float* points, float* point_stamps, float* point_weights,
+    double* scan_start, double* scan_end,
+    float* imu_stamps, float* imu_gyro, float* imu_accel,
+    float* odom_pose, float* odom_cov, float* odom_vel,
+    float* odom_omega, int64_t* audit) {
+  double origin = origin_in;
+  if (std::isnan(origin)) {
+    if (n_msgs <= 0) return 0;
+    double stamp0;
+    float dummy_xyz[3];
+    // cheap header-only peek: decode with cap 0 still parses the stamp
+    int64_t rc = gcio_decode_pointcloud2(bufs[0], sizes[0], &stamp0,
+                                         dummy_xyz, nullptr, nullptr, 0);
+    if (rc < 0) return -1;
+    origin = stamp0 - margin;
+  }
+  *origin_out = origin;
+  return stage_impl<float>(
+      bufs, sizes, n_msgs, R_bl, t_bl, min_r, max_r, sigma, sentinel,
+      n_cap, raw_cap, imu, n_imu, imu_len, accel_scale, odom, n_odom,
+      prev_t_in, origin, points, point_stamps, point_weights, scan_start,
+      scan_end, imu_stamps, imu_gyro, imu_accel, odom_pose, odom_cov,
+      odom_vel, odom_omega, audit);
 }
 
 }  // extern "C"

@@ -450,3 +450,39 @@ def test_smoothed_initial_anchor_debiases_first_odom():
     recs["imu_stamps"] = np.zeros_like(imu_t)
     anchor_u = smoothed_initial_anchor(recs, CFG)
     assert np.isfinite(anchor_u).all()
+
+
+class TestF32StagingParity:
+    """The f32-output staging kernel (inline time rebase, the streaming
+    upload fast path) must equal the f64 path + host rebase + f32 convert
+    EXACTLY: staging math stays f64 in both, rounding to f32 happens once
+    either way."""
+
+    def test_f32_equals_f64_then_convert(self, tmp_path, rng):
+        if not native.have_native_staging_f32():
+            pytest.skip("native f32 staging not built")
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from tools.bench_staging import make_bag
+        from fl_slam_tpu.io.rosbag import (TIME_REBASE_MARGIN_S,
+                                           StreamingStager)
+        import dataclasses
+        td = str(tmp_path)
+        make_bag(td, 12, 64, 48, rng, 4096)
+        topics = BagTopics("/lidar", "/imu", "/odom")
+        cfg32 = dataclasses.replace(CFG, dtype="float32")
+        st32 = StreamingStager(td, topics, cfg32, seg_len=5)
+        segs32 = list(st32)
+        st64 = StreamingStager(td, topics, CFG, seg_len=5,
+                               native_staging=False)
+        segs64 = list(st64)
+        assert st32.time_origin == pytest.approx(st64.time_origin, abs=1e-9)
+        assert len(segs32) == len(segs64)
+        for a, b in zip(segs32, segs64):
+            for f in a._fields:
+                va = np.asarray(getattr(a, f))
+                vb = np.asarray(getattr(b, f)).astype(np.float32)
+                np.testing.assert_array_equal(
+                    va, vb, err_msg=f"field {f} differs (f32 path must be "
+                    "a single final rounding of the f64 path)")
