@@ -455,6 +455,22 @@ def _rebase_times(out: dict, origin: float) -> dict:
 
 TIME_REBASE_MARGIN_S = 16.0
 
+#: jitted per-(shape-layout) unpack functions for the packed segment upload
+_PACKED_UNPACK_CACHE: dict = {}
+
+
+def _fill_cam_zeros(out: dict, cam_missing, T: int, cfg) -> None:
+    """Camera-off ScanInput leaves, built DEVICE-side inside the unpack jit
+    (uploading ~95 MB of host zeros per 512-scan segment cost ~1 ms/scan)."""
+    import jax.numpy as jnp
+    if not cam_missing:
+        return
+    zshapes = _zero_camera_slice(1, cfg)
+    for k in cam_missing:
+        zshape = (T,) + zshapes[k].shape[1:]
+        fill = 0.5 if k == "cam_colors" else 0.0
+        out[k] = jnp.full(zshape, fill, dtype=jnp.float32)
+
 
 def _python_stage_blobs(blobs, cfg, R_bl, t_bl, imu, odom, prev_t,
                         raw_point_cap, audit):
@@ -716,10 +732,12 @@ class StreamingStager:
                  seg_len: int, *, T_base_lidar=None,
                  cam_topics: Optional[CameraTopics] = None, intrinsics=None,
                  T_base_cam=None, max_scans: Optional[int] = None,
-                 raw_point_cap: int = 60000, native_staging: bool = True):
+                 raw_point_cap: int = 60000, native_staging: bool = True,
+                 upload_quant: bool = True):
         self.reader = RosbagReader(bag_dir)
         self.topics = topics
         self.cfg = cfg
+        self.upload_quant = upload_quant
         self.seg_len = int(seg_len)
         self.max_scans = max_scans
         self.raw_point_cap = raw_point_cap
@@ -847,6 +865,8 @@ class StreamingStager:
 
         from fl_slam_tpu.pipeline import ScanInput
         cfg = self.cfg
+        if cfg.jdtype == np.float32:
+            return self._to_inputs_packed(seg)
         if self.cam_index is None:
             zeros = {k: jnp.zeros(
                 (self.seg_len,) + v.shape[1:], dtype=cfg.jdtype)
@@ -857,6 +877,123 @@ class StreamingStager:
             return ScanInput(**{k: jnp.asarray(v, dtype=cfg.jdtype)
                                 for k, v in seg.items()}, **zeros)
         return to_scan_inputs(seg, cfg)
+
+    def _to_inputs_packed(self, seg):
+        """Minimal-transfer segment upload: per-leaf uploads cost a
+        round-trip each on the tunneled runtime (~25 ms x 18 leaves), and
+        once the replay program has run the runtime's H2D path degrades to
+        ~45 MB/s regardless of content (measured; fresh process: 1.5 GB/s)
+        — so BYTES are the streamed loop's wall. The bulk per-point/IMU
+        fields ship as ONE uint16-quantized buffer (~90 KB/scan vs 180),
+        the precision-critical remainder (imu stamps, odom, scan clock) as
+        one small f32 buffer; a jitted device unpacker dequantizes and
+        assembles the ScanInput (camera-off zero slices built device-side).
+
+        Quantization steps — points 1.95 mm on +-64 m, weights 6.1e-5 on
+        [0,4], gyro 4.9e-4 rad/s, accel 2e-3 m/s^2, per-point stamps
+        1.8e-6 s relative to scan_start — all below the sensor noise floor
+        AND below the f32 staging path's own rounding at bag timescales
+        (a rebased stamp at 220 s has a 1.5e-5 s ulp). ``upload_quant=False``
+        (stager arg) keeps the exact f32 pack for parity tests."""
+        import jax
+        import jax.numpy as jnp
+
+        from fl_slam_tpu.pipeline import ScanInput
+        cfg = self.cfg
+        names = [k for k in ScanInput._fields if k in seg]
+        cam_missing = tuple(k for k in ScanInput._fields if k not in seg)
+        T = self.seg_len
+        if not self.upload_quant:
+            parts = [np.ascontiguousarray(seg[k], dtype=np.float32).ravel()
+                     for k in names]
+            shapes = tuple((k, tuple(seg[k].shape)) for k in names)
+            key = ("plain", shapes, cam_missing, T)
+            fn = _PACKED_UNPACK_CACHE.get(key)
+            if fn is None:
+                offs = []
+                o = 0
+                for k, shp in shapes:
+                    n = int(np.prod(shp))
+                    offs.append((k, o, n, shp))
+                    o += n
+
+                def unpack(buf):
+                    out = {k: jax.lax.dynamic_slice(buf, (ofs,), (n,))
+                           .reshape(shp) for k, ofs, n, shp in offs}
+                    _fill_cam_zeros(out, cam_missing, T, cfg)
+                    return ScanInput(**out)
+
+                fn = jax.jit(unpack)
+                _PACKED_UNPACK_CACHE[key] = fn
+            flat = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            return fn(flat)
+
+        # ---- quantized path ------------------------------------------------
+        # Base ranges; lo/hi widen PER SEGMENT to the observed min/max (the
+        # mass-preserving resample rescale can push weights above any fixed
+        # ceiling), shipped as a tiny params vector so ONE compiled unpacker
+        # serves every segment.
+        QRANGES = {"points": (-64.0, 64.0), "point_weights": (0.0, 4.0),
+                   "imu_gyro": (-16.0, 16.0), "imu_accel": (-64.0, 64.0),
+                   "point_stamps": (0.0, 0.12)}
+        qnames = [k for k in names if k in QRANGES]
+        fnames = [k for k in names if k not in qnames]
+        scan_start = np.asarray(seg["scan_start"], dtype=np.float64)
+        qparts = []
+        qmeta = []
+        params = []
+        for k in qnames:
+            v = np.asarray(seg[k], dtype=np.float32)
+            if k == "point_stamps":
+                v = v - scan_start[:, None].astype(np.float32)
+            lo0, hi0 = QRANGES[k]
+            lo = float(min(lo0, np.min(v))) if v.size else lo0
+            hi = float(max(hi0, np.max(v))) if v.size else hi0
+            step = (hi - lo) / 65535.0
+            q = np.clip(np.rint((v - lo) * (1.0 / step)), 0.0,
+                        65535.0).astype(np.uint16)
+            qparts.append(q.ravel())
+            qmeta.append((k, tuple(v.shape)))
+            params.extend([lo, step])
+        fparts = [np.ascontiguousarray(seg[k], dtype=np.float32).ravel()
+                  for k in fnames]
+        fshapes = tuple((k, tuple(seg[k].shape)) for k in fnames)
+        qbuf = np.concatenate(qparts)
+        fbuf = np.concatenate(fparts + [np.asarray(params, np.float32)])
+        key = ("quant", tuple(qmeta), fshapes, cam_missing, T)
+        fn = _PACKED_UNPACK_CACHE.get(key)
+        if fn is None:
+            qoffs = []
+            o = 0
+            for j, (k, shp) in enumerate(qmeta):
+                n = int(np.prod(shp))
+                qoffs.append((k, o, n, shp, j))
+                o += n
+            foffs = []
+            o = 0
+            for k, shp in fshapes:
+                n = int(np.prod(shp))
+                foffs.append((k, o, n, shp))
+                o += n
+            p_off = o
+
+            def unpack(qb, fb):
+                out = {k: jax.lax.dynamic_slice(fb, (ofs,), (n,))
+                       .reshape(shp) for k, ofs, n, shp in foffs}
+                for k, ofs, n, shp, j in qoffs:
+                    q = jax.lax.dynamic_slice(qb, (ofs,), (n,)).reshape(shp)
+                    lo = fb[p_off + 2 * j]
+                    step = fb[p_off + 2 * j + 1]
+                    v = q.astype(jnp.float32) * step + lo
+                    if k == "point_stamps":
+                        v = v + out["scan_start"][:, None].astype(jnp.float32)
+                    out[k] = v
+                _fill_cam_zeros(out, cam_missing, T, cfg)
+                return ScanInput(**out)
+
+            fn = jax.jit(unpack)
+            _PACKED_UNPACK_CACHE[key] = fn
+        return fn(qbuf, fbuf)
 
     def __iter__(self):
         blobs = []

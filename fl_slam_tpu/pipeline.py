@@ -1147,6 +1147,14 @@ def replay_segments(state: PipelineState, segments, cfg: GCConfig,
     t0 = _time.perf_counter() if progress else 0.0
     for i, seg in enumerate(segments):
         state, outs = run(state, seg)
+        # 1-deep pipeline: block on segment i-1 after dispatching i. Device
+        # i runs while the host stages i+1 either way; the explicit block
+        # (a) bounds in-flight memory and (b) forces the dispatch to FLUSH
+        # on runtimes that defer execution until a blocking call (the
+        # tunneled axon runtime was observed running zero segments until
+        # the loop ended, serializing everything into the final wait).
+        if outs_list:
+            jax.block_until_ready(outs_list[-1].pose)
         outs_list.append(outs)
         if progress is not None:
             # NON-blocking progress: the dispatch is async, so the host

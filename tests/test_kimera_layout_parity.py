@@ -15,6 +15,7 @@ import os
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -362,3 +363,51 @@ def test_run_eval_on_kimera_fixture(tmp_path):
         capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
     assert (out / "metrics.json").exists() or "ate" in r.stdout.lower()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-density fixture gate needs the TPU")
+def test_fixture_full_metrics_gate(tmp_path):
+    """Real-bag-readiness accuracy gate at REAL VLP-16 density (round-4
+    verdict item 5): a 1,000-scan Kimera-layout replay must stay finite and
+    inside the full evo-protocol band — translation AND rotation ATE plus
+    RPE@1m — so the canonical-workload behavior cannot regress silently.
+    Bands are ~2x the measured round-5 values (5,000-scan run: ATE 0.269 m
+    / 9.3 deg, RPE@1m 0.147 m / 1.03 deg)."""
+    import numpy as np
+
+    from fl_slam_tpu.config import GCConfig
+    from fl_slam_tpu.eval.metrics import ate, rpe
+    from fl_slam_tpu.io.rosbag import StreamingStager, quat_xyzw_to_rotvec
+    from fl_slam_tpu.pipeline import init_state, replay_jit
+
+    bag_dir, gt_path = make_kimera_fixture_bag(str(tmp_path / "bag"),
+                                               n_scans=1000, seed=0,
+                                               n_az=1800)
+    cfg = GCConfig.tpu()
+    st = StreamingStager(bag_dir, KIMERA_TOPICS, cfg, 512, max_scans=1000)
+    run = replay_jit(cfg)
+    state = None
+    poses = []
+    for seg in st:
+        if state is None:
+            state = init_state(
+                cfg, t0=float(np.asarray(seg.scan_start[0])) - 0.1)
+        state, outs = run(state, seg)
+        poses.append(np.asarray(outs.pose))
+    poses = np.concatenate(poses)[:st.n_scans]
+    assert np.isfinite(poses).all()
+
+    gt = np.loadtxt(gt_path)
+    stamps = np.concatenate(st.scan_starts)
+    idx = np.argmin(np.abs(gt[:, 0][None, :] - stamps[:, None]), axis=1)
+    gtp = np.stack([np.concatenate([gt[i, 1:4],
+                                    quat_xyzw_to_rotvec(gt[i, 4:8])])
+                    for i in idx])
+    m = ate(poses, gtp, align="initial")
+    r1 = rpe(poses, gtp, delta_m=1.0)
+    assert m["trans"]["rmse"] < 0.6, m["trans"]
+    assert m["rot_deg"]["rmse"] < 18.0, m["rot_deg"]
+    assert r1["trans"]["rmse"] < 0.35, r1
+    assert r1["rot_deg"]["rmse"] < 2.5, r1

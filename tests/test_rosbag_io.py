@@ -472,7 +472,8 @@ class TestF32StagingParity:
         make_bag(td, 12, 64, 48, rng, 4096)
         topics = BagTopics("/lidar", "/imu", "/odom")
         cfg32 = dataclasses.replace(CFG, dtype="float32")
-        st32 = StreamingStager(td, topics, cfg32, seg_len=5)
+        st32 = StreamingStager(td, topics, cfg32, seg_len=5,
+                               upload_quant=False)
         segs32 = list(st32)
         st64 = StreamingStager(td, topics, CFG, seg_len=5,
                                native_staging=False)
@@ -486,3 +487,54 @@ class TestF32StagingParity:
                 np.testing.assert_array_equal(
                     va, vb, err_msg=f"field {f} differs (f32 path must be "
                     "a single final rounding of the f64 path)")
+
+
+    def test_quantized_upload_within_bounds(self, tmp_path, rng):
+        """The u16-quantized segment upload must agree with the exact f32
+        path within the documented quantization steps (points 1.95 mm,
+        weights 6.1e-5, gyro 4.9e-4, accel 2e-3, stamps 1.8e-6 s)."""
+        if not native.have_native_staging_f32():
+            pytest.skip("native f32 staging not built")
+        import dataclasses
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from tools.bench_staging import make_bag
+        from fl_slam_tpu.io.rosbag import StreamingStager
+        td = str(tmp_path)
+        make_bag(td, 10, 64, 48, rng, 4096)
+        topics = BagTopics("/lidar", "/imu", "/odom")
+        cfg32 = dataclasses.replace(CFG, dtype="float32")
+        exact = list(StreamingStager(td, topics, cfg32, seg_len=5,
+                                     upload_quant=False))
+        quant = list(StreamingStager(td, topics, cfg32, seg_len=5,
+                                     upload_quant=True))
+        base = {"points": (-64.0, 64.0), "point_weights": (0.0, 4.0),
+                "imu_gyro": (-16.0, 16.0), "imu_accel": (-64.0, 64.0),
+                "point_stamps": (0.0, 0.12)}
+        def step_for(f, va, rel=None):
+            lo0, hi0 = base[f]
+            v = va if rel is None else va - rel
+            lo = min(lo0, float(v.min())); hi = max(hi0, float(v.max()))
+            return (hi - lo) / 65535.0
+        steps = base  # keys only; tolerance computed per segment below
+        for a, b in zip(exact, quant):
+            for f in a._fields:
+                va = np.asarray(getattr(a, f))
+                vb = np.asarray(getattr(b, f))
+                if f in steps:
+                    # pads may be clipped to the range floor; compare only
+                    # weight-carrying entries for per-point fields
+                    rel = (np.asarray(a.scan_start)[:, None]
+                           if f == "point_stamps" else None)
+                    tol = step_for(f, va, rel) * 0.75 + 1e-5
+                    if f.startswith("point"):
+                        m = np.asarray(a.point_weights) > 1e-9
+                        if va.ndim == 3:
+                            m = m[..., None]
+                        assert np.abs(np.where(m, va - vb, 0.0)).max() \
+                            <= tol, f
+                    else:
+                        assert np.abs(va - vb).max() <= tol, f
+                else:
+                    np.testing.assert_array_equal(va, vb, err_msg=f)
