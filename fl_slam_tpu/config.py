@@ -67,6 +67,18 @@ class GCConfig:
     # hypothesis's own odometry-innovation NLL (its marginal-likelihood
     # proxy), feeding the barycenter. Spread 0 = reference-parity identical
     # bank (weights then stay uniform since the NLLs are identical).
+    #
+    # MEASURED LIMIT (round 5, kidnapped-start probe at production scale):
+    # the bank CANNOT sustain hypothesis diversity under this build's (and
+    # the reference's) shared evidence — the initial belief is nearly
+    # uninformative, so the first scan's absolute factors crush every
+    # perturbed mean to the same posterior (spread 0.25 rad/0.3 m with a
+    # 0.25 rad kidnapped anchor: all four configs bit-identical ATE).
+    # True MHT needs per-hypothesis association/maps (4x the map cost),
+    # which neither build carries. Production therefore runs k_hyp=1
+    # (GCConfig.tpu()); k_hyp=4 remains the reference-parity configuration
+    # and the mechanically-working Bayes bank its tested upgrade surface
+    # (tests/test_pipeline_e2e.py MHT tests).
     hyp_init_spread_rot: float = 0.0    # rad, yaw-first perturbation scale
     hyp_init_spread_trans: float = 0.0  # m
     hyp_nll_temp: float = 1.0           # likelihood temperature for weights
