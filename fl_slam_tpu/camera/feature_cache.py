@@ -101,10 +101,12 @@ def load_sidecar(db_file: str, rgb_topic: str, rgb_stamps: np.ndarray, *,
     return cached
 
 
-def row_to_features(sidecar: dict, j: int):
-    """Sidecar row j -> FeatureArrays (f64 views/copies)."""
+def row_to_features(sidecar: dict, j: int, dtype=np.float64):
+    """Sidecar row j -> FeatureArrays (``dtype`` copies; the f32 staging
+    path keeps the whole camera chain f32 — the per-scan slice math then
+    runs ~2x faster on this host)."""
     from fl_slam_tpu.camera.features import FeatureArrays
-    g = lambda k: np.asarray(sidecar[k][j], dtype=np.float64)
+    g = lambda k: np.asarray(sidecar[k][j], dtype=dtype)
     return FeatureArrays(
         uv=g("uv"), z=g("z"), depth_lambda=g("depth_lambda"),
         depth_theta=g("depth_theta"), xyz_cam=g("xyz_cam"),

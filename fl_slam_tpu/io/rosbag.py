@@ -269,7 +269,7 @@ class _CameraIndex:
             if self.sidecar is not None:
                 audit["camera_feature_cache"] = self.sidecar["__path__"]
 
-    def _features_for(self, j: int, NF: int):
+    def _features_for(self, j: int, NF: int, dt=np.float64):
         """FeatureArrays for rgb frame j: sidecar row, else decode+extract
         with a small LRU (scans walk frames forward; 4 frames cover the
         pairing jitter)."""
@@ -280,7 +280,7 @@ class _CameraIndex:
             if int(self.sidecar["n_feat"]) != NF:
                 self.sidecar = None          # stale budget: fall through
             else:
-                return row_to_features(self.sidecar, j)
+                return row_to_features(self.sidecar, j, dtype=dt)
         if j not in self.feat_cache:
             intrinsics = self.intrinsics
             rgb = _decode_rgb(self.rgb_msgs[j].data)
@@ -313,13 +313,65 @@ class _CameraIndex:
         t_bc = self.T_base_cam[:3, 3]
         n_cam_scans = 0
         cand = self.pair_cand
-        for i, t_scan in enumerate(np.asarray(scan_starts)):
-            if cand.size == 0:
-                break
-            j = cand[np.argmin(np.abs(self.rgb_stamps[cand] - t_scan))]
-            if abs(self.rgb_stamps[j] - t_scan) > scan_window_s:
+        if cand.size == 0:
+            return out
+        # Vectorized nearest-frame pairing for the whole batch (the per-scan
+        # argmin over all frames cost ~0.2 ms/scan on long bags).
+        starts = np.asarray(scan_starts, dtype=np.float64)
+        cs = self.rgb_stamps[cand]
+        pos = np.searchsorted(cs, starts)
+        lo = np.clip(pos - 1, 0, cand.size - 1)
+        hi = np.clip(pos, 0, cand.size - 1)
+        pick = np.where(np.abs(cs[hi] - starts) < np.abs(cs[lo] - starts),
+                        hi, lo)
+        j_all = cand[pick]
+        ok_all = np.abs(self.rgb_stamps[j_all] - starts) <= scan_window_s
+        sidecar_ok = (self.sidecar is not None
+                      and int(self.sidecar["n_feat"]) == NF)
+        if sidecar_ok:
+            # SEGMENT-BATCHED path: features gathered as (S, NF, ...) rows
+            # straight from the sidecar, fuse + slice vectorized over the
+            # scan axis (the per-scan Python loop cost ~0.6 ms/scan of pure
+            # bookkeeping). Only the per-scan Route A/B evidence stays a
+            # loop (native kernel, ~0.2 ms/scan).
+            from fl_slam_tpu.camera.depth_fusion import (
+                camera_slice_fields_batch, lidar_depth_evidence,
+                splat_prep_fused_batch)
+            sel = np.flatnonzero(ok_all)
+            if sel.size == 0:
+                return out
+            dt = np.float32 if cfg.jdtype == np.float32 else np.float64
+            js = j_all[sel]
+            fb = {k: np.asarray(self.sidecar[k][js], dtype=dt)
+                  for k in ("uv", "depth_lambda", "depth_theta", "kappa_app",
+                            "normal_cam", "color", "weight")}
+            fb["valid"] = np.asarray(self.sidecar["valid"][js], dtype=bool)
+            S = sel.size
+            lam_b = np.zeros((S, NF), dtype=dt)
+            the_b = np.zeros((S, NF), dtype=dt)
+            for s, i in enumerate(sel):
+                pts_cam = (scan_points[i] - t_bc) @ R_bc
+                lam, the, _ = lidar_depth_evidence(
+                    fb["uv"][s], fb["valid"][s], pts_cam, intrinsics)
+                lam_b[s] = lam
+                the_b[s] = the
+            fused = splat_prep_fused_batch(fb, intrinsics, lam_b, the_b)
+            fields = camera_slice_fields_batch(fused, self.T_base_cam, B)
+            out["cam_Lambdas"][sel] = fields["Lambdas"]
+            out["cam_thetas"][sel] = fields["thetas"]
+            out["cam_etas"][sel] = fields["etas"]
+            out["cam_weights"][sel] = fields["weights"]
+            out["cam_valid"][sel] = fields["valid"].astype(np.float64)
+            out["cam_colors"][sel] = fields["colors"]
+            audit["camera_scans"] += int(sel.size)
+            return out
+        for i in range(T):
+            if not ok_all[i]:
                 continue
-            feats = self._features_for(int(j), NF)
+            j = j_all[i]
+            feats = self._features_for(
+                int(j), NF,
+                np.float32 if cfg.jdtype == np.float32 else np.float64)
             # This scan's lidar points (base frame) -> camera frame for the
             # Route A/B lidar-depth evidence.
             pts_cam = (scan_points[i] - t_bc) @ R_bc
@@ -935,7 +987,15 @@ class StreamingStager:
         # serves every segment.
         QRANGES = {"points": (-64.0, 64.0), "point_weights": (0.0, 4.0),
                    "imu_gyro": (-16.0, 16.0), "imu_accel": (-64.0, 64.0),
-                   "point_stamps": (0.0, 0.12)}
+                   "point_stamps": (0.0, 0.12),
+                   # camera slice: ranges widen per segment to the observed
+                   # min/max, so the bases just seed the grid; worst-case
+                   # quantization is range/65535 ~ 0.002% of the segment's
+                   # largest magnitude — far below feature covariance
+                   # uncertainty. valid in {0,1} is exact on the u16 grid.
+                   "cam_Lambdas": (-1.0, 1.0), "cam_thetas": (-1.0, 1.0),
+                   "cam_etas": (-100.0, 100.0), "cam_weights": (0.0, 1.0),
+                   "cam_valid": (0.0, 1.0), "cam_colors": (0.0, 1.0)}
         qnames = [k for k in names if k in QRANGES]
         fnames = [k for k in names if k not in qnames]
         scan_start = np.asarray(seg["scan_start"], dtype=np.float64)
