@@ -146,10 +146,7 @@ def main():
                 with open(os.path.join(args.out, "wiring_audit.json"),
                           "w") as fh:
                     json.dump(recs["__audit__"], fh, indent=2)
-                print("[audit]", {k: recs["__audit__"].get(k) for k in
-                                  ("n_scans", "missing_odom_scans",
-                                   "dead_end_topics", "camera_pairs",
-                                   "camera_scans")})
+                _print_wiring_summary(recs["__audit__"])
             if cam is not None \
                     and recs["__audit__"].get("camera_scans", 0) == 0:
                 print("[FAIL] camera requested but no scan got camera "
@@ -243,10 +240,7 @@ def main():
             with open(os.path.join(args.out, "wiring_audit.json"),
                       "w") as fh:
                 json.dump(stager.audit, fh, indent=2)
-            print("[audit]", {k: stager.audit.get(k) for k in
-                              ("n_scans", "missing_odom_scans",
-                               "dead_end_topics", "camera_pairs",
-                               "camera_scans")})
+            _print_wiring_summary(stager.audit)
             if cam is not None and stager.audit.get("camera_scans", 0) == 0:
                 print("[FAIL] camera requested but no scan got camera "
                       "features")
@@ -377,6 +371,31 @@ def main():
     if not args.no_render:
         _render_views(args.out)
     print(f"[done] artifacts in {args.out}")
+
+
+def _print_wiring_summary(audit: dict) -> None:
+    """Processed-vs-dead-ended stream report (parity: the reference's
+    wiring auditor end-of-run JSON summary,
+    frontend/audit/wiring_auditor.py:1-20)."""
+    consumed = audit.get("consumed", {})
+    in_bag = audit.get("topics_in_bag", {})
+    print("[wiring] streams:")
+    for t in sorted(in_bag):
+        n = consumed.get(t)
+        if n is None:
+            print(f"  DEAD-END  {t}  ({in_bag[t]}) — present in the bag, "
+                  "not consumed by any staging path")
+        else:
+            print(f"  consumed  {t}: {n} msgs")
+    drops = {k: audit.get(k, 0) for k in
+             ("missing_odom_scans", "imu_windows_saturated",
+              "nonfinite_points_total")}
+    print(f"[wiring] in-stream drops/flags: {drops}; "
+          f"staged {audit.get("staged_bytes", 0) / 1e6:.1f} MB, "
+          f"{audit.get('n_scans', 0)} scans"
+          + (f"; camera pairs {audit.get('camera_pairs')}, camera scans "
+             f"{audit.get('camera_scans')}"
+             if audit.get("camera_pairs") is not None else ""))
 
 
 def _render_views(out_dir):
