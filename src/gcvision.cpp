@@ -407,11 +407,12 @@ double np_median(std::vector<double>& v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-int64_t gcv_lidar_depth_evidence(
+template <typename PT>
+int64_t lde_impl(
     const double* feat_uv, const uint8_t* feat_valid, int64_t n_feat,
-    const double* points_cam, int64_t n_pts, double fx, double fy, double cx,
+    const PT* points_cam, int64_t n_pts, double fx, double fy, double cx,
     double cy, int64_t width, int64_t height, double radius_px,
     int64_t min_support, double sigma_lidar, double* lam_out,
     double* the_out, int64_t* sup_out) {
@@ -540,6 +541,38 @@ int64_t gcv_lidar_depth_evidence(
     the_out[i] = lam_a * z_a + lam_b * z_b;
   }
   return n_supported;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t gcv_lidar_depth_evidence(
+    const double* feat_uv, const uint8_t* feat_valid, int64_t n_feat,
+    const double* points_cam, int64_t n_pts, double fx, double fy, double cx,
+    double cy, int64_t width, int64_t height, double radius_px,
+    int64_t min_support, double sigma_lidar, double* lam_out,
+    double* the_out, int64_t* sup_out) {
+  return lde_impl<double>(feat_uv, feat_valid, n_feat, points_cam, n_pts,
+                          fx, fy, cx, cy, width, height, radius_px,
+                          min_support, sigma_lidar, lam_out, the_out,
+                          sup_out);
+}
+
+// f32-point twin: the staged point cloud is float32 on the production
+// config; converting 8192x3 to f64 host-side for every scan cost
+// ~0.1 ms/scan of the camera staging budget. The evidence math itself
+// stays f64 (values convert on load).
+int64_t gcv_lidar_depth_evidence_f32(
+    const double* feat_uv, const uint8_t* feat_valid, int64_t n_feat,
+    const float* points_cam, int64_t n_pts, double fx, double fy, double cx,
+    double cy, int64_t width, int64_t height, double radius_px,
+    int64_t min_support, double sigma_lidar, double* lam_out,
+    double* the_out, int64_t* sup_out) {
+  return lde_impl<float>(feat_uv, feat_valid, n_feat, points_cam, n_pts,
+                         fx, fy, cx, cy, width, height, radius_px,
+                         min_support, sigma_lidar, lam_out, the_out,
+                         sup_out);
 }
 
 }  // extern "C"
